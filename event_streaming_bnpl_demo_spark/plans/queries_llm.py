@@ -1,0 +1,599 @@
+"""LLM-data-pipeline operator pack (mandated by BASELINE.json): exact +
+near dedup (minhash-LSH, simhash, n-gram jaccard, embedding cosine),
+similarity search (brute-force + LSH-bucketed), text analysis (lang-id,
+quality, token counting, fingerprinting, tf-idf), multimodal metadata.
+
+Design stance for 100 TB:
+
+- everything is built from JVM-side SQL expressions (no Python in the
+  hot path); Pandas-UDF variants exist only behind the multimodal
+  decode stubs (operators.multimodal);
+- every pairwise operation is *blocked* before it is compared — LSH
+  bands for minhash, hash buckets for simhash, shared shingles for
+  jaccard, label/sign-buckets for embeddings — so the candidate set
+  grows ~linearly with data, never O(n²);
+- thresholds were chosen against the observed data distribution
+  (shingle-jaccard near-dups ≈0.99 exist; embedding cosine max ≈0.51)
+  and sit far from any float rounding boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import (STOPWORDS, duckdb_tokens, hexchar_parity,
+                              normalize_text, shingles_col, tokens_col)
+from ..functions.vectors import cosine_expr, duckdb_cosine
+from ..sources import load_table
+from .catalog import register
+
+DIM = 64  # embedding dimensionality (FIXTURES.md §B)
+
+
+# --------------------------------------------------------------------------
+# deduplication
+# --------------------------------------------------------------------------
+
+
+@register(
+    "llm_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) > 1 AS is_dup
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    tags=("llm", "dedup"),
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on full text. Scale: group on the
+    128-bit digest (not the document body), so the shuffle carries
+    16-byte keys; canonical id = min doc_id makes the survivor choice
+    deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("doc_id").alias("canonical_doc_id"))
+        .withColumn("is_dup", F.col("n_docs") > 1)
+    )
+
+
+def _minhash_sig_sql(dialect: str) -> tuple[str, str]:
+    """(tokens_expr, shingles_expr) for the given dialect."""
+    toks = tokens_col("text") if dialect == "spark" else duckdb_tokens("text")
+    return toks, shingles_col(toks, dialect)
+
+
+_MINHASH_K = 6          # 6 hash functions -> 3 bands of 2 rows
+_MINHASH_BANDS = [(0, 1), (2, 3), (4, 5)]
+
+
+def _minhash_oracle() -> str:
+    toks, shingles = _minhash_sig_sql("duckdb")
+    mins = ", ".join(
+        f"MIN(md5(CONCAT('{i}:', s))) AS h{i}" for i in range(_MINHASH_K))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band_idx, md5(CONCAT(h{a}, h{b})) AS band_val FROM sig"
+        for bi, (a, b) in enumerate(_MINHASH_BANDS))
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, UNNEST(list_distinct({shingles})) AS s FROM documents
+    ), sig AS (
+      SELECT doc_id, {mins} FROM sh GROUP BY doc_id
+    ), bands AS ({bands})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    """
+
+
+@register("llm_dedup_minhash", oracle=_minhash_oracle(), tags=("llm", "dedup", "lsh"))
+def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidates: word-3-gram shingles ->
+    K=6 min-hashes -> 3 bands of 2 -> band-bucket self-join.
+
+    Scale: the only joins are on band values (hash-partitionable,
+    ~uniform); no document ever compares against more than its bucket.
+    Bands and the signature are plain aggregates — one shuffle on
+    doc_id, one on band value. This is the textbook MinHash-LSH
+    pipeline expressed entirely in DataFrame ops.
+    """
+    toks, shingles = _minhash_sig_sql("spark")
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(
+        F.array_distinct(F.expr(shingles))).alias("s"))
+    sig = sh.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+        for i in range(_MINHASH_K)
+    ])
+    band_structs = F.array(*[
+        F.struct(F.lit(bi).alias("band_idx"),
+                 F.md5(F.concat(F.col(f"h{a}"), F.col(f"h{b}"))).alias("band_val"))
+        for bi, (a, b) in enumerate(_MINHASH_BANDS)
+    ])
+    bands = (
+        sig.select("doc_id", F.explode(band_structs).alias("bd"))
+        .select("doc_id", "bd.band_idx", "bd.band_val")
+    )
+    other = (bands.withColumnRenamed("doc_id", "doc_b")
+             .withColumnRenamed("band_idx", "bi2")
+             .withColumnRenamed("band_val", "bv2"))
+    return (
+        bands.join(other,
+                   (bands.band_idx == other.bi2) & (bands.band_val == other.bv2)
+                   & (bands.doc_id < other.doc_b))
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+
+
+def _simhash_bits_sql(token_hash: str, nbits: int) -> list[str]:
+    """Per-bit ±1 contributions from a token's md5 hex chars."""
+    return [
+        f"SUM(2 * ({hexchar_parity(token_hash, b + 1)}) - 1)"
+        for b in range(nbits)
+    ]
+
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_oracle() -> str:
+    toks = duckdb_tokens("text")
+    sums = ", ".join(
+        f"{s} AS s{b}" for b, s in
+        enumerate(_simhash_bits_sql("md5(tok)", _SIMHASH_BITS)))
+    bits = ", ".join(
+        f"CASE WHEN s{b} >= 0 THEN '1' ELSE '0' END" for b in range(_SIMHASH_BITS))
+    return f"""
+    WITH tok AS (SELECT doc_id, UNNEST({toks}) AS tok FROM documents),
+    sums AS (SELECT doc_id, {sums} FROM tok GROUP BY doc_id),
+    sig AS (SELECT doc_id, CONCAT({bits}) AS simhash FROM sums)
+    SELECT doc_id, simhash,
+           COUNT(*) OVER (PARTITION BY simhash) AS bucket_size
+    FROM sig
+    """
+
+
+@register("llm_dedup_simhash", oracle=_simhash_oracle(), tags=("llm", "dedup"))
+def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit) document signatures: each token votes ±1 per
+    bit (bit = parity of the corresponding md5 hex char), sign of the
+    sum becomes the bit. Same-signature docs are near-dup candidates.
+
+    Scale: one explode + one aggregate on doc_id — no pairwise work at
+    all; the signature *is* the blocking key. Hamming-adjacent probing
+    (flip-1-bit buckets) is the documented recall extension.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.expr(tokens_col("text"))).alias("tok"))
+    sums = tok.groupBy("doc_id").agg(*[
+        F.expr(s).alias(f"s{b}")
+        for b, s in enumerate(_simhash_bits_sql("md5(tok)", _SIMHASH_BITS))
+    ])
+    bits = [F.when(F.col(f"s{b}") >= 0, "1").otherwise("0")
+            for b in range(_SIMHASH_BITS)]
+    sig = sums.select("doc_id", F.concat(*bits).alias("simhash"))
+    return sig.withColumn(
+        "bucket_size", F.count(F.lit(1)).over(Window.partitionBy("simhash")))
+
+
+def _jaccard_oracle() -> str:
+    toks = duckdb_tokens("text")
+    shingles = shingles_col(toks, "duckdb")
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, UNNEST(list_distinct({shingles})) AS s FROM documents
+    ), n AS (
+      SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(inter AS DOUBLE)
+                 / CAST(na.ns + nb.ns - inter AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN n na ON doc_a = na.doc_id
+    JOIN n nb ON doc_b = nb.doc_id
+    WHERE CAST(inter AS DOUBLE) / CAST(na.ns + nb.ns - inter AS DOUBLE) >= 0.5
+    """
+
+
+@register("llm_dedup_ngram_jaccard", oracle=_jaccard_oracle(),
+          tags=("llm", "dedup"))
+def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.5): distinct
+    3-gram shingles, candidate pairs generated *only* through shared
+    shingles (an inverted-index join — pairs sharing nothing are never
+    materialized), intersection counted by group, |A∪B| by
+    inclusion-exclusion.
+
+    Scale: the shingle join is the blocking step; hot shingles can be
+    frequency-capped (drop shingles with df > cap) without changing
+    high-jaccard results materially — documented knob, off here for
+    oracle exactness.
+    """
+    toks, shingles = _minhash_sig_sql("spark")
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id",
+                  F.explode(F.array_distinct(F.expr(shingles))).alias("s"))
+    n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s2"))
+    inter = (
+        sh.join(b, (sh.s == b.s2) & (sh.doc_id < b.doc_b))
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = n.select(F.col("doc_id").alias("doc_a"), F.col("ns").alias("na"))
+    nb = n.select(F.col("doc_id").alias("doc_b"), F.col("ns").alias("nb"))
+    jac = (F.col("inter").cast("double")
+           / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"))
+    return (
+        inter.join(na, "doc_a").join(nb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "llm_dedup_embedding",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+           ROUND({duckdb_cosine('a.embedding', 'b.embedding', DIM)}, 4) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {duckdb_cosine('a.embedding', 'b.embedding', DIM)} >= 0.4
+    """,
+    tags=("llm", "dedup", "vector"),
+)
+def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (the coarse
+    cluster id): only same-label vectors are compared, cosine computed
+    JVM-side via higher-order functions (functions.vectors), threshold
+    0.4 (observed in-label max ≈0.47).
+
+    Scale: label is the blocking key — the self-join shuffles each
+    block once; within-block comparison is quadratic *per block*, which
+    is the standard ANN-free compromise. The LSH sign-bucket variant
+    (llm_simsearch_lsh) is the sub-quadratic path.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("label"),
+                 F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"),
+                 F.col("embedding").alias("eb"))
+    cos = F.expr(cosine_expr("ea", "eb", DIM))
+    return (
+        a.join(b, (a.label == b.lb) & (a.vec_a < b.vec_b))
+        .withColumn("cos_sim_raw", cos)
+        .filter(F.col("cos_sim_raw") >= 0.4)
+        .select("vec_a", "vec_b", "label",
+                F.round("cos_sim_raw", 4).alias("cos_sim"))
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+
+@register(
+    "llm_simsearch_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id AS vec_id, e.label AS label,
+           ROUND({duckdb_cosine('e.embedding', 'q.qe', DIM)}, 4) AS cos_sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY {duckdb_cosine('e.embedding', 'q.qe', DIM)} DESC, e.vec_id
+    LIMIT 10
+    """,
+    tags=("llm", "similarity"),
+)
+def llm_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (k=10) against the query vector
+    (vec_id 0) — the exact baseline for ANN.
+
+    Scale: the query side is one broadcast row, so the scan is
+    embarrassingly parallel; ORDER BY+LIMIT plans as per-partition
+    top-k (TakeOrdered) — no global sort, no full shuffle.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    cos = F.expr(cosine_expr("embedding", "qe", DIM))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos_raw", cos)
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
+def _signbucket(col: str, dialect: str) -> str:
+    """4-bit sign-of-dimension LSH bucket (random-hyperplane LSH with
+    axis-aligned planes) — identical text modulo list indexing."""
+    at = (lambda i: f"element_at({col}, {i})") if dialect == "spark" \
+        else (lambda i: f"{col}[{i}]")
+    bits = [f"CASE WHEN {at(i)} >= 0 THEN '1' ELSE '0' END" for i in (1, 2, 3, 4)]
+    return "CONCAT(" + ", ".join(bits) + ")"
+
+
+@register(
+    "llm_simsearch_lsh",
+    oracle=f"""
+    WITH q AS (
+      SELECT embedding AS qe, {_signbucket('embedding', 'duckdb')} AS qb
+      FROM embeddings WHERE vec_id = 0
+    )
+    SELECT e.vec_id AS vec_id,
+           {_signbucket('e.embedding', 'duckdb')} AS bucket,
+           ROUND({duckdb_cosine('e.embedding', 'q.qe', DIM)}, 4) AS cos_sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> 0 AND {_signbucket('e.embedding', 'duckdb')} = q.qb
+    ORDER BY {duckdb_cosine('e.embedding', 'q.qe', DIM)} DESC, e.vec_id
+    LIMIT 5
+    """,
+    tags=("llm", "similarity", "lsh"),
+)
+def llm_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: sign-bit bucket (4 hyperplanes -> 16 buckets)
+    prunes the candidate set to ~1/16 of the table before any exact
+    cosine — the scale path for similarity search. Same top-k shape as
+    the brute-force baseline, restricted to the query's bucket.
+
+    Scale: bucket is a computed partition key; at 100 TB the table is
+    written partitioned by bucket so the search touches one partition
+    (partition pruning), and multi-probe (neighbor buckets) trades
+    recall for cost.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = F.expr(_signbucket("embedding", "spark"))
+    q = (e.filter(F.col("vec_id") == 0)
+         .select(F.col("embedding").alias("qe"), bucket.alias("qb")))
+    cos = F.expr(cosine_expr("embedding", "qe", DIM))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .withColumn("bucket", bucket)
+        .join(F.broadcast(q), F.col("bucket") == F.col("qb"))
+        .withColumn("cos_raw", cos)
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(5)
+        .select("vec_id", "bucket", F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "llm_text_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {duckdb_tokens('text')} AS toks,
+                      length(text) AS nchar
+               FROM documents)
+    SELECT doc_id, lang,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(nchar - (len(toks) - 1) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+           CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+           CAST(len(list_distinct(toks)) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) AS unique_ratio
+    FROM t
+    """,
+    tags=("llm", "text"),
+)
+def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: token count, mean token length,
+    stopword ratio, type/token (unique) ratio — all lambda/higher-order
+    builtins, zero Python. The standard pre-training quality-filter
+    feature set."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.expr(tokens_col("text"))
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    return d.select(
+        "doc_id", "lang",
+        n.cast("bigint").alias("n_tokens"),
+        ((F.length("text") - (n - 1)).cast("double") / n.cast("double"))
+        .alias("avg_token_len"),
+        (F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+         .cast("double") / n.cast("double")).alias("stopword_ratio"),
+        (F.size(F.array_distinct(toks)).cast("double") / n.cast("double"))
+        .alias("unique_ratio"),
+    )
+
+
+@register(
+    "llm_text_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({duckdb_tokens('text')}) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def llm_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    lexer (letter runs | digit runs | other symbols) — the cheap
+    token-budget estimator for corpus sizing."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.expr(tokens_col("text"))).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+         .cast("bigint").alias("n_bpe_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+@register(
+    "llm_text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5({normalize_text('text', 'duckdb')}) AS fingerprint,
+           COUNT(*) OVER (PARTITION BY md5({normalize_text('text', 'duckdb')}))
+             AS n_same
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def llm_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization fingerprint (lowercase, strip non-alnum, collapse
+    whitespace, md5) — catches trivially-reformatted duplicates that
+    exact hashing misses."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.expr(normalize_text("text", "spark")))
+    return d.select(
+        "doc_id", fp.alias("fingerprint"),
+        F.count(F.lit(1)).over(Window.partitionBy(fp)).alias("n_same"),
+    )
+
+
+@register(
+    "llm_text_langid",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN contains(text, ' le ') OR contains(text, ' la ')
+                  OR contains(text, ' et ') THEN 'fr'
+                WHEN contains(text, ' el ') OR contains(text, ' los ')
+                  OR contains(text, ' y ') THEN 'es'
+                WHEN contains(text, ' der ') OR contains(text, ' und ')
+                  OR contains(text, ' die ') THEN 'de'
+                WHEN contains(text, ' de ') THEN 'es'
+                ELSE 'en' END AS pred_lang,
+           (CASE WHEN contains(text, ' le ') OR contains(text, ' la ')
+                  OR contains(text, ' et ') THEN 'fr'
+                WHEN contains(text, ' el ') OR contains(text, ' los ')
+                  OR contains(text, ' y ') THEN 'es'
+                WHEN contains(text, ' der ') OR contains(text, ' und ')
+                  OR contains(text, ' die ') THEN 'de'
+                WHEN contains(text, ' de ') THEN 'es'
+                ELSE 'en' END) = lang AS is_correct
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def llm_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-lexicon language-ID heuristic (first-match CASE over
+    per-language function words, English default) — deterministic and
+    vectorized; accuracy is reported against the dataset's lang label.
+    (The synthetic corpus is English-vocabulary, so the heuristic's
+    predictions skew 'en' — the is_correct column measures that
+    honestly.)"""
+    d = load_table(spark, sf_dir, "documents")
+    has = lambda s: F.col("text").contains(s)  # noqa: E731
+    pred = (
+        F.when(has(" le ") | has(" la ") | has(" et "), "fr")
+        .when(has(" el ") | has(" los ") | has(" y "), "es")
+        .when(has(" der ") | has(" und ") | has(" die "), "de")
+        .when(has(" de "), "es")
+        .otherwise("en")
+    )
+    return d.select(
+        "doc_id", "lang", pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("is_correct"),
+    )
+
+
+@register(
+    "llm_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST({duckdb_tokens('text')}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf AS DOUBLE)
+               * ((CAST(n.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+                  / (CAST(df.df AS DOUBLE) + 0.5)) AS score
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, ROUND(score, 6) AS score, rn AS term_rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term) AS rn
+          FROM scored) t
+    WHERE rn <= 3
+    """,
+    tags=("llm", "text", "tfidf"),
+)
+def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf-style term scoring, top-3 terms per document. The idf is
+    the BM25 rational form ((N-df+0.5)/(df+0.5)) — no transcendental
+    functions, so scores are bit-identical across engines.
+
+    Scale: tf is a (doc,term) aggregate; df is a term aggregate whose
+    result is small (vocabulary-sized) and broadcast back — the classic
+    two-aggregate tf-idf with no O(n²) step.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.expr(tokens_col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = (F.col("tf").cast("double")
+             * ((F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+                / (F.col("df").cast("double") + 0.5)))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(F.broadcast(df), "term").crossJoin(F.broadcast(n))
+        .withColumn("score", score)
+        .withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= 3)
+        .select("doc_id", "term", F.round("score", 6).alias("score"), "term_rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# multimodal columns
+# --------------------------------------------------------------------------
+
+
+@register(
+    "llm_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text) AS payload_sha256,
+           substring(sha256(text), 1, 16) AS payload_prefix
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def llm_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary multimodal column plumbing: payload as ``binary``
+    with typed metadata (byte length, content digest) — the schema
+    pattern for image/audio/video blobs riding next to scalars. The
+    digest/length math runs on the binary payload JVM-side; the decode /
+    feature-extract path (which needs codec libs) is the Pandas-UDF
+    stub in operators.multimodal, exercised by pytest."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    sha = F.sha2(payload, 256)
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).cast("bigint").alias("byte_len"),
+        sha.alias("payload_sha256"),
+        F.substring(sha, 1, 16).alias("payload_prefix"),
+    )

@@ -1,0 +1,158 @@
+"""Streaming-window semantics, batch-checkable (SURVEY.md §2.2
+"streaming-only"): tumbling / sliding / session windows and stateful
+dedup, expressed with the exact operators Structured Streaming uses
+(``F.window``, ``F.session_window``, ``dropDuplicates``) running in
+batch mode — the same code path Spark shares between batch and stream —
+so each gets a DuckDB oracle. The live streaming wiring (watermarks,
+triggers, state store) is in :mod:`..streaming` and covered by pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .catalog import register
+from .sqlcompat import dsum_sql
+
+_TS = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "stream_tumbling_window",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '{_TS}') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("stream", "window"),
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window aggregate by event type — the canonical
+    streaming "events/interval" query. Under readStream the identical
+    expression runs incrementally with a watermark; in batch it is one
+    hash aggregate (window assignment is a scalar projection, so
+    map-side partial agg still applies at 100 TB)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.expr(dsum_sql("value")).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_sliding_window",
+    oracle=f"""
+    SELECT strftime(make_timestamp(
+             (CAST(FLOOR(epoch(ts) / 1800) AS BIGINT) - k.k) * 1800 * 1000000),
+             '{_TS}') AS window_start,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    CROSS JOIN (SELECT UNNEST([0, 1]) AS k) AS k
+    GROUP BY 1
+    """,
+    tags=("stream", "window"),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 30 min: each event lands in 2
+    windows (Spark enumerates them; the oracle reproduces the
+    enumeration arithmetic explicitly)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events", "n_users",
+        )
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts >= COALESCE(lag(ts) OVER w, ts) + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessioned AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{_TS}') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '{_TS}') AS session_end,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS sum_value
+    FROM sessioned
+    GROUP BY user_id, session_id
+    """,
+    tags=("stream", "window", "session"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap per user —
+    ``F.session_window`` (the same operator Structured Streaming runs
+    stateful); oracle is the classic gap-and-islands SQL. A new session
+    starts when the gap since the previous event is >= the timeout;
+    session end = last event + gap (Spark's definition)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.expr(dsum_sql("value")).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events", "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_dedup_keys",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    tags=("stream", "dedup"),
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful key dedup (batch shape of
+    ``dropDuplicatesWithinWatermark``): first occurrence per
+    (user_id, event_type). Projected to the key columns so the result
+    is deterministic under any arrival order — exactly the guarantee
+    the streaming version provides within the watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").dropDuplicates()
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketches differ across engines by design -> rows-only
+    tags=("agg", "approx"),
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per event type — the 100 TB
+    posture for distinct counts (constant memory vs exact's shuffle of
+    every key). Sketches are engine-specific, so this is a rows-only
+    check; the exact twin `agg_distinct` is hash-verified."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1,0 +1,62 @@
+"""SparkSession construction and tuning.
+
+Scale posture (100 TB target, tested on local[32]):
+
+- AQE on: runtime partition coalescing, skew-join splitting, and
+  dynamic broadcast-join demotion replace hand-tuned plans.
+- ``spark.sql.shuffle.partitions`` is a *starting* number; AQE coalesces
+  down. On a real cluster this would be ~2-3x total cores; locally 32.
+- Arrow on: every Pandas-UDF / applyInPandas boundary is Arrow-batched.
+- Session timezone pinned to UTC so timestamp arithmetic is
+  deterministic and oracle-comparable.
+
+Nothing here is required for correctness — queries accept any session —
+but :func:`tune` is applied to driver-provided sessions so the runtime
+confs (all of these are runtime-settable) hold in the driver harness too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs applied to any session we are handed.
+RUNTIME_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # small-dim joins (region/nation/supplier & broadcast query vectors)
+    # should always broadcast; 64 MB is safe at 100 TB fact scale because
+    # the *dimension* side stays small.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.shuffle.partitions": "32",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs; safe to call on any (incl. driver-owned) session."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # a conf may be non-settable in some deployment; never fatal
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "event_streaming_bnpl_demo_spark",
+              master: str = "local[*]") -> SparkSession:
+    """Build a tuned local session (tests / bench). Driver-owned sessions
+    go through :func:`tune` instead."""
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune(spark)

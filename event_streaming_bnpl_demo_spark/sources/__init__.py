@@ -1,0 +1,2 @@
+from .tables import load_table, register_views, table_path  # noqa: F401
+from .events import read_event_stream, read_event_batch      # noqa: F401

@@ -1,0 +1,50 @@
+"""Batch sources over the driver-generated parquet tables.
+
+Reads are plain ``spark.read.parquet`` so Catalyst keeps predicate
+pushdown, column pruning, and partition pruning (``.explain`` shows
+``PushedFilters`` / ``ReadSchema`` for every catalog query built on
+these).  At 100 TB the same call reads a partitioned/bucketed table
+layout — nothing in the query layer changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import TABLE_NAMES
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one analytics table. Schema comes from parquet footer metadata
+    (exact, no inference pass over data).
+
+    ``events.parquet`` carries TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; we read nanos as long (legacy conf) and convert to a
+    microsecond TimestampType — same truncation DuckDB applies when it
+    lowers TIMESTAMP_NS to TIMESTAMP, so the engines stay value-equal.
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return df
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` plans work."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
