@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline catalog queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is total wall-clock over the headline set (lower is better).
+Each query is forced with a count() so the full plan executes; a warmup
+run of the flagship amortizes session/JIT startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+from event_streaming_bnpl_demo_spark.plans import all_queries
+from event_streaming_bnpl_demo_spark.session import RUNTIME_CONF, tune
+
+#: Headline set: one representative per operator family, weighted
+#: toward the shapes that dominate at 100 TB (scan-agg, star join,
+#: window, LSH dedup, similarity search).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "join_asof",
+    "topk_per_group",
+    "window_running_total",
+    "stream_session_window",
+    "llm_dedup_minhash",
+    "llm_simsearch_topk",
+    "llm_tfidf_top_terms",
+    "ref_lastwin_state",
+]
+
+
+def build_session(cpus: str) -> SparkSession:
+    b = (SparkSession.builder.master(f"local[{cpus}]")
+         .appName("bench")
+         .config("spark.ui.enabled", "false")
+         .config("spark.driver.memory",
+                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")))
+    for k, v in RUNTIME_CONF.items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return tune(spark)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = build_session(cpus)
+    catalog = all_queries()
+
+    # warmup: JVM/codegen/session startup stays out of per-query numbers
+    catalog["q1_pricing_summary"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = catalog[name]
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -96,18 +96,19 @@ def _minhash_oracle() -> str:
 @register("llm_dedup_minhash", oracle=_minhash_oracle(), tags=("llm", "dedup", "lsh"))
 def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup candidates: word-3-gram shingles ->
-    K=6 min-hashes -> 3 bands of 2 -> band-bucket self-join.
+    K=6 min-hashes -> 3 bands of 2 -> pairs emitted per band bucket.
 
-    Scale: the only joins are on band values (hash-partitionable,
-    ~uniform); no document ever compares against more than its bucket.
-    Bands and the signature are plain aggregates — one shuffle on
-    doc_id, one on band value. This is the textbook MinHash-LSH
-    pipeline expressed entirely in DataFrame ops.
+    Scale: no self-join at all — bands are grouped (one shuffle on the
+    band value, ~uniform keys) and pairs are generated inside each
+    bucket with a higher-order expression, so the pipeline is computed
+    once and no document compares beyond its bucket. Token arrays are
+    materialized as a column before shingling so ``split`` runs once
+    per row, not once per lambda element.
     """
-    toks, shingles = _minhash_sig_sql("spark")
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(
-        F.array_distinct(F.expr(shingles))).alias("s"))
+    toks_df = d.select("doc_id", F.expr(tokens_col("text")).alias("toks"))
+    sh = toks_df.select("doc_id", F.explode(
+        F.array_distinct(F.expr(shingles_col("toks", "spark")))).alias("s"))
     sig = sh.groupBy("doc_id").agg(*[
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
         for i in range(_MINHASH_K)
@@ -121,14 +122,18 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig.select("doc_id", F.explode(band_structs).alias("bd"))
         .select("doc_id", "bd.band_idx", "bd.band_val")
     )
-    other = (bands.withColumnRenamed("doc_id", "doc_b")
-             .withColumnRenamed("band_idx", "bi2")
-             .withColumnRenamed("band_val", "bv2"))
+    # pairs within each bucket: sorted doc list -> (ds[j], ds[i]) j<i
+    pair_expr = (
+        "flatten(transform(sequence(1, size(ds) - 1), "
+        "i -> transform(sequence(0, i - 1), "
+        "j -> struct(ds[j] AS doc_a, ds[i] AS doc_b))))"
+    )
     return (
-        bands.join(other,
-                   (bands.band_idx == other.bi2) & (bands.band_val == other.bv2)
-                   & (bands.doc_id < other.doc_b))
-        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -221,10 +226,11 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-jaccard results materially — documented knob, off here for
     oracle exactness.
     """
-    toks, shingles = _minhash_sig_sql("spark")
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id",
-                  F.explode(F.array_distinct(F.expr(shingles))).alias("s"))
+    toks_df = d.select("doc_id", F.expr(tokens_col("text")).alias("toks"))
+    sh = toks_df.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(shingles_col("toks", "spark")))).alias("s"))
     n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s2"))
     inter = (
@@ -403,17 +409,18 @@ def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     builtins, zero Python. The standard pre-training quality-filter
     feature set."""
     d = load_table(spark, sf_dir, "documents")
-    toks = F.expr(tokens_col("text"))
-    n = F.size(toks)
+    t = d.select("doc_id", "lang", F.length("text").alias("nchar"),
+                 F.expr(tokens_col("text")).alias("toks"))
+    n = F.size("toks")
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
-    return d.select(
+    return t.select(
         "doc_id", "lang",
         n.cast("bigint").alias("n_tokens"),
-        ((F.length("text") - (n - 1)).cast("double") / n.cast("double"))
+        ((F.col("nchar") - (n - 1)).cast("double") / n.cast("double"))
         .alias("avg_token_len"),
-        (F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        (F.size(F.filter("toks", lambda t_: F.array_contains(stop_arr, t_)))
          .cast("double") / n.cast("double")).alias("stopword_ratio"),
-        (F.size(F.array_distinct(toks)).cast("double") / n.cast("double"))
+        (F.size(F.array_distinct("toks")).cast("double") / n.cast("double"))
         .alias("unique_ratio"),
     )
 

@@ -1,0 +1,128 @@
+"""Structured Streaming wiring of the BNPL pipeline.
+
+The reference (consumer/consumer.go): poll Kinesis every 1 s -> archive
+-> switch on type -> INSERT/UPDATE MySQL, derived events re-enter the
+stream. Here: ONE streaming read, checkpointed (fixes the Latest-
+iterator restart loss, consumer/consumer.go:64), with:
+
+- the event-log archive as an append parquet sink partitioned by
+  event_type (R5 + R6's router as a partition column — queries on one
+  type prune partitions);
+- the purchase→promise cascade FLATTENED into the same micro-batch
+  (SURVEY §4.2: a planning decision in our engine, not a second
+  streaming hop) — promises are visible one poll-cycle earlier than
+  the reference;
+- projections maintained in foreachBatch as idempotent recomputes
+  from the accumulated log (plain parquet has no MERGE; recompute-
+  from-log is exact, replayable event-sourcing doctrine — SURVEY §7
+  hard part (a)). At 100 TB the same foreachBatch body becomes a
+  keyed MERGE into a Delta/Iceberg table; the transform layer is
+  unchanged.
+
+Delivery: file source + checkpoint gives exactly-once source progress;
+the archive id is a content hash and projections dedup on natural keys,
+so end-to-end the pipeline is idempotent under at-least-once delivery —
+the two failure modes FIXTURES.md A3 v1/v2 test.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.events import read_event_batch, read_event_stream
+from . import transforms
+
+
+class BnplPipeline:
+    """File-source streaming pipeline with parquet sinks.
+
+    Layout under ``out_dir``: ``events_log/`` (append, partitioned by
+    event_type), ``payment_promises/``, ``member_bills/`` (recomputed
+    projections), ``_checkpoint/``.
+    """
+
+    def __init__(self, spark: SparkSession, in_dir: str, out_dir: str):
+        self.spark = spark
+        self.in_dir = in_dir
+        self.out_dir = out_dir
+        self.log_dir = os.path.join(out_dir, "events_log")
+        self.promises_dir = os.path.join(out_dir, "payment_promises")
+        self.bills_dir = os.path.join(out_dir, "member_bills")
+        self.checkpoint = os.path.join(out_dir, "_checkpoint")
+
+    # -- batch replay (same transforms, spark.read) ----------------------
+    def replay_batch(self) -> None:
+        events = self._flatten(read_event_batch(self.spark, self.in_dir))
+        self._write_batch(events)
+
+    # -- streaming (same transforms, spark.readStream) -------------------
+    def run_stream(self, available_now: bool = True) -> None:
+        """Process everything currently in in_dir through the streaming
+        engine (availableNow trigger: real micro-batches + checkpoint,
+        terminates when caught up — the test/CI mode). Pass
+        ``available_now=False`` for a continuous 1 s-trigger service
+        matching the reference's poll cadence (BASELINE.md)."""
+        stream = read_event_stream(self.spark, self.in_dir)
+        writer = (
+            stream.writeStream
+            .foreachBatch(lambda df, epoch: self._process_batch(df))
+            .option("checkpointLocation", self.checkpoint)
+        )
+        if available_now:
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
+        else:
+            writer.trigger(processingTime="1 second").start()
+
+    # -- internals --------------------------------------------------------
+    def _flatten(self, events: DataFrame) -> DataFrame:
+        """Cascade flattening: union derived promise events into the
+        batch so they materialize in the same cycle."""
+        derived = transforms.derive_promises(events)
+        derived = derived.select(
+            F.to_json(F.struct([c for c in derived.columns
+                                if c not in ("event_data",)])).alias("event_data"),
+            "*",
+        ).select(events.columns)
+        return events.unionByName(derived)
+
+    def _process_batch(self, micro_batch: DataFrame) -> None:
+        self._write_batch(self._flatten(micro_batch))
+
+    def _write_batch(self, events: DataFrame) -> None:
+        # R5/R6: append archive, partitioned by type
+        (transforms.archive_rows(events)
+         .withColumn("event_type_part", F.col("event_type"))
+         .write.mode("append").partitionBy("event_type_part")
+         .parquet(self.log_dir))
+        # projections: idempotent recompute from the full accumulated log
+        log = self.read_log()
+        (transforms.project_promises(log)
+         .write.mode("overwrite").parquet(self.promises_dir))
+        (transforms.project_bills(log)
+         .write.mode("overwrite").parquet(self.bills_dir))
+
+    def read_log(self) -> DataFrame:
+        """Re-parse the archived event documents into the envelope."""
+        from ..schemas import BNPL_ENVELOPE
+        raw = self.spark.read.parquet(self.log_dir)
+        return (
+            raw.select("event_data", "created_at",
+                       F.from_json("event_data", BNPL_ENVELOPE).alias("e"))
+            .select("event_data", "e.*",
+                    F.coalesce("e.ingest_ts", "created_at").alias("_ts"))
+            .drop("ingest_ts")
+            .withColumnRenamed("_ts", "ingest_ts")
+            # content-hash dedup: at-least-once delivery tolerated here,
+            # so every downstream read sees exactly-once semantics
+            .dropDuplicates(["event_data"])
+        )
+
+    def promises(self) -> DataFrame:
+        return self.spark.read.parquet(self.promises_dir)
+
+    def bills(self) -> DataFrame:
+        return self.spark.read.parquet(self.bills_dir)

@@ -1,0 +1,151 @@
+"""Golden replay tests for the BNPL pipeline (FIXTURES.md A3): readme
+steps A/B/C as a deterministic event sequence, plus the failure modes
+the reference gets wrong — duplicate delivery (v1), payment-before-bill
+reordering (v2), unpaid second user (v3) — and streaming parity with
+restart recovery (the consumer/consumer.go:64 fix)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from event_streaming_bnpl_demo_spark.streaming.pipeline import BnplPipeline
+
+T0 = "2026-01-01T00:00:00.000Z"
+
+GOLDEN = [
+    {"event_type": "PurchaseCompletedEvent", "order_id": "order-u01",
+     "user_id": "u01", "amount": 5000, "ingest_ts": T0},
+    {"event_type": "PaymentPromiseCreatedEvent", "promise_id": "pr-001",
+     "order_id": "order-u01", "user_id": "u01", "due_date": "2026-01-31",
+     "payment_mode": "月まとめ払い", "ingest_ts": T0},
+    {"event_type": "MemberBillCreatedEvent", "bill_id": "b-001",
+     "promise_id": "pr-001", "user_id": "u01", "amount": 5000,
+     "issued_date": "2026-01-01", "ingest_ts": T0},
+    {"event_type": "PaymentCompletedEvent", "bill_id": "b-001",
+     "user_id": "u01", "amount": 5000, "paid_date": "2026-01-02",
+     "ingest_ts": "2026-01-02T00:00:00.000Z"},
+]
+
+EXTRA_USER = [
+    {"event_type": "MemberBillCreatedEvent", "bill_id": "b-002",
+     "promise_id": "pr-002", "user_id": "u02", "amount": 700,
+     "issued_date": "2026-01-03", "ingest_ts": "2026-01-03T00:00:00.000Z"},
+]
+
+
+def write_events(path: str, events: list[dict], name: str = "part-0.jsonl"):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w", encoding="utf-8") as f:
+        for e in events:
+            f.write(json.dumps(e, ensure_ascii=False) + "\n")
+
+
+def assert_golden_state(pipe: BnplPipeline):
+    promises = {r["id"]: r.asDict() for r in pipe.promises().collect()}
+    bills = {r["id"]: r.asDict() for r in pipe.bills().collect()}
+    # explicit promise event + the flattened purchase-derived promise
+    assert "pr-001" in promises
+    p = promises["pr-001"]
+    assert p["user_id"] == "u01"
+    assert str(p["due_date"]) == "2026-01-31"
+    assert p["payment_mode"] == "月まとめ払い"  # UTF-8 enum survives round-trip
+    derived = [v for v in promises.values() if v["order_id"] == "order-u01"
+               and v["id"] != "pr-001"]
+    assert len(derived) == 1
+    assert derived[0]["amount"] == 5000  # amount carried, not 3500
+    b = bills["b-001"]
+    assert b["status"] == "paid"
+    assert str(b["paid_date"]) == "2026-01-02"
+    assert b["amount"] == 5000
+    assert b["promise_id"] == "pr-001"
+
+
+def test_batch_replay_golden(spark, tmp_path):
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    write_events(in_dir, GOLDEN + EXTRA_USER)
+    pipe = BnplPipeline(spark, in_dir, out_dir)
+    pipe.replay_batch()
+    assert_golden_state(pipe)
+    # v3: second user's bill stays unpaid, paid_date NULL
+    b2 = [r for r in pipe.bills().collect() if r["id"] == "b-002"][0]
+    assert b2["status"] == "unpaid" and b2["paid_date"] is None
+
+
+def test_duplicate_delivery_idempotent(spark, tmp_path):
+    """v1: every event delivered twice -> projections unchanged (the
+    reference inserts duplicate rows; we dedup on content hash)."""
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    write_events(in_dir, GOLDEN + GOLDEN)
+    pipe = BnplPipeline(spark, in_dir, out_dir)
+    pipe.replay_batch()
+    assert_golden_state(pipe)
+    assert pipe.promises().filter("id = 'pr-001'").count() == 1
+    assert pipe.bills().filter("id = 'b-001'").count() == 1
+
+
+def test_payment_before_bill_converges(spark, tmp_path):
+    """v2: reordered delivery (payment first) still converges to
+    status='paid' — the reference's UPDATE would have hit no row."""
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    write_events(in_dir, list(reversed(GOLDEN)))
+    pipe = BnplPipeline(spark, in_dir, out_dir)
+    pipe.replay_batch()
+    assert_golden_state(pipe)
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    """The same transforms under readStream + checkpoint produce the
+    same final projections as batch replay."""
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    write_events(in_dir, GOLDEN)
+    pipe = BnplPipeline(spark, in_dir, out_dir)
+    pipe.run_stream(available_now=True)
+    assert_golden_state(pipe)
+
+
+def test_streaming_restart_no_loss(spark, tmp_path):
+    """Restart recovery: stop after batch 1, add more files, resume from
+    checkpoint — nothing lost, nothing double-processed (the exact
+    failure of the reference's Latest iterator)."""
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    write_events(in_dir, GOLDEN[:2], "a.jsonl")
+    pipe = BnplPipeline(spark, in_dir, out_dir)
+    pipe.run_stream(available_now=True)
+    assert pipe.bills().count() == 0
+    # "restart": new pipeline object, same checkpoint; new data arrives
+    write_events(in_dir, GOLDEN[2:], "b.jsonl")
+    pipe2 = BnplPipeline(spark, in_dir, out_dir)
+    pipe2.run_stream(available_now=True)
+    assert_golden_state(pipe2)
+    # log has exactly the 4 distinct events + 1 derived promise
+    assert pipe2.read_log().count() == 5
+
+
+@pytest.mark.parametrize("reorder", [False, True])
+def test_state_machine_stream(spark, tmp_path, reorder):
+    """applyInPandasWithState bill lifecycle over a file stream:
+    create→pay (and pay→create reordered) both end 'paid'."""
+    from event_streaming_bnpl_demo_spark.sources.events import read_event_stream
+    from event_streaming_bnpl_demo_spark.streaming.state import bill_state_stream
+
+    events = GOLDEN[2:4]
+    if reorder:
+        events = list(reversed(events))
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "state_out")
+    write_events(in_dir, events)
+    stream = read_event_stream(spark, in_dir)
+    q = (bill_state_stream(stream).writeStream
+         .format("memory").queryName("bill_state")
+         .outputMode("update")
+         .option("checkpointLocation", out)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = {r["bill_id"]: r.asDict()
+            for r in spark.sql("select * from bill_state").collect()}
+    assert rows["b-001"]["status"] == "paid"
+    assert rows["b-001"]["paid_date"] == "2026-01-02"
+    assert rows["b-001"]["amount"] == 5000

@@ -1,0 +1,78 @@
+"""Operator-module tests: the sort-merge as-of join agrees with the
+oracle-checked candidate-join formulation; the multimodal mapInPandas
+pipeline round-trips Arrow batches with the declared schema."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from event_streaming_bnpl_demo_spark.operators.asof import asof_join
+from event_streaming_bnpl_demo_spark.operators.multimodal import (
+    extract_features, media_from_documents)
+from event_streaming_bnpl_demo_spark.plans import all_queries
+from event_streaming_bnpl_demo_spark.sources import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_asof_join_matches_candidate_formulation(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("p_ts"))
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts"))
+
+    merged = asof_join(purchases, views, on="user_id",
+                       left_ts="p_ts", right_ts="v_ts",
+                       right_cols=["view_id"])
+    got = {(r["purchase_id"], r["view_id"]) for r in merged.collect()}
+
+    oracle = all_queries()["join_asof"].fn(spark, SF_SMOKE)
+    want = {(r["purchase_id"], r["view_id"]) for r in oracle.collect()}
+    # candidate formulation omits purchases with no prior view; the
+    # merge formulation keeps them with NULL — align before comparing
+    got_matched = {p for p in got if p[1] is not None}
+    assert got_matched == want
+    # every purchase appears exactly once in the merge output
+    assert merged.count() == purchases.count()
+
+
+def test_asof_tolerance_and_strict(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    p = ev.limit(50).select("event_id", "user_id", F.col("ts").alias("p_ts"))
+    v = ev.select("user_id", F.col("ts").alias("v_ts"),
+                  F.col("event_id").alias("vid"))
+    strict = asof_join(p, v, on="user_id", left_ts="p_ts", right_ts="v_ts",
+                       right_cols=["vid"], allow_exact_matches=False)
+    # an event never matches itself under strict inequality
+    assert strict.filter(F.col("event_id") == F.col("vid")).count() == 0
+    tol = asof_join(p, v, on="user_id", left_ts="p_ts", right_ts="v_ts",
+                    right_cols=["vid"],
+                    tolerance=F.expr("INTERVAL 10 MINUTES"))
+    no_tol = asof_join(p, v, on="user_id", left_ts="p_ts", right_ts="v_ts",
+                       right_cols=["vid"])
+    assert (tol.filter(F.col("vid").isNotNull()).count()
+            <= no_tol.filter(F.col("vid").isNotNull()).count())
+
+
+def test_multimodal_feature_extraction(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(100)
+    media = media_from_documents(docs)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 100
+    assert all(r["decode_ok"] for r in rows)
+    assert all(len(r["feature"]) == 8 for r in rows)
+    assert all(0.0 <= x < 1.0 for r in rows for x in r["feature"])
+    # deterministic: same payload -> same feature
+    again = {r["asset_id"]: r["feature"] for r in extract_features(media).collect()}
+    assert all(again[r["asset_id"]] == r["feature"] for r in rows)
+
+
+def test_multimodal_unknown_modality_stubbed(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(5)
+    media = media_from_documents(docs).withColumn("modality", F.lit("image"))
+    rows = extract_features(media).collect()
+    # decode not implemented for images in this container -> flagged, not crashed
+    assert all(not r["decode_ok"] and r["feature"] is None for r in rows)

@@ -1,0 +1,138 @@
+"""Streaming semantics tests (SURVEY.md §5.2): watermark drops late
+rows, dropDuplicatesWithinWatermark dedups, windowed aggregation over a
+file stream matches the batch equivalent."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType, TimestampType)
+
+SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+])
+
+
+def write_jsonl(path: str, name: str, rows: list[dict]):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _run_stream(spark, in_dir, ckpt, build, query_name):
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1).json(in_dir))
+    q = (build(stream).writeStream.format("memory").queryName(query_name)
+         .outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """A row arriving 2 h behind the watermark is dropped from the
+    windowed aggregate; the reference instead silently lost ALL data
+    across restarts (consumer/consumer.go:64) — here loss is bounded
+    and declared by the watermark."""
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+
+    def build(stream):
+        return (stream.withWatermark("ts", "30 minutes")
+                .groupBy(F.window("ts", "1 hour"))
+                .agg(F.count("*").alias("n")))
+
+    # pass 1: advance event time to 12:00 (watermark -> 11:30, persisted
+    # in the checkpoint commit log)
+    write_jsonl(in_dir, "a.jsonl", [
+        {"event_id": 1, "ts": "2024-01-01T10:30:00Z", "user_id": 1,
+         "event_type": "click", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01T12:00:00Z", "user_id": 1,
+         "event_type": "click", "value": 1.0},
+    ])
+    out_dir = str(tmp_path / "out")
+
+    def run_pass():
+        stream = (spark.readStream.schema(SCHEMA)
+                  .option("maxFilesPerTrigger", 1).json(in_dir))
+        q = (build(stream)
+             .select(F.col("window.start").cast("string").alias("w"), "n")
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_pass()
+    # pass 2 (restart from checkpoint): a 10:00 straggler behind the
+    # watermark, plus a 13:00 row that advances it further
+    write_jsonl(in_dir, "b.jsonl", [
+        {"event_id": 3, "ts": "2024-01-01T10:00:00Z", "user_id": 2,
+         "event_type": "click", "value": 1.0},  # late beyond 30 min watermark
+        {"event_id": 4, "ts": "2024-01-01T13:00:00Z", "user_id": 1,
+         "event_type": "click", "value": 1.0},
+    ])
+    run_pass()
+    emitted = [(r["w"], r["n"]) for r in spark.read.parquet(out_dir).collect()]
+    # the 10:00 window is finalized exactly once, with only event 1 —
+    # the late event 3 neither inflates nor re-emits it
+    tens = [n for w, n in emitted if w == "2024-01-01 10:00:00"]
+    assert tens == [1]
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a replayed event_id within the
+    watermark window is emitted exactly once."""
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    row = {"event_id": 1, "ts": "2024-01-01T10:00:00Z", "user_id": 1,
+           "event_type": "click", "value": 1.0}
+    write_jsonl(in_dir, "a.jsonl", [row, row])
+    write_jsonl(in_dir, "b.jsonl", [row,
+        {"event_id": 2, "ts": "2024-01-01T10:05:00Z", "user_id": 1,
+         "event_type": "click", "value": 2.0}])
+
+    def build(stream):
+        return (stream.withWatermark("ts", "1 hour")
+                .dropDuplicatesWithinWatermark(["event_id"]))
+
+    _run_stream(spark, in_dir, ckpt, build, "dedup_wm")
+    ids = [r["event_id"] for r in spark.sql("select * from dedup_wm").collect()]
+    assert sorted(ids) == [1, 2]
+
+
+def test_stream_window_matches_batch(spark, tmp_path):
+    """The tumbling-window aggregate under readStream equals the batch
+    groupBy on the same data — one transform library, two run modes."""
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    rows = [
+        {"event_id": i, "ts": f"2024-01-01T10:{i:02d}:00Z", "user_id": i % 3,
+         "event_type": "click", "value": float(i)}
+        for i in range(30)
+    ]
+    write_jsonl(in_dir, "a.jsonl", rows[:15])
+    write_jsonl(in_dir, "b.jsonl", rows[15:])
+
+    def agg(df):
+        return (df.groupBy(F.window("ts", "10 minutes").alias("w"))
+                .agg(F.count("*").alias("n"),
+                     F.sum("value").cast("double").alias("s")))
+
+    _run_stream(spark, in_dir, ckpt,
+                lambda s: agg(s.withWatermark("ts", "0 seconds")),
+                "win_stream")
+    # append mode only emits closed windows; compare those against batch
+    batch = {str(r["w"]["start"]): (r["n"], r["s"])
+             for r in agg(spark.read.schema(SCHEMA).json(in_dir)).collect()}
+    streamed = {str(r["w"]["start"]): (r["n"], r["s"])
+                for r in spark.sql("select * from win_stream").collect()}
+    assert streamed  # at least the first windows closed
+    for k, v in streamed.items():
+        assert batch[k] == v
