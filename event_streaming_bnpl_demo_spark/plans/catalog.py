@@ -89,5 +89,6 @@ def _load() -> None:
     from . import queries_ref       # noqa: F401
     from . import queries_window    # noqa: F401
     from . import queries_stream    # noqa: F401
-    from . import queries_llm      # noqa: F401
+    from . import queries_llm       # noqa: F401
+    from . import queries_ext       # noqa: F401
     _LOADED = True
