@@ -91,4 +91,5 @@ def _load() -> None:
     from . import queries_stream    # noqa: F401
     from . import queries_llm       # noqa: F401
     from . import queries_ext       # noqa: F401
+    from . import queries_ext2      # noqa: F401
     _LOADED = True

@@ -289,14 +289,19 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
     """,
     tags=("join",),
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join (NOT EXISTS) — customers with no orders."""
+    """LEFT ANTI join (NOT EXISTS) — customers with no urgent orders.
+    The build side is filtered before the anti-join so the scan
+    predicate pushes down and the hash table stays small."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
@@ -538,17 +543,23 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "set_except",
     oracle="""
-    SELECT user_id FROM events WHERE event_type = 'view'
+    SELECT user_id, CAST(ts AS DATE) AS day FROM events
+    WHERE event_type = 'view'
     EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'purchase'
+    SELECT user_id, CAST(ts AS DATE) AS day FROM events
+    WHERE event_type = 'purchase'
     """,
     tags=("setop",),
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT: viewers who never purchased."""
+    """EXCEPT at (user, day) grain: days a user viewed but did not
+    purchase. Spark plans EXCEPT as an aggregate + left-anti join on
+    the composite key."""
     ev = load_table(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_type") == "view").select("user_id")
-    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    a = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").cast("date").alias("day"))
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("date").alias("day"))
     return a.subtract(b)
 
 
@@ -612,7 +623,7 @@ def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(year(o_orderdate) AS INT) AS order_year,
            CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch
     FROM orders
-    WHERE o_orderdate >= TIMESTAMP '2024-06-01 00:00:00'
+    WHERE o_orderdate >= TIMESTAMP '2000-06-01 00:00:00'
     """,
     tags=("scalar",),
 )
@@ -622,7 +633,7 @@ def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross the oracle boundary as yyyy-MM-dd strings (SURVEY §7d: keep
     engine-local temporal types at the edges)."""
     o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") >= F.lit("2024-06-01 00:00:00").cast("timestamp"))
+        F.col("o_orderdate") >= F.lit("2000-06-01 00:00:00").cast("timestamp"))
     return o.select(
         "o_orderkey",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),

@@ -1,0 +1,188 @@
+"""Third operator batch: TPC-H Q3 headline, correlated EXISTS,
+union-by-name with missing columns, MapType ops, the composed
+LSH-recall + exact-verify dedup pipeline, and a rate-source demo.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid as _uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table, register_views
+from .catalog import all_queries, register
+from .sqlcompat import dsum_sql
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "sort", "flagship"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: filtered 3-way join, grouped revenue, top-10.
+
+    Scale: both join-side filters push to the scans (segment on
+    customer, date ranges on orders/lineitem); filtered customer
+    broadcasts; lineitem⋈orders shuffles once on orderkey; final top-10
+    is TakeOrdered, not a global sort.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.expr(dsum_sql("l_extendedprice * (1 - l_discount)", 4))
+             .alias("revenue"))
+        .select("l_orderkey", "revenue",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_EXISTS_SQL = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_acctbal > 0
+  AND EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+"""
+
+
+@register("subquery_exists", oracle=_EXISTS_SQL,
+          tags=("filter", "subquery", "sql-api"))
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through the SQL entry path (identical text both
+    engines); Catalyst rewrites it to the same left-semi join the
+    DataFrame twin (join_semi) declares directly."""
+    register_views(spark, sf_dir)
+    return spark.sql(_EXISTS_SQL)
+
+
+@register(
+    "set_union_byname",
+    oracle="""
+    SELECT entity_id, kind, amount, segment FROM (
+      SELECT c_custkey AS entity_id, 'customer' AS kind,
+             c_acctbal AS amount, c_mktsegment AS segment
+      FROM customer
+      UNION ALL BY NAME
+      SELECT s_suppkey AS entity_id, s_acctbal AS amount, 'supplier' AS kind
+      FROM supplier
+    ) t
+    """,
+    tags=("setop",),
+)
+def set_union_byname(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName with allowMissingColumns: two differently-shaped
+    entity tables aligned by column name, absent columns NULL — the
+    schema-evolution-tolerant union a long-lived event log needs."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id"),
+        F.lit("customer").alias("kind"),
+        F.col("c_acctbal").alias("amount"),
+        F.col("c_mktsegment").alias("segment"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_id"),
+        F.col("s_acctbal").alias("amount"),
+        F.lit("supplier").alias("kind"))
+    return c.unionByName(s, allowMissingColumns=True)
+
+
+@register(
+    "map_ops",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT) AS k_value,
+           'k' AS first_key,
+           CAST(1 AS INT) AS n_keys
+    FROM events WHERE event_type = 'error'
+    """,
+    tags=("scalar", "map"),
+)
+def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: props parsed with from_json into
+    map<string,bigint>, then element_at / map_keys / size — the dynamic
+    key-value shape for sparse event properties (vs the fixed-envelope
+    StructType path in sources.events)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_value"),
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        F.size(m).cast("int").alias("n_keys"),
+    )
+
+
+def _verified_oracle() -> str:
+    qs = all_queries()
+    minhash = qs["llm_dedup_minhash"].oracle
+    jaccard = qs["llm_dedup_ngram_jaccard"].oracle
+    return f"""
+    WITH cand AS ({minhash}), jac AS ({jaccard})
+    SELECT cand.doc_a AS doc_a, cand.doc_b AS doc_b, jac.jaccard AS jaccard
+    FROM cand JOIN jac ON cand.doc_a = jac.doc_a AND cand.doc_b = jac.doc_b
+    """
+
+
+@register("llm_dedup_verified", oracle=_verified_oracle(),
+          tags=("llm", "dedup", "lsh"))
+def llm_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup pipeline composed end-to-end: MinHash-LSH
+    candidates (high recall, ~linear) verified by exact shingle-Jaccard
+    (precision) — only candidate pairs ever reach the exact
+    computation. This is the two-stage shape every 100 TB dedup run
+    uses; here the stages are the two already-verified catalog
+    operators joined on the pair key."""
+    qs = all_queries()
+    cand = qs["llm_dedup_minhash"].fn(spark, sf_dir)
+    jac = qs["llm_dedup_ngram_jaccard"].fn(spark, sf_dir)
+    return cand.join(jac, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "jaccard")
+
+
+@register("source_rate_demo", oracle=None, tags=("source", "stream"))
+def source_rate_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate demo source (SURVEY §2.2 'rate / socket demo source'):
+    rate-micro-batch with a fixed row budget drained through a memory
+    sink — rows-only check (synthetic timestamps are wall-clock
+    dependent)."""
+    name = f"rate_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_rate_")
+    raw = (spark.readStream.format("rate-micro-batch")
+           .option("rowsPerBatch", 64)
+           .option("numPartitions", 4)
+           .load())
+    agg = raw.groupBy((F.col("value") % 8).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"))
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation", ckpt)
+         .trigger(once=True).start())
+    q.awaitTermination()
+    return spark.table(name)

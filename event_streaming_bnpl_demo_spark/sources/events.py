@@ -45,6 +45,30 @@ def read_event_batch(spark: SparkSession, path: str) -> DataFrame:
     return _parse_envelope(raw)
 
 
+def read_kafka_stream(spark: SparkSession, bootstrap_servers: str,
+                      topic: str, starting_offsets: str = "earliest",
+                      max_offsets_per_trigger: int | None = None) -> DataFrame:
+    """Kafka event source (SURVEY §2.2 'Kafka source'): identical
+    downstream envelope to the file source — swap the reader, keep every
+    transform. Requires the spark-sql-kafka package jar at submit time;
+    no broker exists in this environment, so this path is exercised only
+    by construction (the parse stage is shared with the tested sources).
+
+    ``startingOffsets='earliest'`` + checkpoint replaces the reference's
+    Latest-iterator data loss (consumer/consumer.go:64);
+    ``maxOffsetsPerTrigger`` is the backpressure bound the reference
+    lacked (consumer/consumer.go:76-78).
+    """
+    reader = (spark.readStream.format("kafka")
+              .option("kafka.bootstrap.servers", bootstrap_servers)
+              .option("subscribe", topic)
+              .option("startingOffsets", starting_offsets))
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+    raw = reader.load().select(F.col("value").cast("string").alias("value"))
+    return _parse_envelope(raw)
+
+
 def read_event_stream(spark: SparkSession, path: str,
                       max_files_per_trigger: int | None = 1) -> DataFrame:
     """Streaming read of a JSON-lines event directory.

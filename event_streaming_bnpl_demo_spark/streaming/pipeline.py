@@ -44,10 +44,22 @@ class BnplPipeline:
     projections), ``_checkpoint/``.
     """
 
-    def __init__(self, spark: SparkSession, in_dir: str, out_dir: str):
+    def __init__(self, spark: SparkSession, in_dir: str, out_dir: str,
+                 derive_cascade: bool = True):
+        """``derive_cascade=True`` (default) flattens the purchase→promise
+        cascade into the same micro-batch — the mode for fresh command
+        streams, where OUR engine performs the derivation the reference's
+        consumer did (consumer/consumer.go:123-144). Pass ``False`` when
+        replaying a log that ALREADY contains the cascaded
+        PaymentPromiseCreatedEvent records (e.g. an archived reference
+        stream): deriving again would double-materialize promises, since
+        the reference's cascaded events carry fresh uuids that cannot be
+        linked back to their source purchase (order_id is per-user, not
+        per-purchase — main.go:90)."""
         self.spark = spark
         self.in_dir = in_dir
         self.out_dir = out_dir
+        self.derive_cascade = derive_cascade
         self.log_dir = os.path.join(out_dir, "events_log")
         self.promises_dir = os.path.join(out_dir, "payment_promises")
         self.bills_dir = os.path.join(out_dir, "member_bills")
@@ -81,6 +93,8 @@ class BnplPipeline:
     def _flatten(self, events: DataFrame) -> DataFrame:
         """Cascade flattening: union derived promise events into the
         batch so they materialize in the same cycle."""
+        if not self.derive_cascade:
+            return events
         derived = transforms.derive_promises(events)
         derived = derived.select(
             F.to_json(F.struct([c for c in derived.columns

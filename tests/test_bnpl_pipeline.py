@@ -86,6 +86,19 @@ def test_duplicate_delivery_idempotent(spark, tmp_path):
     assert pipe.bills().filter("id = 'b-001'").count() == 1
 
 
+def test_replay_parity_no_cascade(spark, tmp_path):
+    """derive_cascade=False: replaying a log that already contains the
+    cascaded promise event yields EXACTLY the reference's MySQL state —
+    one promise row (the explicit pr-001), no derived twin."""
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    write_events(in_dir, GOLDEN)
+    pipe = BnplPipeline(spark, in_dir, out_dir, derive_cascade=False)
+    pipe.replay_batch()
+    promises = pipe.promises().collect()
+    assert [r["id"] for r in promises] == ["pr-001"]
+    assert pipe.bills().filter("id = 'b-001'").count() == 1
+
+
 def test_payment_before_bill_converges(spark, tmp_path):
     """v2: reordered delivery (payment first) still converges to
     status='paid' — the reference's UPDATE would have hit no row."""
