@@ -1,0 +1,135 @@
+"""UDF surface (SURVEY §2.2 'UDF surface'): the three Python extension
+points Spark exposes, each demonstrated on a real operator with a SQL
+oracle. The reference has no UDF stack at all — every custom behavior
+is a hard-coded Go branch (consumer/consumer.go:122-181); here custom
+logic plugs into the engine without touching it.
+
+Determinism discipline: UDF bodies stick to integer/string results or
+single floating-point ops on exact inputs (subtraction, min) — never
+float accumulation — so DuckDB reproduces them bit-for-bit and the
+driver's value-hash compare holds.
+
+Performance ladder (the docstrings of each query give the 100 TB
+posture):
+
+1. builtins (whole-stage codegen)        — everything else in plans/
+2. ``pandas_udf`` (Arrow-vectorized)     — udf_pandas_tokens
+3. ``applyInPandas`` (grouped map)       — udf_grouped_demean
+4. row-at-a-time ``udf()``               — udf_python_scalar, kept ONLY
+   as the anti-pattern exhibit; ~10-100x slower than (2), never in a
+   hot path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udf
+
+from ..sources import load_table
+from .catalog import register
+
+
+@register(
+    "udf_pandas_tokens",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE length(string_split_regex(trim(text), '\\s+'))
+           END AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    tags=("llm", "text", "udf"),
+)
+def udf_pandas_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count as an Arrow-vectorized ``pandas_udf``.
+
+    One Arrow batch crosses the JVM↔Python boundary per ~10k rows (vs
+    one pickled row per call for a classic UDF); the pandas str engine
+    vectorizes the split. At 100 TB this runs embarrassingly parallel —
+    no shuffle, scales with executor count; the Python workers are the
+    only cost over the pure-builtin twin (llm_text_tokens).
+    """
+
+    @pandas_udf("bigint")
+    def n_tokens(text: pd.Series) -> pd.Series:
+        return text.str.split().str.len().fillna(0).astype("int64")
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        n_tokens("text").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+@register(
+    "udf_grouped_demean",
+    oracle="""
+    SELECT event_id, event_type,
+           value - MIN(value) OVER (PARTITION BY event_type) AS delta
+    FROM events
+    """,
+    tags=("udf", "agg"),
+)
+def udf_grouped_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas``: per-event-type offset from the
+    group minimum (min and subtraction are exact on doubles, so the
+    oracle matches bit-for-bit — no float accumulation in the UDF).
+
+    Scale: one shuffle on the group key; each group becomes ONE pandas
+    frame on ONE executor, so this pattern requires bounded group
+    cardinality×size (here ≤5 types — better expressed as a window
+    function, which is why the builtin twin exists). applyInPandas
+    earns its cost only when the per-group logic genuinely needs a
+    dataframe library (model scoring, curve fitting); the docstring
+    twin demonstrates the plumbing with a provable result.
+    """
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf[["event_id", "event_type"]].copy()
+        out["delta"] = pdf["value"] - pdf["value"].min()
+        return out
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", "event_type", "value").groupBy(
+        "event_type").applyInPandas(
+        demean, schema="event_id bigint, event_type string, delta double")
+
+
+@register(
+    "udf_python_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(substr(o_orderpriority, 1, 1) AS INT) AS priority_code,
+           CASE WHEN CAST(substr(o_orderpriority, 1, 1) AS INT) <= 2
+                THEN 'expedite' ELSE 'routine' END AS lane
+    FROM orders
+    """,
+    tags=("udf", "scalar"),
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python ``udf()`` — the slow path, registered to
+    prove the surface exists. Every row is pickled across the JVM↔
+    Python boundary individually; on 100 TB this is the difference
+    between hours and minutes vs the ``pandas_udf`` tier, and the same
+    logic is expressible as a builtin CASE (which Catalyst would also
+    push through codegen). Kept out of every benchmark path.
+    """
+
+    @udf("int")
+    def priority_code(p: str) -> int:
+        return int(p[0])
+
+    @udf("string")
+    def lane(p: str) -> str:
+        return "expedite" if int(p[0]) <= 2 else "routine"
+
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        priority_code("o_orderpriority").alias("priority_code"),
+        lane("o_orderpriority").alias("lane"),
+    )

@@ -108,6 +108,61 @@ def test_dedup_within_watermark(spark, tmp_path):
     assert sorted(ids) == [1, 2]
 
 
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream interval join: purchases within 1 h
+    after each view, per user — the streaming result equals the batch
+    interval_join over the same rows (same operator, same code path).
+    This is the join the reference's cascade could not express (the
+    hard-coded-3500 amount loss, consumer/consumer.go:195-198)."""
+    from event_streaming_bnpl_demo_spark.operators.interval import interval_join
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    t = "2026-01-01T{:02d}:{:02d}:00.000Z"
+    rows = [
+        {"event_id": 1, "ts": t.format(10, 0), "user_id": 7,
+         "event_type": "view", "value": 1.0},
+        {"event_id": 2, "ts": t.format(10, 30), "user_id": 7,
+         "event_type": "purchase", "value": 99.0},   # within 1 h of view 1
+        {"event_id": 3, "ts": t.format(12, 0), "user_id": 7,
+         "event_type": "purchase", "value": 5.0},    # outside the hour
+        {"event_id": 4, "ts": t.format(10, 15), "user_id": 8,
+         "event_type": "purchase", "value": 3.0},    # other user
+    ]
+    write_jsonl(in_dir, "a.jsonl", rows)
+
+    def split(df):
+        views = df.filter(F.col("event_type") == "view").select(
+            "user_id", F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"))
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("p_id"),
+            F.col("ts").alias("p_ts"), F.col("value").alias("p_value"))
+        return views, purchases
+
+    def joined(views, purchases):
+        return interval_join(views, purchases, "user_id",
+                             "v_ts", "p_ts", "1 HOUR")
+
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1).json(in_dir))
+    v, p = split(stream)
+    q = (joined(v.withWatermark("v_ts", "2 hours"),
+                p.withWatermark("p_ts", "2 hours"))
+         .writeStream.format("memory").queryName("ssj")
+         .outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    streamed = sorted(
+        (r["view_id"], r["p_id"], r["p_value"])
+        for r in spark.sql("select * from ssj").collect())
+
+    bv, bp = split(spark.read.schema(SCHEMA).json(in_dir))
+    batch = sorted((r["view_id"], r["p_id"], r["p_value"])
+                   for r in joined(bv, bp).collect())
+    assert streamed == batch == [(1, 2, 99.0)]
+
+
 def test_stream_window_matches_batch(spark, tmp_path):
     """The tumbling-window aggregate under readStream equals the batch
     groupBy on the same data — one transform library, two run modes."""
