@@ -242,6 +242,71 @@ def llm_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b", "jaccard")
 
 
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT n_name, c_custkey, c_name
+    FROM customer RIGHT JOIN nation ON c_nationkey = n_nationkey
+                                   AND c_mktsegment = 'MACHINERY'
+    """,
+    tags=("join",),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join: every nation preserved, machinery-segment
+    customers attached where present (nations with none keep one NULL
+    row). The segment predicate lives in the join condition, not a
+    WHERE — pushing it to WHERE would silently turn the join inner."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(n, (c.c_nationkey == n.n_nationkey)
+               & (c.c_mktsegment == "MACHINERY"), "right")
+        .select("n_name", "c_custkey", "c_name")
+    )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT e.user_id AS user_id, c_name,
+           COUNT(*) AS n_events
+    FROM events e JOIN customer ON e.user_id = c_custkey
+    WHERE e.event_type IN ('view', 'click')
+    GROUP BY e.user_id, c_name
+    """,
+    tags=("join", "skew"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit salting for a skewed fact⋈dim join, result identical to
+    the plain join (the oracle IS the plain join).
+
+    The hot-key problem at 100 TB: one power user's events all hash to
+    one shuffle partition and that task runs for hours. Salting splits
+    each fact key into SALT sub-keys (random per row) and explodes the
+    dim side SALT ways, so a hot key spreads over SALT tasks. AQE's
+    skew-join handles the same case adaptively for *sort-merge* joins;
+    explicit salting is the portable form that also covers grouped aggs
+    and older runtimes, so the engine ships both (session.py enables
+    AQE; this operator is the manual strategy, verified equivalent).
+    """
+    salt_n = 8
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click"))
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_name"))
+    salted_ev = ev.withColumn(
+        "salt", (F.rand(seed=7) * salt_n).cast("int"))
+    salted_c = c.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(salt_n)])))
+    return (
+        salted_ev.join(salted_c,
+                       (salted_ev.user_id == salted_c.c_custkey)
+                       & (salted_ev.salt == salted_c.salt))
+        .groupBy("user_id", "c_name")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 @register("source_rate_demo", oracle=None, tags=("source", "stream"))
 def source_rate_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rate demo source (SURVEY §2.2 'rate / socket demo source'):
