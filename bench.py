@@ -58,6 +58,45 @@ def build_session(cpus: str) -> SparkSession:
     return tune(spark)
 
 
+def stream_throughput(spark: SparkSession, sf_dir: str) -> dict:
+    """End-to-end BNPL pipeline ingest rate: the sf events table mapped
+    to purchase envelopes (inputs grounded in the driver testdata),
+    streamed file-source -> parse -> archive -> cascade -> projections
+    under availableNow in 4 micro-batches. The reference's structural
+    ceiling is ~1k events/s written / ~10k read (BASELINE.md: single
+    Kinesis shard, constant partition key, 1 s poll)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from event_streaming_bnpl_demo_spark.sources import load_table
+    from event_streaming_bnpl_demo_spark.streaming.pipeline import BnplPipeline
+
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    work = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        in_dir, out_dir = os.path.join(work, "in"), os.path.join(work, "out")
+        (ev.select(
+            F.lit("PurchaseCompletedEvent").alias("event_type"),
+            F.concat(F.lit("order-"), F.col("user_id").cast("string"))
+             .alias("order_id"),
+            F.col("user_id").cast("string").alias("user_id"),
+            F.col("value").cast("long").alias("amount"),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+             .alias("ingest_ts"))
+         .select(F.to_json(F.struct("*")).alias("value"))
+         .coalesce(4).write.mode("overwrite").text(in_dir))
+        t0 = time.perf_counter()
+        BnplPipeline(spark, in_dir, out_dir).run_stream(available_now=True)
+        wall = time.perf_counter() - t0
+        return {"events": n, "wall_sec": round(wall, 2),
+                "events_per_sec": round(n / wall)}
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -87,6 +126,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "cold_sec": round(sum(cold.values()), 3),
+        "stream": stream_throughput(spark, sf_dir),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
