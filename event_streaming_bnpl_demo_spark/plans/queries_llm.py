@@ -26,7 +26,7 @@ from pyspark.sql.window import Window
 from ..functions.text import (STOPWORDS, duckdb_tokens, hexchar_parity,
                               normalize_text, shingles_col, tokens_col)
 from ..functions.vectors import cosine_expr, duckdb_cosine
-from ..sources import load_table
+from ..sources import load_table, spread
 from .catalog import register
 
 DIM = 64  # embedding dimensionality (FIXTURES.md §B)
@@ -72,17 +72,26 @@ def _minhash_sig_sql(dialect: str) -> tuple[str, str]:
 _MINHASH_K = 6          # 6 hash functions -> 3 bands of 2 rows
 _MINHASH_BANDS = [(0, 1), (2, 3), (4, 5)]
 
+# One md5 per shingle, sliced into K independent 5-hex-digit (20-bit)
+# sub-hashes — 6x less hashing than K salted digests for the same
+# banding behavior (the slices of one digest are independently uniform;
+# 20 bits is ample for a min-of-set signature). Hashing dominates the
+# signature stage's cost at corpus scale, so this is the hot-loop knob.
+_MINHASH_SLICES = [(1 + 5 * i, 5) for i in range(_MINHASH_K)]
+
 
 def _minhash_oracle() -> str:
     toks, shingles = _minhash_sig_sql("duckdb")
     mins = ", ".join(
-        f"MIN(md5(CONCAT('{i}:', s))) AS h{i}" for i in range(_MINHASH_K))
+        f"MIN(substr(hs, {p}, {w})) AS h{i}"
+        for i, (p, w) in enumerate(_MINHASH_SLICES))
     bands = " UNION ALL ".join(
-        f"SELECT doc_id, {bi} AS band_idx, md5(CONCAT(h{a}, h{b})) AS band_val FROM sig"
+        f"SELECT doc_id, {bi} AS band_idx, CONCAT(h{a}, h{b}) AS band_val FROM sig"
         for bi, (a, b) in enumerate(_MINHASH_BANDS))
     return f"""
     WITH sh AS (
-      SELECT doc_id, UNNEST(list_distinct({shingles})) AS s FROM documents
+      SELECT doc_id, md5(UNNEST(list_distinct({shingles}))) AS hs
+      FROM documents
     ), sig AS (
       SELECT doc_id, {mins} FROM sh GROUP BY doc_id
     ), bands AS ({bands})
@@ -96,26 +105,29 @@ def _minhash_oracle() -> str:
 @register("llm_dedup_minhash", oracle=_minhash_oracle(), tags=("llm", "dedup", "lsh"))
 def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup candidates: word-3-gram shingles ->
-    K=6 min-hashes -> 3 bands of 2 -> pairs emitted per band bucket.
+    ONE md5 per shingle sliced into K=6 20-bit min-hashes -> 3 bands
+    of 2 -> pairs emitted per band bucket.
 
     Scale: no self-join at all — bands are grouped (one shuffle on the
     band value, ~uniform keys) and pairs are generated inside each
     bucket with a higher-order expression, so the pipeline is computed
     once and no document compares beyond its bucket. Token arrays are
     materialized as a column before shingling so ``split`` runs once
-    per row, not once per lambda element.
+    per row, not once per lambda element; hashing is once per shingle
+    (digest slices), not once per (shingle, hash function).
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks_df = d.select("doc_id", F.expr(tokens_col("text")).alias("toks"))
     sh = toks_df.select("doc_id", F.explode(
-        F.array_distinct(F.expr(shingles_col("toks", "spark")))).alias("s"))
+        F.array_distinct(F.expr(shingles_col("toks", "spark")))).alias("s")
+    ).select("doc_id", F.md5("s").alias("hs"))
     sig = sh.groupBy("doc_id").agg(*[
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
-        for i in range(_MINHASH_K)
+        F.min(F.substring("hs", p, w)).alias(f"h{i}")
+        for i, (p, w) in enumerate(_MINHASH_SLICES)
     ])
     band_structs = F.array(*[
         F.struct(F.lit(bi).alias("band_idx"),
-                 F.md5(F.concat(F.col(f"h{a}"), F.col(f"h{b}"))).alias("band_val"))
+                 F.concat(F.col(f"h{a}"), F.col(f"h{b}")).alias("band_val"))
         for bi, (a, b) in enumerate(_MINHASH_BANDS)
     ])
     bands = (
@@ -176,7 +188,7 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     all; the signature *is* the blocking key. Hamming-adjacent probing
     (flip-1-bit buckets) is the documented recall extension.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     tok = d.select("doc_id", F.explode(F.expr(tokens_col("text"))).alias("tok"))
     sums = tok.groupBy("doc_id").agg(*[
         F.expr(s).alias(f"s{b}")
@@ -226,7 +238,7 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-jaccard results materially — documented knob, off here for
     oracle exactness.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks_df = d.select("doc_id", F.expr(tokens_col("text")).alias("toks"))
     sh = toks_df.select(
         "doc_id",
@@ -554,7 +566,7 @@ def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is small (vocabulary-sized) and broadcast back — the classic
     two-aggregate tf-idf with no O(n²) step.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     tok = d.select("doc_id", F.explode(F.expr(tokens_col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))

@@ -44,6 +44,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def spread(df: DataFrame, *keys: str, parts: int | None = None) -> DataFrame:
+    """Hash-repartition before a compute-heavy map stage (tokenize /
+    shingle / hash / explode). A small single-row-group parquet file
+    scans as ONE task no matter how many cores exist; the map work then
+    runs serial while 31 threads idle. Redistributing a sub-MB input is
+    ~free next to the map stage it unlocks.
+
+    Keying the repartition on the downstream aggregation key means the
+    later ``groupBy(*keys)`` reuses this exchange instead of adding a
+    second one (explode/select preserve hash partitioning). At 100 TB
+    the input arrives in many files and Catalyst already spreads the
+    scan — then this exchange IS the aggregation exchange, just moved
+    before the map stage, so the plan cost is unchanged at scale.
+    """
+    n = parts or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *keys) if keys else df.repartition(n)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so ``spark.sql`` plans work."""
     for name in TABLE_NAMES:
