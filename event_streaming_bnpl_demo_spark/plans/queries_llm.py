@@ -400,6 +400,125 @@ def llm_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINNOW_W = 4
+
+
+def _winnow_oracle() -> str:
+    toks = duckdb_tokens("text")
+    sh = shingles_col(toks, "duckdb")
+    return f"""
+    WITH hs AS (
+      SELECT doc_id, list_transform({sh}, s -> md5(s)) AS hs
+      FROM documents
+    ), wins AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) <= {_WINNOW_W} THEN [list_min(hs)]
+                  ELSE list_transform(
+                         generate_series(1, len(hs) - {_WINNOW_W} + 1),
+                         i -> list_min(hs[i:i + {_WINNOW_W} - 1]))
+             END AS sel
+      FROM hs
+    )
+    SELECT doc_id, UNNEST(list_distinct(sel)) AS fp
+    FROM wins
+    """
+
+
+@register("llm_text_winnow", oracle=_winnow_oracle(),
+          tags=("llm", "text", "dedup"))
+def llm_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (the rolling-hash document signature):
+    hash every word-3-gram shingle, slide a window of w=4
+    consecutive hashes, keep each window's minimum, dedupe — the
+    guarantee is any shared run of ~w shingles between two documents
+    yields at least one shared fingerprint, at ~1/w the storage of the
+    full shingle set.
+
+    Scale: pure per-document higher-order expressions (no shuffle at
+    all until a consumer groups by fp to find matches); the fingerprint
+    inverted index is the plagiarism/near-dup structure MOSS-style
+    systems build, here one explode away.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = tokens_col("text")
+    sh = shingles_col(toks, "spark")
+    hs = f"transform({sh}, s -> md5(s))"
+    sel = (f"CASE WHEN size({hs}) <= {_WINNOW_W} THEN array(array_min({hs})) "
+           f"ELSE transform(sequence(1, size({hs}) - {_WINNOW_W} + 1), "
+           f"i -> array_min(slice({hs}, i, {_WINNOW_W}))) END")
+    return d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(sel))).alias("fp"),
+    )
+
+
+_IVF_PROBES = 2
+
+
+def _ivf_oracle() -> str:
+    cos_rep = duckdb_cosine("r.embedding", "q.qe", DIM)
+    cos_e = duckdb_cosine("e.embedding", "q.qe", DIM)
+    return f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    reps AS (
+      SELECT label, embedding FROM (
+        SELECT label, embedding,
+               ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+        FROM embeddings) t WHERE rn = 1
+    ),
+    probe AS (
+      SELECT r.label FROM reps r CROSS JOIN q
+      ORDER BY {cos_rep} DESC, r.label
+      LIMIT {_IVF_PROBES}
+    )
+    SELECT e.vec_id AS vec_id, e.label AS label,
+           ROUND({cos_e}, 4) AS cos_sim
+    FROM embeddings e JOIN probe USING (label) CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY {cos_e} DESC, e.vec_id
+    LIMIT 5
+    """
+
+
+@register("llm_simsearch_ivf", oracle=_ivf_oracle(),
+          tags=("llm", "similarity", "ivf"))
+def llm_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse cells (the ``label`` cluster id), one
+    deterministic representative per cell (min vec_id), probe the
+    nProbe=2 cells whose representatives score highest against the
+    query, exact cosine top-5 within the probed cells only.
+
+    Scale: the cell list is tiny (one row per cluster) and evaluates
+    on the driver-broadcast side; the corpus scan touches ONLY probed
+    cells — written partitioned by cell, that is partition pruning, so
+    a 100 TB index reads nProbe/nCells of its bytes. This is the
+    IVF-flat shape every vector store uses; the sign-bucket LSH twin
+    (llm_simsearch_lsh) trades its trained cells for oblivious ones.
+    """
+    e = spread(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "nrm", F.expr(norm_expr("embedding", DIM)))
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("nrm").alias("qn"))
+    w = Window.partitionBy("label").orderBy("vec_id")
+    reps = (e.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).select("label", "embedding", "nrm"))
+    cos = F.expr(f"({dot_expr('embedding', 'qe', DIM)} / (nrm * qn))")
+    probed = (reps.crossJoin(F.broadcast(q))
+              .withColumn("cscore", cos)
+              .orderBy(F.desc("cscore"), F.asc("label"))
+              .limit(_IVF_PROBES)
+              .select("label"))
+    return (
+        e.join(F.broadcast(probed), "label")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("cos_raw", cos)
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(5)
+        .select("vec_id", "label", F.round("cos_raw", 4).alias("cos_sim"))
+    )
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
