@@ -72,6 +72,107 @@ def _decode_payload(payload: bytes, modality: str) -> list[float]:
     return [b / 256.0 for b in digest[:8]]
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType(), False),
+    T.StructField("modality", T.StringType(), False),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("byte_len", T.LongType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("resize_ok", T.BooleanType(), False),
+])
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("frame", T.BinaryType(), True),
+    T.StructField("frame_len", T.LongType(), True),
+])
+
+
+def _resize_payload(payload: bytes, modality: str,
+                    width: int, height: int) -> bytes:
+    """STUB — a real build decodes with PIL/ffmpeg, resamples to
+    (width, height), re-encodes. For ``text`` the deterministic fake
+    truncates/pads the byte stream to width*height bytes so the Arrow
+    round-trip and output schema are exercised; other modalities raise
+    until their codec is wired in."""
+    if modality != "text":
+        raise NotImplementedError(
+            f"resize for modality {modality!r} needs codec libs not present "
+            "in this environment")
+    target = width * height
+    return payload[:target].ljust(target, b"\0")
+
+
+def resize_media(media: DataFrame, width: int = 16,
+                 height: int = 16) -> DataFrame:
+    """Batch resize via mapInPandas — the shape of every image
+    normalization pass. Scale: payload bytes stay inside Arrow batches;
+    rows whose codec is missing are flagged, not dropped, so a later
+    pass can re-run them once the codec lands."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload, ok = [], []
+            for payload, modality in zip(pdf["payload"], pdf["modality"]):
+                try:
+                    out_payload.append(
+                        _resize_payload(bytes(payload), modality, width, height))
+                    ok.append(True)
+                except NotImplementedError:
+                    out_payload.append(None)
+                    ok.append(False)
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "modality": pdf["modality"],
+                "payload": out_payload,
+                "byte_len": [len(p) if p is not None else None
+                             for p in out_payload],
+                "width": width,
+                "height": height,
+                "resize_ok": ok,
+            })
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 256,
+                  max_frames: int = 8) -> DataFrame:
+    """Frame sampling (video → every Nth frame) via mapInPandas, one
+    OUTPUT ROW PER FRAME — the row-expanding UDF shape. The stub
+    treats each ``every_n_bytes`` slice of a text payload as a frame;
+    a real build seeks keyframes with ffmpeg. Scale: expansion happens
+    inside the Arrow batch, and ``max_frames`` bounds the fan-out so a
+    pathological asset cannot blow up a task."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for asset_id, payload, modality in zip(
+                    pdf["asset_id"], pdf["payload"], pdf["modality"]):
+                if modality != "text":   # codec absent: no frames emitted
+                    continue
+                data = bytes(payload)
+                for i in range(0, min(len(data) // every_n_bytes + 1,
+                                      max_frames)):
+                    chunk = data[i * every_n_bytes:(i + 1) * every_n_bytes]
+                    if not chunk:
+                        break
+                    ids.append(asset_id)
+                    idxs.append(i)
+                    frames.append(chunk)
+            yield pd.DataFrame({
+                "asset_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame": frames,
+                "frame_len": pd.Series([len(f) for f in frames],
+                                       dtype="int64"),
+            })
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     """Decode + featurize via mapInPandas (Arrow-batched; the only
     Python hop in the multimodal path)."""

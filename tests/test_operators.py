@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from event_streaming_bnpl_demo_spark.operators.asof import asof_join
 from event_streaming_bnpl_demo_spark.operators.multimodal import (
-    extract_features, media_from_documents)
+    extract_features, media_from_documents, resize_media, sample_frames)
 from event_streaming_bnpl_demo_spark.plans import all_queries
 from event_streaming_bnpl_demo_spark.sources import load_table
 
@@ -76,3 +76,66 @@ def test_multimodal_unknown_modality_stubbed(spark):
     rows = extract_features(media).collect()
     # decode not implemented for images in this container -> flagged, not crashed
     assert all(not r["decode_ok"] and r["feature"] is None for r in rows)
+
+
+def test_multimodal_resize(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    media = media_from_documents(docs)
+    rows = resize_media(media, width=8, height=4).collect()
+    assert len(rows) == 20
+    assert all(r["resize_ok"] and r["byte_len"] == 32 for r in rows)
+    assert all(len(bytes(r["payload"])) == 32 for r in rows)
+    # unknown modality flagged, not crashed
+    img = resize_media(media.withColumn("modality", F.lit("image"))).collect()
+    assert all(not r["resize_ok"] and r["payload"] is None for r in img)
+
+
+def test_multimodal_frame_sampling(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(10)
+    media = media_from_documents(docs)
+    frames = sample_frames(media, every_n_bytes=64, max_frames=3).collect()
+    by_asset = {}
+    for r in frames:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    # every sampled asset emits 1..max_frames ordered frames of <=64 B
+    assert by_asset
+    for rows in by_asset.values():
+        idxs = sorted(r["frame_idx"] for r in rows)
+        assert idxs == list(range(len(idxs)))
+        assert 1 <= len(idxs) <= 3
+        assert all(0 < r["frame_len"] <= 64 for r in rows)
+
+
+def test_change_notifier_fires_per_batch(spark, tmp_path):
+    """R11 parity: a listener-driven update hook fires after micro-
+    batches that moved rows (the reference's WebSocket push analog)."""
+    import json
+    import os
+    import time
+
+    from event_streaming_bnpl_demo_spark.streaming.notify import (
+        notify_on_update)
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    with open(os.path.join(in_dir, "a.jsonl"), "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"event_type": "PurchaseCompletedEvent",
+                                "order_id": f"o{i}", "user_id": f"u{i}",
+                                "amount": i,
+                                "ingest_ts": "2026-01-01T00:00:00Z"}) + "\n")
+    updates: list[dict] = []
+    notifier = notify_on_update(spark, updates.append)
+    try:
+        from event_streaming_bnpl_demo_spark.sources import read_event_stream
+        q = (read_event_stream(spark, in_dir).writeStream
+             .format("memory").queryName("notify_t")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        deadline = time.time() + 20
+        while not updates and time.time() < deadline:
+            time.sleep(0.2)   # listener bus is async
+    finally:
+        spark.streams.removeListener(notifier)
+    assert updates and updates[0]["num_input_rows"] == 5
