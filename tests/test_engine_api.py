@@ -1,0 +1,45 @@
+"""Acceptance test: the reference readme's manual curl flow
+(readme:98-151, steps A/B/C) executed against the engine facade — the
+de-facto end-to-end spec of the reference, automated."""
+
+from __future__ import annotations
+
+from event_streaming_bnpl_demo_spark.engine import BnplEngine
+
+
+def test_readme_flow_a_b_c(spark, tmp_path):
+    eng = BnplEngine(spark, str(tmp_path))
+
+    # Step A (readme:117-123): purchase -> a promise appears
+    order_id = eng.purchase("u42", 5000, product_id="p-1",
+                            product_name="item")
+    assert order_id == "order-u42"
+    eng.process()
+    promises, bills = eng.user_status("u42")
+    prows = promises.collect()
+    assert len(prows) == 1
+    p = prows[0]
+    assert p["order_id"] == "order-u42"
+    assert p["amount"] == 5000           # real amount, not the ref's 3500
+    assert p["payment_mode"] == "月まとめ払い"
+    assert bills.count() == 0
+
+    # Step B (readme:125-137): bill issued against the promise -> unpaid
+    promise_id = eng.pipeline.promises().collect()[0]["id"]
+    bill_id = eng.create_bill(promise_id, "u42", 5000)
+    eng.process()
+    _, bills = eng.user_status("u42")
+    b = bills.collect()[0]
+    assert b["id"] == bill_id
+    assert b["status"] == "unpaid" and b["paid_date"] is None
+
+    # Step C (readme:139-151): payment webhook -> status flips to paid
+    eng.payment_completed(bill_id, "u42", 5000)
+    eng.process()
+    _, bills = eng.user_status("u42")
+    b = bills.collect()[0]
+    assert b["status"] == "paid" and b["paid_date"] is not None
+
+    # other users see nothing (the WHERE user_id=? of main.go:214/241)
+    pr_other, bl_other = eng.user_status("u99")
+    assert pr_other.count() == 0 and bl_other.count() == 0
