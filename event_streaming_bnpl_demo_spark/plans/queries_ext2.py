@@ -307,6 +307,122 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q14_promo_share",
+    oracle=f"""
+    SELECT {dsum_sql("CASE WHEN p_type = 'PROMO' "
+                     "THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 4)}
+             AS promo_revenue,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-02-01 00:00:00'
+    """,
+    tags=("join", "agg", "flagship"),
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: promo revenue share for one month — a
+    conditional aggregate over a fact⋈dim join.
+
+    Scale: the month filter prunes lineitem at the scan; part (the dim)
+    broadcasts so the fact table never shuffles; the CASE folds into
+    the same partial aggregate, so the whole query is one scan + one
+    single-row reduce."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp")))
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = "l_extendedprice * (1 - l_discount)"
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(F.expr(dsum_sql(
+            f"CASE WHEN p_type = 'PROMO' THEN {rev} ELSE 0 END", 4))
+             .alias("promo_revenue"),
+             F.expr(dsum_sql(rev, 4)).alias("total_revenue"))
+    )
+
+
+@register(
+    "join_snowflake_dims",
+    oracle=f"""
+    SELECT n_name, p_brand,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_size <= 10
+    GROUP BY n_name, p_brand
+    """,
+    tags=("join", "agg", "star"),
+)
+def join_snowflake_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake join through the supplier arm: fact⋈part⋈supplier⋈
+    nation, revenue by (nation, brand).
+
+    Scale: ALL three dims broadcast (part filtered by size first), so
+    the fact table is scanned once with zero shuffles before the
+    grouped aggregate — the canonical star-join plan. AQE would demote
+    any dim that outgrew the threshold to a shuffle join without query
+    changes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size") <= 10).select("p_partkey", "p_brand")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "p_brand")
+        .agg(F.expr(dsum_sql("l_extendedprice * (1 - l_discount)", 4))
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@register(
+    "window_distribution",
+    oracle="""
+    SELECT s_suppkey, s_name, n_name,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           NTH_VALUE(s_suppkey, 2) OVER (
+             PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_richest
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WINDOW w AS (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+    tags=("window",),
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — percent_rank, cume_dist,
+    nth_value over suppliers ranked by balance within nation.
+    percent_rank/cume_dist divide exact integer positions, so the
+    doubles are tie-free at ROUND(6) and oracle-stable."""
+    from pyspark.sql.window import Window
+
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("s_acctbal"),
+                                             F.asc("s_suppkey"))
+    w_full = w.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "s_suppkey", "s_name", "n_name",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.nth_value("s_suppkey", 2).over(w_full).alias("second_richest"),
+        )
+    )
+
+
 @register("source_rate_demo", oracle=None, tags=("source", "stream"))
 def source_rate_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rate demo source (SURVEY §2.2 'rate / socket demo source'):
