@@ -112,6 +112,41 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt_test_r")
 
 
+def test_partitioned_layout_prunes(spark, tmp_path):
+    """Events written partitioned by day + a one-day predicate must scan
+    ONE partition directory (partition pruning) — the deploy-time layout
+    DESIGN.md prescribes for the event log at 100 TB."""
+    import contextlib
+    import io
+    import os
+
+    from pyspark.sql import functions as F
+
+    from event_streaming_bnpl_demo_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    out = str(tmp_path / "events_by_day")
+    (ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+       .write.partitionBy("day").parquet(out))
+    n_days = len([d for d in os.listdir(out) if d.startswith("day=")])
+    assert n_days > 1
+
+    df = (spark.read.parquet(out)
+          .filter(F.col("day") == "2024-01-02")
+          .select("event_id", "event_type"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # the day predicate becomes a PartitionFilter, not a data filter
+    assert "PartitionFilters" in plan and "day=2024-01-02" not in plan
+    line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "2024-01-02" in line
+    # and the pruned read returns exactly that day's rows
+    want = ev.filter(F.date_format("ts", "yyyy-MM-dd") == "2024-01-02").count()
+    assert df.count() == want > 0
+
+
 def test_topk_per_group_no_global_sort(spark):
     """Per-group top-k via window must sort within partitions
     (partitionBy pushes a hash exchange, not a range/global sort)."""
