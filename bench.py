@@ -89,10 +89,13 @@ def stream_throughput(spark: SparkSession, sf_dir: str) -> dict:
          .select(F.to_json(F.struct("*")).alias("value"))
          .coalesce(4).write.mode("overwrite").text(in_dir))
         t0 = time.perf_counter()
-        BnplPipeline(spark, in_dir, out_dir).run_stream(available_now=True)
+        BnplPipeline(spark, in_dir, out_dir,
+                     projection_mode="incremental").run_stream(
+            available_now=True)
         wall = time.perf_counter() - t0
         return {"events": n, "wall_sec": round(wall, 2),
-                "events_per_sec": round(n / wall)}
+                "events_per_sec": round(n / wall),
+                "projection_mode": "incremental"}
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

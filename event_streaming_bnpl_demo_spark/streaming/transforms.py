@@ -86,15 +86,24 @@ def project_promises(events: DataFrame) -> DataFrame:
     )
 
 
-def project_bills(events: DataFrame) -> DataFrame:
-    """member_bills projection (readme:84-93): insert on
-    MemberBillCreatedEvent (status 'unpaid'), flip to 'paid' (+
-    paid_date) on PaymentCompletedEvent — computed as a last-event-wins
-    recompute per bill_id, which converges under duplicate delivery AND
-    payment-before-bill reordering (FIXTURES.md A3 v1/v2)."""
+#: bills partial-aggregate columns and their merge combiners. Every
+#: combiner is associative, commutative, AND idempotent (max/min), so
+#: partial states fold in any grouping/order and re-folding a replayed
+#: batch is a no-op — this is what makes the incremental projection
+#: mode exactly equal to the full recompute (tests/test_bnpl_pipeline).
+_BILLS_COMBINE = {
+    "promise_id": F.max, "user_id": F.max, "create_amount": F.max,
+    "any_amount": F.max, "issued_date": F.max, "paid_date": F.max,
+    "created_at": F.min,
+}
+
+
+def bills_state(events: DataFrame) -> DataFrame:
+    """Partial-aggregate state per bill_id over any slice of the event
+    stream (a micro-batch or the whole log)."""
     bills = events.filter(
         F.col("event_type").isin("MemberBillCreatedEvent", "PaymentCompletedEvent"))
-    agg = bills.groupBy("bill_id").agg(
+    return bills.groupBy("bill_id").agg(
         F.max(F.when(F.col("event_type") == "MemberBillCreatedEvent",
                      F.col("promise_id"))).alias("promise_id"),
         F.max("user_id").alias("user_id"),
@@ -107,6 +116,18 @@ def project_bills(events: DataFrame) -> DataFrame:
                      F.col("paid_date"))).alias("paid_date"),
         F.min("ingest_ts").alias("created_at"),
     )
+
+
+def merge_bills_state(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a new partial state into the accumulated one — the plain-
+    parquet analog of a keyed MERGE (at scale the same shape becomes a
+    Delta/Iceberg MERGE INTO; the combiners are unchanged)."""
+    return existing.unionByName(delta).groupBy("bill_id").agg(*[
+        fn(c).alias(c) for c, fn in _BILLS_COMBINE.items()])
+
+
+def bills_from_state(agg: DataFrame) -> DataFrame:
+    """Finalize the member_bills projection from the partial state."""
     return agg.select(
         F.col("bill_id").alias("id"),
         "promise_id",
@@ -118,6 +139,25 @@ def project_bills(events: DataFrame) -> DataFrame:
         F.to_date("paid_date").alias("paid_date"),
         "created_at",
     )
+
+
+def project_bills(events: DataFrame) -> DataFrame:
+    """member_bills projection (readme:84-93): insert on
+    MemberBillCreatedEvent (status 'unpaid'), flip to 'paid' (+
+    paid_date) on PaymentCompletedEvent — computed as a last-event-wins
+    recompute per bill_id, which converges under duplicate delivery AND
+    payment-before-bill reordering (FIXTURES.md A3 v1/v2)."""
+    return bills_from_state(bills_state(events))
+
+
+def merge_promises(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold new first-seen promise rows into the accumulated projection:
+    argmin over created_at is associative, so re-picking the earliest
+    row per id over (existing ∪ delta) equals the full recompute."""
+    merged = existing.unionByName(delta)
+    w = Window.partitionBy("id").orderBy("created_at")
+    return (merged.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).drop("rn"))
 
 
 def user_status(promises: DataFrame, bills: DataFrame, user_id: str

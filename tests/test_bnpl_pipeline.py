@@ -137,6 +137,54 @@ def test_streaming_restart_no_loss(spark, tmp_path):
     assert pipe2.read_log().count() == 5
 
 
+def _final_state(pipe: BnplPipeline):
+    promises = sorted(
+        (r["id"], r["order_id"], r["user_id"], r["amount"],
+         str(r["due_date"]), r["payment_mode"])
+        for r in pipe.promises().collect())
+    bills = sorted(
+        (r["id"], r["promise_id"], r["user_id"], r["amount"], r["status"],
+         str(r["issued_date"]), str(r["paid_date"]))
+        for r in pipe.bills().collect())
+    return promises, bills
+
+
+def test_incremental_equals_recompute(spark, tmp_path):
+    """The incremental (fold-partial-aggregates) projection mode must
+    produce exactly the recompute-from-log state — including under
+    duplicate delivery, reordering, and a checkpointed restart — since
+    every combiner is associative, commutative, and idempotent."""
+    events = list(reversed(GOLDEN)) + EXTRA_USER + GOLDEN  # reorder + dupes
+    in_dir = str(tmp_path / "in")
+    write_events(in_dir, events[:4], "a.jsonl")
+    write_events(in_dir, events[4:], "b.jsonl")
+
+    pipes = {}
+    for mode in ("recompute", "incremental"):
+        out = str(tmp_path / f"out_{mode}")
+        pipe = BnplPipeline(spark, in_dir, out, projection_mode=mode)
+        pipe.run_stream(available_now=True)
+        pipes[mode] = pipe
+    assert _final_state(pipes["incremental"]) == _final_state(pipes["recompute"])
+    assert_golden_state(pipes["incremental"])
+
+    # restart: late third file, resume both from their checkpoints
+    write_events(in_dir, [{
+        "event_type": "MemberBillCreatedEvent", "bill_id": "b-003",
+        "promise_id": "pr-001", "user_id": "u01", "amount": 250,
+        "issued_date": "2026-01-05", "ingest_ts": "2026-01-05T00:00:00.000Z",
+    }], "c.jsonl")
+    for mode in ("recompute", "incremental"):
+        pipe = BnplPipeline(spark, in_dir, str(tmp_path / f"out_{mode}"),
+                            projection_mode=mode)
+        pipe.run_stream(available_now=True)
+        pipes[mode] = pipe
+    assert _final_state(pipes["incremental"]) == _final_state(pipes["recompute"])
+    b3 = [r for r in pipes["incremental"].bills().collect()
+          if r["id"] == "b-003"][0]
+    assert b3["status"] == "unpaid" and b3["amount"] == 250
+
+
 @pytest.mark.parametrize("reorder", [False, True])
 def test_state_machine_stream(spark, tmp_path, reorder):
     """applyInPandasWithState bill lifecycle over a file stream:
