@@ -698,7 +698,10 @@ def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     tok = d.select("doc_id", F.explode(F.expr(tokens_col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # df derives FROM tf (its (doc,term) rows are already distinct), so
+    # the token explode and its aggregation run once, not twice — and
+    # the expensive countDistinct becomes a plain count
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     score = (F.col("tf").cast("double")
              * ((F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
