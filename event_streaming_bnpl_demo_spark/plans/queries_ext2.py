@@ -308,6 +308,38 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_interval_op",
+    oracle="""
+    SELECT v.user_id AS user_id, v.event_id AS view_id,
+           p.event_id AS p_id, p.value AS p_value
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+    tags=("join", "theta", "asof"),
+)
+def join_interval_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operators.interval.interval_join code path under the oracle
+    gate: purchases within 30 min after each view. The SAME call wired
+    to readStream inputs with watermarks is the stream-stream join
+    (tests/test_streaming_semantics.py) — one implementation, both
+    execution modes."""
+    from ..operators.interval import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"), F.col("value").alias("p_value"))
+    return (interval_join(v, p, "user_id", "v_ts", "p_ts", "30 MINUTE")
+            .select("user_id", "view_id", "p_id", "p_value"))
+
+
+@register(
     "q14_promo_share",
     oracle=f"""
     SELECT {dsum_sql("CASE WHEN p_type = 'PROMO' "
