@@ -112,6 +112,17 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt_test_r")
 
 
+def test_udf_tiers_plan_as_declared(spark):
+    """The pandas_udf query must execute as ArrowEvalPython (vectorized
+    Arrow batches); the row-at-a-time exhibit as BatchEvalPython
+    (pickled rows). If the fast tier ever silently degrades to row
+    pickling, this fails."""
+    fast = plan_of(spark, "udf_pandas_tokens")
+    assert "ArrowEvalPython" in fast and "BatchEvalPython" not in fast
+    slow = plan_of(spark, "udf_python_scalar")
+    assert "BatchEvalPython" in slow
+
+
 def test_partitioned_layout_prunes(spark, tmp_path):
     """Events written partitioned by day + a one-day predicate must scan
     ONE partition directory (partition pruning) — the deploy-time layout
