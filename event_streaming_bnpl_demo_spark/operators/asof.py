@@ -57,9 +57,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
         F.struct(*right_cols, F.col(right_ts).alias("_rts")).alias("_r"),
     )
     # right rows sort before left rows at equal timestamps iff exact
-    # matches are allowed
+    # matches are allowed; the trailing struct comparison makes the
+    # winner among equal-timestamp right rows deterministic (field-wise
+    # max) instead of partition-order-dependent
     tie = F.col("_is_left") if allow_exact_matches else -F.col("_is_left")
-    w = (Window.partitionBy(*keys).orderBy(F.col("_ts"), tie)
+    w = (Window.partitionBy(*keys).orderBy(F.col("_ts"), tie, F.col("_r"))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     merged = (
         lhs.unionByName(rhs)
