@@ -748,3 +748,113 @@ def llm_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         sha.alias("payload_sha256"),
         F.substring(sha, 1, 16).alias("payload_prefix"),
     )
+
+
+# --------------------------------------------------------------------------
+# dataset assembly: splits, sampling, decontamination
+# --------------------------------------------------------------------------
+
+
+@register(
+    "llm_split_train_eval",
+    oracle="""
+    SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))
+                     AS INT) % 10 < 9
+                THEN 'train' ELSE 'eval' END AS split,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("llm", "split"),
+)
+def llm_split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/eval split by content-free id hash
+    (md5 byte mod 10) — reproducible across runs, engines, and cluster
+    sizes, unlike ``df.randomSplit`` (partition-dependent). The split
+    column is a pure projection, so assignment never shuffles and any
+    engine recomputes identical membership.
+
+    Scale: this is THE safe way to split 100 TB — no global sort, no
+    sampling pass, no state; bucketing eval re-use is free because
+    membership is a function of the key alone.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2),
+                    16, 10).cast("int") % 10
+    return (
+        d.select(F.when(bucket < 9, "train").otherwise("eval").alias("split"),
+                 "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("doc_id").alias("min_doc_id"),
+             F.max("doc_id").alias("max_doc_id"))
+    )
+
+
+@register(
+    "llm_sample_hash",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+          % 100 < 5
+    """,
+    tags=("llm", "sample"),
+)
+def llm_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~5% uniform sample by id hash — the reproducible
+    alternative to ``df.sample`` for eval sets and quick-look pipelines.
+    A pure pushed-down filter: no shuffle, no RNG state, same rows on
+    every engine and cluster size."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                    16, 10).cast("int") % 100
+    return d.filter(bucket < 5).select("doc_id", "lang", "n_chars")
+
+
+def _decontam_oracle() -> str:
+    toks = duckdb_tokens("text")
+    sh = shingles_col(toks, "duckdb")
+    return f"""
+    WITH bench AS (
+      SELECT DISTINCT UNNEST({sh}) AS s FROM documents WHERE doc_id < 5
+    ),
+    corpus AS (
+      SELECT doc_id, UNNEST(list_distinct({sh})) AS s
+      FROM documents WHERE doc_id >= 5
+    )
+    SELECT c.doc_id AS doc_id,
+           COUNT(DISTINCT c.s) AS n_hits
+    FROM corpus c JOIN bench b ON c.s = b.s
+    GROUP BY c.doc_id
+    """
+
+
+@register("llm_decontaminate", oracle=_decontam_oracle(),
+          tags=("llm", "dedup", "decontam"))
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word-3-gram shingle with a held-out benchmark set (here: doc_id<5
+    stands in for the benchmark) and count overlapping shingles — the
+    n-gram-overlap contamination check every pre-training pipeline runs
+    before shipping an eval.
+
+    Scale: the benchmark shingle set is tiny relative to the corpus and
+    BROADCASTS; the corpus side streams through a broadcast semi-match
+    with no shuffle of corpus bytes — contamination checking at 100 TB
+    is a map-side join plus one count aggregate.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = tokens_col("text")
+    sh_expr = F.array_distinct(F.expr(shingles_col(toks, "spark")))
+    bench = (d.filter(F.col("doc_id") < 5)
+             .select(F.explode(sh_expr).alias("s")).distinct())
+    corpus = (d.filter(F.col("doc_id") >= 5)
+              .select("doc_id", F.explode(sh_expr).alias("s")))
+    return (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("n_hits"))
+    )
