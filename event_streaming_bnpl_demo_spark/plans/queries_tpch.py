@@ -1,0 +1,346 @@
+"""Fourth operator batch: the remaining TPC-H-shaped queries expressible
+on the slimmed driver schemas (no partsupp / shipmode / commitdate, so
+Q2/Q4/Q9/Q11/Q12/Q16/Q20/Q21 have no faithful analog) — Q7, Q13, Q15,
+Q17, Q18, Q19, Q22. Together with Q1/Q3/Q5/Q6/Q10/Q14 these exercise
+every join/agg/subquery topology the benchmark uses: cross-nation
+self-paired dims (Q7), outer-join histograms (Q13), scalar-subquery max
+(Q15), per-key correlated thresholds (Q17), HAVING semi-filters (Q18),
+disjunctive join predicates (Q19), and anti-join + scalar average (Q22).
+
+All numeric aggregates go through plans.sqlcompat decimal accumulation
+so Spark and DuckDB agree bit-for-bit (including the Q15/Q17 equality
+and threshold comparisons on aggregated doubles, which would be unsafe
+with order-dependent float sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .catalog import register
+from .sqlcompat import davg_sql, dsum_sql
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+@register(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           {dsum_sql(_REV, 4)} AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+      AND n2.n_name IN ('NATION_1', 'NATION_2')
+      AND n1.n_name <> n2.n_name
+      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                         AND TIMESTAMP '1997-12-31 00:00:00'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("join", "agg", "star", "tpch"),
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped volume shipping: revenue between two nations in
+    both directions, by ship year. The nation dimension joins twice
+    (supplier side and customer side) under different aliases.
+
+    Scale: both nation copies broadcast, and the nation IN-filters
+    semi-reduce supplier/customer *before* the fact joins — the only
+    large shuffles are lineitem⋈orders on orderkey and the (already
+    nation-pruned) orders⋈customer on custkey. The shipdate range is a
+    pushed parquet filter.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01 00:00:00").cast("timestamp"),
+            F.lit("1997-12-31 00:00:00").cast("timestamp")))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = (load_table(spark, sf_dir, "nation")
+          .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+          .select(F.col("n_nationkey").alias("n1_key"),
+                  F.col("n_name").alias("supp_nation")))
+    n2 = (load_table(spark, sf_dir, "nation")
+          .filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+          .select(F.col("n_nationkey").alias("n2_key"),
+                  F.col("n_name").alias("cust_nation")))
+    return (
+        li.join(F.broadcast(s.join(F.broadcast(n1),
+                                   s.s_nationkey == n1.n1_key)),
+                li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c.join(F.broadcast(n2), c.c_nationkey == n2.n2_key),
+              o.o_custkey == c.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(F.expr(dsum_sql(_REV, 4)).alias("revenue"),
+             F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+@register(
+    "q13_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) t
+    GROUP BY c_count
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer order-count distribution: LEFT OUTER
+    join with a predicate *inside* the join condition (customers whose
+    only orders are urgent still count as zero), then a histogram of
+    the per-customer counts.
+
+    Scale: two aggregates — the first shuffles on custkey (or is
+    shuffle-free if both tables are bucketed on it), the second is a
+    tiny histogram reduce over at most |distinct counts| rows per task.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, (c.c_custkey == o.o_custkey)
+               & (o.o_orderpriority != "1-URGENT"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {dsum_sql(_REV, 4)} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: quarterly revenue per supplier,
+    keep the one(s) equal to the global max (scalar subquery over an
+    aggregate). Equality on an aggregated double is safe ONLY because
+    both engines accumulate in decimal (sqlcompat) — exact, associative,
+    so the max and the per-supplier values are bit-identical.
+
+    Scale: revenue is one shuffle on suppkey; the max is a one-row
+    all-reduce broadcast back as a join filter — no global sort, no
+    second pass over lineitem.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp")))
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.expr(dsum_sql(_REV, 4)).alias("total_revenue"))
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx),
+                 rev.total_revenue == mx.max_revenue)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    oracle=f"""
+    WITH thresh AS (
+      SELECT l_partkey AS pk,
+             0.2 * ({davg_sql('l_quantity')}) AS qty_thresh
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {dsum_sql('l_extendedprice')} / 7.0 AS avg_yearly,
+           COUNT(*) AS n_small_orders
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN thresh ON pk = l_partkey
+    WHERE p_brand = 'Brand#3' AND l_quantity < qty_thresh
+    """,
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped small-quantity revenue: lineitems below 20% of
+    their part's average quantity (per-key correlated scalar subquery,
+    decorrelated into an aggregate + self-join).
+
+    Scale: the per-part threshold aggregate shuffles lineitem once on
+    partkey and the probe side reuses that partitioning (same key), so
+    the self-join adds no exchange; part is broadcast. The threshold
+    comparison is deterministic because the average is decimal-exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    thresh = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * F.expr(davg_sql("l_quantity"))).alias("qty_thresh"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(thresh, li.l_partkey == thresh.pk)
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg((F.expr(dsum_sql("l_extendedprice")) / 7.0).alias("avg_yearly"),
+             F.count(F.lit(1)).alias("n_small_orders"))
+    )
+
+
+@register(
+    "q18_large_volume",
+    oracle=f"""
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_totalprice,
+           {dsum_sql('l_quantity')} AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, order_date, o_totalprice
+    """,
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume customers: orders whose total
+    quantity exceeds a threshold (HAVING subquery as a semi-join), with
+    customer detail re-attached.
+
+    Scale: the HAVING aggregate and the final per-order aggregate share
+    the orderkey partitioning, so the semi-join between them is
+    co-partitioned; only the (heavily reduced) surviving orders join to
+    customer. The plain SUM in the HAVING filter is intentionally far
+    from the 250 cutoff's ULP (quantities are small integers), while
+    the *output* sum uses decimal accumulation for hash equality.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.expr(dsum_sql("l_quantity")).alias("oq"))
+           .filter(F.col("oq") > 250)
+           .select("l_orderkey"))
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "bk"),
+               o.o_orderkey == F.col("bk"), "left_semi")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey",
+                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+                 "o_totalprice")
+        .agg(F.expr(dsum_sql("l_quantity")).alias("sum_qty"))
+    )
+
+
+@register(
+    "q19_disjunctive_join",
+    oracle=f"""
+    SELECT {dsum_sql(_REV, 4)} AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate join: revenue over three
+    OR'd brand/size/quantity branches spanning both join sides.
+
+    Scale: the equi key (partkey) still drives a broadcast hash join;
+    Catalyst extracts the common p_brand IN (...) / p_size <= 35 /
+    l_quantity <= 30 envelope from the disjunction and pushes it below
+    the join, so both scans prune before any pairing happens. The OR
+    itself evaluates post-join inside the same codegen stage.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    branch = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(branch)
+        .agg(F.expr(dsum_sql(_REV, 4)).alias("revenue"),
+             F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+@register(
+    "q22_idle_balances",
+    oracle=f"""
+    WITH avg_bal AS (
+      SELECT {davg_sql('c_acctbal')} AS ab
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey AS nationkey,
+           COUNT(*) AS numcust,
+           {dsum_sql('c_acctbal')} AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped sales opportunity: customers with above-average
+    positive balances and no urgent orders, grouped by nation (the
+    driver schema has every customer ordering, so the classic
+    no-orders-at-all predicate is adapted to no-*urgent*-orders; the
+    country-code prefix becomes c_nationkey — same anti-join + scalar
+    average topology).
+
+    Scale: the average is a one-row all-reduce broadcast into the
+    filter; the anti-join's build side is pre-filtered to urgent orders
+    only, and the surviving customer set is a fraction of a percent of
+    the table before the final tiny aggregate.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT")
+    ab = (c.filter(F.col("c_acctbal") > 0.0)
+          .agg(F.expr(davg_sql("c_acctbal")).alias("ab")))
+    return (
+        c.join(F.broadcast(ab)).filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             F.expr(dsum_sql("c_acctbal")).alias("totacctbal"))
+    )
