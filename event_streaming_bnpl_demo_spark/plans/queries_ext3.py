@@ -1,0 +1,252 @@
+"""Fifth operator batch: window frames over event-time ranges,
+forward-fill (IGNORE NULLS), grouping flags, unpivot/melt reshape,
+outer explode, multiset EXCEPT ALL, cross join, and edit-distance
+scalars. These close the remaining §2.2 window/set-op/scalar corners
+that the earlier batches didn't reach.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources import load_table
+from .catalog import register
+from .sqlcompat import dsum_sql
+
+
+@register(
+    "window_range_interval",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(30,2))) OVER w AS DOUBLE)
+             AS sum_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "frame"),
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per user, count/sum of events in the
+    trailing hour — the time-windowed feature shape (rolling activity)
+    that rowsBetween can't express when event spacing is irregular.
+    RANGE frames include ties, so equal timestamps agree across engines,
+    and the frame sum accumulates in decimal for bit equality.
+
+    Scale: one shuffle on user_id, per-partition sort on ts; the frame
+    is evaluated with a sliding two-pointer over the sorted run — no
+    self-join, no candidate blow-up.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").cast("long"))
+         .rangeBetween(-3600, 0))
+    return ev.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(30,2)")).over(w)
+         .cast("double").alias("sum_last_hour"),
+    )
+
+
+@register(
+    "window_fill_forward",
+    oracle="""
+    SELECT event_id, user_id,
+           LAST_VALUE(pv IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value
+    FROM (SELECT event_id, user_id, ts,
+                 CASE WHEN event_type = 'purchase' THEN value END AS pv
+          FROM events) t
+    """,
+    tags=("window", "frame"),
+)
+def window_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill via LAST_VALUE ... IGNORE NULLS: carry each user's
+    most recent purchase value onto every subsequent event — the
+    standard sparse-to-dense feature propagation. Unique (ts, event_id)
+    ordering keeps the fill deterministic; the filled value is copied,
+    never accumulated, so doubles cross engines untouched.
+
+    Scale: same one-shuffle-one-sort layout as any per-key window; state
+    per row is a single scalar, no frame buffer.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id", "user_id",
+        F.last(pv, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+    SELECT COALESCE(r_name, 'ALL') AS region_name,
+           COALESCE(n_name, 'ALL') AS nation_name,
+           CAST(GROUPING(r_name) AS INT) AS g_region,
+           CAST(GROUPING(n_name) AS INT) AS g_nation,
+           COUNT(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() flags on a rollup — distinguishes a real NULL group
+    key from a subtotal row, which COALESCE alone cannot (the reason
+    grouping flags exist)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.grouping("r_name").cast("int").alias("g_region"),
+             F.grouping("n_name").cast("int").alias("g_nation"),
+             F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "g_region", "g_nation", "n_customers",
+        )
+    )
+
+
+@register(
+    "reshape_unpivot",
+    oracle=f"""
+    SELECT metric,
+           {dsum_sql('mval')} AS sum_val,
+           COUNT(*) AS n
+    FROM (
+      SELECT 'l_quantity' AS metric, l_quantity AS mval FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    ) t
+    GROUP BY metric
+    """,
+    tags=("reshape",),
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt: wide per-row metrics to long (metric, value)
+    pairs, then aggregate per metric — the inverse of agg_pivot.
+
+    Scale: unpivot is a zero-shuffle stack expression (each input row
+    emits k rows in-place); the only exchange is the final tiny
+    per-metric aggregate, so melting 100 TB costs map-side CPU only.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.unpivot(
+            ids=[], values=["l_quantity", "l_discount", "l_tax"],
+            variableColumnName="metric", valueColumnName="mval")
+        .groupBy("metric")
+        .agg(F.expr(dsum_sql("mval")).alias("sum_val"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "array_explode_outer",
+    oracle="""
+    SELECT doc_id,
+           UNNEST(CASE WHEN len(l) = 0 THEN [NULL] ELSE l END) AS long_token
+    FROM (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> length(t) > 9) AS l
+      FROM documents
+    ) t
+    """,
+    tags=("scalar", "array"),
+)
+def array_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows whose filtered token array is empty survive
+    with a NULL element instead of vanishing — the left-outer flavor of
+    UNNEST that keeps every document visible downstream."""
+    d = load_table(spark, sf_dir, "documents")
+    long_toks = F.filter(F.split(F.col("text"), " "),
+                         lambda t: F.length(t) > 9)
+    return d.select(
+        "doc_id", F.explode_outer(long_toks).alias("long_token"))
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT user_id, CAST(ts AS DATE) AS day FROM events
+    WHERE event_type = 'view'
+    EXCEPT ALL
+    SELECT user_id, CAST(ts AS DATE) AS day FROM events
+    WHERE event_type = 'purchase'
+    """,
+    tags=("setop",),
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference): per-(user, day) view rows minus
+    one occurrence per purchase row — multiplicity-preserving, unlike
+    set_except's distinct semantics. Spark plans it as a counted
+    aggregate + generate, one shuffle on the composite key."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").cast("date").alias("day"))
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("date").alias("day"))
+    return a.exceptAll(b)
+
+
+@register(
+    "join_cross_small",
+    oracle="""
+    SELECT r_name, os AS orderstatus
+    FROM region
+    CROSS JOIN (SELECT DISTINCT o_orderstatus AS os FROM orders) t
+    """,
+    tags=("join",),
+)
+def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS JOIN of two tiny sets (region x distinct order statuses) —
+    the scaffold shape for dimension grids / dense calendars. Safe only
+    because both sides are provably small; the engine broadcasts the
+    distinct side so the product never shuffles."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    o = (load_table(spark, sf_dir, "orders")
+         .select(F.col("o_orderstatus").alias("os")).distinct())
+    return r.crossJoin(F.broadcast(o)).select(
+        "r_name", F.col("os").alias("orderstatus"))
+
+
+@register(
+    "scalar_levenshtein",
+    oracle="""
+    SELECT p_partkey, p_type,
+           CAST(levenshtein(p_type, 'PROMO') AS BIGINT) AS dist_promo,
+           CAST(levenshtein(p_brand, p_type) AS BIGINT) AS dist_brand_type
+    FROM part
+    WHERE p_size <= 5
+    """,
+    tags=("scalar", "text"),
+)
+def scalar_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance scalar (fuzzy matching primitive for entity
+    resolution / near-dup candidate scoring) — JVM builtin, exact
+    integer output, no UDF."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    return p.select(
+        "p_partkey", "p_type",
+        F.levenshtein(F.col("p_type"), F.lit("PROMO")).cast("bigint")
+         .alias("dist_promo"),
+        F.levenshtein(F.col("p_brand"), F.col("p_type")).cast("bigint")
+         .alias("dist_brand_type"),
+    )
