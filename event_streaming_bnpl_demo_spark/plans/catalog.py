@@ -94,5 +94,6 @@ def _load() -> None:
     from . import queries_ext2      # noqa: F401
     from . import queries_tpch      # noqa: F401
     from . import queries_ext3      # noqa: F401
+    from . import queries_stats     # noqa: F401
     from . import queries_udf       # noqa: F401
     _LOADED = True

@@ -1,0 +1,212 @@
+"""Sixth operator batch: statistical aggregates made cross-engine
+deterministic, arg-min/max selection, conditional aggregates, exact
+median, and the ORC source format.
+
+Native ``stddev``/``corr`` accumulate doubles in partition order, so
+Spark and DuckDB can disagree in the last bits. Here every moment is
+derived from decimal power sums (exact, associative) and the SAME
+closed-form SQL text is evaluated by both engines, so the final
+double arithmetic is bit-identical by construction — the sqlcompat
+doctrine extended from first moments to second moments.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .catalog import register
+from .sqlcompat import dsum_sql
+
+
+def _var_samp_sql(x: str, scale: int) -> str:
+    """Sample variance from decimal power sums: (S2 - S1^2/n)/(n-1).
+    S1/S2 are exact; the closing double ops are textually identical on
+    both engines, hence bit-equal."""
+    s1 = dsum_sql(x, scale)
+    s2 = dsum_sql(f"({x}) * ({x})", 2 * scale)
+    return f"(({s2}) - ({s1}) * ({s1}) / COUNT(*)) / (COUNT(*) - 1)"
+
+
+def _corr_sql(x: str, y: str, sx: int, sy: int) -> str:
+    """Pearson correlation from exact cross/power sums."""
+    sx1, sy1 = dsum_sql(x, sx), dsum_sql(y, sy)
+    sxx = dsum_sql(f"({x}) * ({x})", 2 * sx)
+    syy = dsum_sql(f"({y}) * ({y})", 2 * sy)
+    sxy = dsum_sql(f"({x}) * ({y})", sx + sy)
+    n = "COUNT(*)"
+    return (f"({n} * ({sxy}) - ({sx1}) * ({sy1}))"
+            f" / (SQRT({n} * ({sxx}) - ({sx1}) * ({sx1}))"
+            f" * SQRT({n} * ({syy}) - ({sy1}) * ({sy1})))")
+
+
+_VAR = _var_samp_sql("c_acctbal", 2)
+
+
+@register(
+    "agg_stats_moments",
+    oracle=f"""
+    SELECT c_mktsegment,
+           {_VAR} AS var_acctbal,
+           SQRT({_VAR}) AS stddev_acctbal,
+           COUNT(*) AS n
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("agg", "stats"),
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance / stddev per segment via decimal power sums — the
+    order-independent formulation of the second moment (native stddev
+    is partition-order-dependent and would fail a value-hash compare).
+
+    Scale: power sums are plain partial aggregates — map-side combine
+    collapses each partition to (S1, S2, n) before one tiny shuffle;
+    identical cost profile to SUM/COUNT at any data size.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.expr(_VAR).alias("var_acctbal"),
+        F.expr(f"SQRT({_VAR})").alias("stddev_acctbal"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_CORR = _corr_sql("l_quantity", "l_extendedprice", 1, 2)
+
+
+@register(
+    "agg_stats_corr",
+    oracle=f"""
+    SELECT l_returnflag,
+           {_CORR} AS corr_qty_price,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs extended price per return
+    flag, from exact cross/power sums (see module docstring); one
+    shuffle of five exact accumulators per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(_CORR).alias("corr_qty_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_minmax_by",
+    oracle="""
+    SELECT c_nationkey,
+           max_by(c_name, c_acctbal) AS richest_customer,
+           min_by(c_name, c_acctbal) AS poorest_customer,
+           MAX(c_acctbal) AS max_bal,
+           MIN(c_acctbal) AS min_bal
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    tags=("agg",),
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max/arg-min selection (max_by/min_by): the row attribute at
+    the extreme value, without a join-back or window. Deterministic
+    here because per-nation balance extremes are unique in the dataset
+    (verified at every SF); a production pipeline would tiebreak via
+    max_by(struct(bal, key)) on a unique key.
+
+    Scale: max_by carries one (value, arg) pair per group through the
+    partial aggregate — same shuffle profile as plain MAX.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.expr("max_by(c_name, c_acctbal)").alias("richest_customer"),
+        F.expr("min_by(c_name, c_acctbal)").alias("poorest_customer"),
+        F.max("c_acctbal").alias("max_bal"),
+        F.min("c_acctbal").alias("min_bal"),
+    )
+
+
+@register(
+    "agg_conditional",
+    oracle="""
+    SELECT user_id,
+           count_if(event_type = 'purchase') AS n_purchases,
+           count_if(value > 100.0) AS n_high_value,
+           bool_or(event_type = 'error') AS had_error,
+           bool_and(value >= 0.0) AS all_nonneg
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("agg",),
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates: count_if / bool_or / bool_and — the
+    filtered-count idiom without self-joins or CASE scaffolding; all
+    partial-aggregate friendly."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.expr("count_if(event_type = 'purchase')").alias("n_purchases"),
+        F.expr("count_if(value > 100.0)").alias("n_high_value"),
+        F.expr("bool_or(event_type = 'error')").alias("had_error"),
+        F.expr("bool_and(value >= 0.0)").alias("all_nonneg"),
+    )
+
+
+@register(
+    "agg_median_exact",
+    oracle="""
+    SELECT l_returnflag,
+           median(l_quantity) AS median_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median per group. Safe to hash-compare because quantities
+    are small integer-valued doubles: the even-count midpoint (a+b)/2
+    and the interpolated form a+0.5*(b-a) are both exact FP arithmetic
+    on such inputs, so the engines agree bit-for-bit. (For general
+    doubles, exact-median determinism needs a single agreed formula —
+    use the power-sum moments or a discrete quantile instead.)
+
+    Scale: exact median is the one aggregate here that buffers its
+    group — Spark's percentile sorts per group post-shuffle. At 100 TB
+    prefer approx_percentile (sketch, mergeable) unless exactness is a
+    requirement.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "source_orc_scan",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("source",),
+)
+def source_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source: the orders table exported once to ORC and read back
+    with predicate/column pushdown (ORC supports both, like parquet) —
+    proving the engine's source surface is format-plural. The filter is
+    applied on the ORC read side, not the export side."""
+    out = os.path.join(tempfile.gettempdir(),
+                       f"spark_graft_orc_{os.path.basename(sf_dir.rstrip('/'))}")
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    src.write.mode("overwrite").orc(out)
+    return (spark.read.orc(out)
+            .filter(F.col("o_orderstatus") == "F"))

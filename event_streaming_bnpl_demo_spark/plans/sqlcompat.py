@@ -21,13 +21,22 @@ from pyspark.sql import functions as F
 
 
 def dsum_sql(expr: str, scale: int = 2) -> str:
-    """Order-independent double SUM: decimal-accumulate then to double."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,{scale}))) AS DOUBLE)"
+    """Order-independent double SUM: decimal-accumulate then to double.
+
+    The decimal->double conversion goes through a STRING round-trip:
+    decimal->string is exact and string->double is correctly rounded in
+    both engines, whereas DuckDB's direct DECIMAL->DOUBLE cast double-
+    rounds once the scaled integer exceeds 2^53 (observed: a
+    DECIMAL(30,4) sum of 7096786968835.8685 cast to 7096786968835.869
+    by DuckDB vs the correctly-rounded ...5.868 from Spark/Python).
+    """
+    return (f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(30,{scale})))"
+            f" AS STRING) AS DOUBLE)")
 
 
 def davg_sql(expr: str, scale: int = 6) -> str:
     """Order-independent double AVG: exact decimal sum / exact count."""
-    return (f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,{scale}))) AS DOUBLE)"
+    return (f"{dsum_sql(expr, scale)}"
             f" / CAST(COUNT({expr}) AS DOUBLE)")
 
 
