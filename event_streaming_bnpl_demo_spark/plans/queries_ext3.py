@@ -228,6 +228,65 @@ def join_cross_small(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT) AS prop_k,
+           CAST(props->>'$.missing' AS BIGINT) AS prop_absent
+    FROM events
+    WHERE event_type = 'click'
+    """,
+    tags=("scalar", "json"),
+)
+def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    parse_json once into a binary-encoded document, then variant_get
+    path extraction — the engine's modern JSON path (single parse,
+    typed sub-access, no per-path re-parse like get_json_object).
+    Absent paths surface as NULL, matching JSON-path semantics.
+
+    Scale: VARIANT's encoded form is columnar-friendly (shreddable) and
+    each variant_get is a JVM expression inside codegen — this is the
+    100 TB posture for ragged event payloads.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("prop_k"),
+        F.variant_get(v, "$.missing", "bigint").alias("prop_absent"),
+    )
+
+
+@register(
+    "source_xml_scan",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation WHERE n_regionkey <= 2
+    """,
+    tags=("source",),
+)
+def source_xml_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source (native in Spark 4): the nation table exported once
+    as XML rows and read back with an explicit schema and rowTag —
+    completing the format-plural source surface (parquet / JSON / CSV /
+    ORC / XML)."""
+    import os
+    import tempfile
+    out = os.path.join(tempfile.gettempdir(),
+                       f"spark_graft_xml_{os.path.basename(sf_dir.rstrip('/'))}")
+    src = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    (src.write.mode("overwrite").option("rootTag", "nations")
+        .option("rowTag", "nation").format("xml").save(out))
+    schema = "n_nationkey long, n_name string, n_regionkey long"
+    return (spark.read.schema(schema).option("rowTag", "nation")
+            .format("xml").load(out)
+            .filter(F.col("n_regionkey") <= 2))
+
+
+@register(
     "scalar_levenshtein",
     oracle="""
     SELECT p_partkey, p_type,

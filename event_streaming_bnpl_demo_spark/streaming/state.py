@@ -23,6 +23,8 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor, StatefulProcessorHandle)
 from pyspark.sql.types import (LongType, StringType, StructField, StructType)
 
 BILL_STATE_SCHEMA = StructType([
@@ -74,6 +76,64 @@ def _update(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     yield pd.DataFrame(
         [(key[0], *row)],
         columns=[f.name for f in BILL_OUTPUT_SCHEMA.fields])
+
+
+class BillLifecycleProcessor(StatefulProcessor):
+    """The same bill fold as ``_update`` on the transformWithState API
+    (Spark 4 arbitrary stateful processing): named ValueState instead
+    of a single opaque state row, explicit init/close lifecycle, and
+    room for timers/TTL that GroupState never had. Kept semantically
+    identical to the applyInPandasWithState path so both are pinned by
+    one test."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("bill", BILL_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues
+                        ) -> Iterator[pd.DataFrame]:
+        row = self._state.get()
+        for pdf in rows:
+            row = _fold(row, pdf)
+        self._state.update(row)
+        yield pd.DataFrame(
+            [(key[0], *row)],
+            columns=[f.name for f in BILL_OUTPUT_SCHEMA.fields])
+
+    def close(self) -> None:
+        pass
+
+
+def bill_state_stream_tws(events: DataFrame) -> DataFrame:
+    """bill_state_stream on the Spark 4 ``transformWithStateInPandas``
+    API — same filter, same fold, same update-mode output contract;
+    state store still partitions by bill_id.
+
+    transformWithState only runs on the RocksDB state store provider
+    (the scale-path store anyway: state spills to disk instead of
+    living on the JVM heap), so the session is switched to it here —
+    it applies to queries started afterwards.
+
+    Runtime dependency: the transformWithState driver worker speaks a
+    protobuf state-server protocol, so ``google.protobuf`` must be
+    installed (it is in any stock Spark 4 deployment; this container
+    lacks it, so the paired test auto-skips there and the
+    applyInPandasWithState path stays the tested default).
+    """
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    bills = events.filter(
+        events.event_type.isin("MemberBillCreatedEvent", "PaymentCompletedEvent"))
+    return (
+        bills.groupBy("bill_id")
+        .transformWithStateInPandas(
+            BillLifecycleProcessor(),
+            outputStructType=BILL_OUTPUT_SCHEMA,
+            outputMode="update",
+            timeMode="none",
+        )
+    )
 
 
 def bill_state_stream(events: DataFrame) -> DataFrame:

@@ -185,13 +185,31 @@ def test_incremental_equals_recompute(spark, tmp_path):
     assert b3["status"] == "unpaid" and b3["amount"] == 250
 
 
+def _has_protobuf() -> bool:
+    try:
+        import importlib.util
+        return importlib.util.find_spec("google.protobuf") is not None
+    except (ImportError, ModuleNotFoundError):
+        return False
+
+
 @pytest.mark.parametrize("reorder", [False, True])
-def test_state_machine_stream(spark, tmp_path, reorder):
-    """applyInPandasWithState bill lifecycle over a file stream:
+@pytest.mark.parametrize("api", [
+    "group_state",
+    pytest.param("transform_with_state", marks=pytest.mark.skipif(
+        not _has_protobuf(),
+        reason="transformWithState's driver worker imports google.protobuf "
+               "(state-server protocol), not installed in this container")),
+])
+def test_state_machine_stream(spark, tmp_path, reorder, api):
+    """Bill lifecycle over a file stream on BOTH stateful APIs
+    (applyInPandasWithState and Spark 4 transformWithStateInPandas):
     create→pay (and pay→create reordered) both end 'paid'."""
     from event_streaming_bnpl_demo_spark.sources.events import read_event_stream
-    from event_streaming_bnpl_demo_spark.streaming.state import bill_state_stream
+    from event_streaming_bnpl_demo_spark.streaming.state import (
+        bill_state_stream, bill_state_stream_tws)
 
+    impl = bill_state_stream if api == "group_state" else bill_state_stream_tws
     events = GOLDEN[2:4]
     if reorder:
         events = list(reversed(events))
@@ -199,14 +217,14 @@ def test_state_machine_stream(spark, tmp_path, reorder):
     out = str(tmp_path / "state_out")
     write_events(in_dir, events)
     stream = read_event_stream(spark, in_dir)
-    q = (bill_state_stream(stream).writeStream
-         .format("memory").queryName("bill_state")
+    q = (impl(stream).writeStream
+         .format("memory").queryName(f"bill_state_{api}")
          .outputMode("update")
          .option("checkpointLocation", out)
          .trigger(availableNow=True).start())
     q.awaitTermination()
     rows = {r["bill_id"]: r.asDict()
-            for r in spark.sql("select * from bill_state").collect()}
+            for r in spark.sql(f"select * from bill_state_{api}").collect()}
     assert rows["b-001"]["status"] == "paid"
     assert rows["b-001"]["paid_date"] == "2026-01-02"
     assert rows["b-001"]["amount"] == 5000
