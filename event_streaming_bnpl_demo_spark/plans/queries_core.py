@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..sources import load_table
+from ..sources import load_table, maybe_broadcast
 from .catalog import register
 from .sqlcompat import davg_sql, dsum_sql
 
@@ -327,14 +327,16 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped multi-way star join: fact lineitem joined up the
     dimension chain.
 
-    Scale: nation/region are broadcast (hinted); lineitem⋈orders is the
-    only large shuffle, on the shared orderkey — with both tables
-    bucketed by orderkey it becomes shuffle-free; orders⋈customer
-    shuffles the pre-joined (pruned) columns only.
+    Scale: nation/region are broadcast (hinted); orders/customer take
+    stats-based hints (sources.maybe_broadcast) that vanish once their
+    measured size outgrows the threshold — past that, lineitem⋈orders
+    is the only large shuffle, on the shared orderkey (shuffle-free if
+    both are bucketed by it), and orders⋈customer shuffles the
+    pre-joined (pruned) columns only.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
+    o = maybe_broadcast(load_table(spark, sf_dir, "orders"), sf_dir, "orders")
+    c = maybe_broadcast(load_table(spark, sf_dir, "customer"), sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     return (

@@ -11,7 +11,7 @@ import uuid as _uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources import load_table, register_views
+from ..sources import load_table, maybe_broadcast, register_views
 from .catalog import all_queries, register
 from .sqlcompat import dsum_sql
 
@@ -40,13 +40,17 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: both join-side filters push to the scans (segment on
     customer, date ranges on orders/lineitem); filtered customer
-    broadcasts; lineitem⋈orders shuffles once on orderkey; final top-10
-    is TakeOrdered, not a global sort.
+    broadcasts; orders takes a stats-based broadcast hint
+    (sources.maybe_broadcast: hinted only while its measured size fits,
+    so at 100 TB the join falls back to one shuffle on orderkey);
+    final top-10 is TakeOrdered, not a global sort.
     """
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING")
-    o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    o = maybe_broadcast(
+        load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")),
+        sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
     return (

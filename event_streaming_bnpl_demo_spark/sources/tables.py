@@ -62,6 +62,35 @@ def spread(df: DataFrame, *keys: str, parts: int | None = None) -> DataFrame:
     return df.repartition(n, *keys) if keys else df.repartition(n)
 
 
+#: On-disk bytes below which a table side is hinted broadcast-able.
+#: Parquet compresses ~3-5x, so 32 MB on disk is well inside the
+#: executor-memory budget for a broadcast hash table.
+BROADCAST_DISK_BYTES = 32 * 1024 * 1024
+
+
+def maybe_broadcast(df: DataFrame, sf_dir: str, name: str,
+                    threshold: int = BROADCAST_DISK_BYTES) -> DataFrame:
+    """Stats-based broadcast hint: hint ``df`` broadcast-able only when
+    the backing table's measured on-disk size is under ``threshold``.
+
+    This is the cost-based-optimizer decision made with *real* table
+    stats instead of Catalyst's pre-filter size guess (a filtered scan
+    keeps the whole file's size estimate until AQE sees runtime stats —
+    by which point the big side's shuffle map stage is already paid).
+    At 100 TB the same call returns the DataFrame un-hinted and the
+    join falls back to the shuffled path, so plans stay scale-correct
+    with no code change.
+    """
+    try:
+        path = table_path(sf_dir, name)
+        size = (sum(e.stat().st_size for e in os.scandir(path)
+                    if e.is_file())
+                if os.path.isdir(path) else os.path.getsize(path))
+    except OSError:
+        return df
+    return F.broadcast(df) if size < threshold else df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so ``spark.sql`` plans work."""
     for name in TABLE_NAMES:

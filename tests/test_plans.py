@@ -164,3 +164,32 @@ def test_topk_per_group_no_global_sort(spark):
     plan = plan_of(spark, "topk_per_group")
     assert "rangepartitioning" not in plan.lower().replace(" ", "") or \
         "TakeOrderedAndProject" in plan
+
+
+def test_maybe_broadcast_is_stats_gated(spark):
+    """The stats-based broadcast hint must appear while the backing
+    table is small and vanish once its measured on-disk size exceeds
+    the threshold — the property that keeps q3/q5's local speedup from
+    becoming a 100 TB broadcast of a fact table."""
+    from pyspark.sql import functions as F
+
+    from event_streaming_bnpl_demo_spark.sources import (load_table,
+                                                         maybe_broadcast)
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    o = load_table(spark, SF_SMOKE, "orders")
+
+    hinted = maybe_broadcast(o, SF_SMOKE, "orders")
+    plan = li.join(hinted, li.l_orderkey == hinted.o_orderkey)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+    unhinted = maybe_broadcast(o, SF_SMOKE, "orders", threshold=1)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan2 = li.join(unhinted, li.l_orderkey == unhinted.o_orderkey)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan2
+    finally:
+        from event_streaming_bnpl_demo_spark.session import tune
+        tune(spark)
