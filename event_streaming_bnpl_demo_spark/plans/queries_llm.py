@@ -858,3 +858,151 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("s").alias("n_hits"))
     )
+
+
+# --------------------------------------------------------------------------
+# quality signals: repetition, scrubbing, sequence packing
+# --------------------------------------------------------------------------
+
+
+@register(
+    "llm_text_repetition",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE) AS dup_token_ratio,
+           1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                 / CAST(len(bigrams) AS DOUBLE) AS dup_bigram_ratio
+    FROM (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks) - 1),
+                       i -> concat_ws(' ', toks[i], toks[i + 1])) END AS bigrams
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t1
+    ) t2
+    """,
+    tags=("llm", "quality"),
+)
+def llm_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher-rules shape): duplicate
+    token fraction and duplicate bigram fraction per document — high
+    values flag boilerplate/spam for filtering before pre-training.
+
+    Scale: pure array expressions (split / distinct / transform) —
+    ZERO shuffle, per-row map work inside codegen; quality-scoring
+    100 TB costs exactly one pass over the bytes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.expr(
+        "CASE WHEN size(split(text, ' ')) < 2 "
+        "THEN array(concat_ws(' ', split(text, ' '))) "
+        "ELSE transform(sequence(0, size(split(text, ' ')) - 2), "
+        "i -> concat_ws(' ', element_at(split(text, ' '), i + 1), "
+        "element_at(split(text, ' '), i + 2))) END")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double")
+         / F.size(toks).cast("double")).alias("dup_token_ratio"),
+        (F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double")
+         / F.size(bigrams).cast("double")).alias("dup_bigram_ratio"),
+    )
+
+
+@register(
+    "llm_text_scrub",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(dirty) AS BIGINT) AS n_chars_dirty,
+           CAST(length(regexp_replace(dirty,
+                '[a-z0-9.]+@[a-z0-9.]+[.][a-z]+', '<EMAIL>', 'g'))
+                AS BIGINT) AS n_chars_clean,
+           dirty <> regexp_replace(dirty,
+                '[a-z0-9.]+@[a-z0-9.]+[.][a-z]+', '<EMAIL>', 'g')
+             AS was_scrubbed
+    FROM (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                              '@example.com now')
+                  ELSE text END AS dirty
+      FROM documents
+    ) t
+    """,
+    tags=("llm", "quality"),
+)
+def llm_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: replace email addresses with a placeholder tag and
+    report per-document before/after sizes. The corpus is synthetic and
+    clean, so a deterministic contamination step (docs with id%7==0 get
+    an appended address) makes the scrub observable — identical
+    injection and identical regex on both engines, no trivial pass.
+
+    Scale: regexp_replace is a per-row codegen expression — scrubbing
+    is shuffle-free and composes with the repetition/quality filters in
+    the same single pass.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    dirty = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"), F.lit(" contact user"),
+                 F.col("doc_id").cast("string"), F.lit("@example.com now"))
+    ).otherwise(F.col("text"))
+    clean = F.regexp_replace(dirty, "[a-z0-9.]+@[a-z0-9.]+[.][a-z]+",
+                             "<EMAIL>")
+    return d.select(
+        "doc_id",
+        F.length(dirty).cast("bigint").alias("n_chars_dirty"),
+        F.length(clean).cast("bigint").alias("n_chars_clean"),
+        (dirty != clean).alias("was_scrubbed"),
+    )
+
+
+@register(
+    "llm_pack_sequences",
+    oracle="""
+    SELECT lang,
+           CAST(FLOOR((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS bin_tokens
+    FROM (
+      SELECT lang, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM documents
+    ) t
+    GROUP BY lang, bin_id
+    """,
+    tags=("llm", "pack"),
+)
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: assign documents (per language, in
+    deterministic doc_id order) to ~2048-token bins by exclusive-start
+    running token count, then report per-bin document/token totals —
+    the batch-packing layout step before tokenized examples are
+    written.
+
+    Scale: one shuffle on the packing partition key (lang here; a
+    production pipeline packs per shard = (lang, hash-bucket) so
+    partitions stay bounded), a per-partition sort, and integer-only
+    window arithmetic — no floats, no cross-engine drift.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum(n_tokens).over(w)
+    return (
+        d.select("lang", "doc_id", n_tokens.alias("n_tokens"),
+                 cum.alias("cum_tokens"))
+        .select("lang", "n_tokens",
+                F.floor((F.col("cum_tokens") - F.col("n_tokens")) / 2048.0)
+                 .cast("bigint").alias("bin_id"))
+        .groupBy("lang", "bin_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").alias("bin_tokens"))
+    )
