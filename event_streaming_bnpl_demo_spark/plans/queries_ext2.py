@@ -121,13 +121,18 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the quarter filter prunes orders at the scan; lineitem's
     returnflag filter prunes before the orderkey shuffle; nation (25
-    rows) broadcasts; the top-20 is TakeOrdered (per-partition heaps +
-    driver merge), never a global sort."""
-    c = load_table(spark, sf_dir, "customer")
+    rows) broadcasts and orders/customer take stats-based hints
+    (shuffled joins again once measured size outgrows the threshold);
+    the top-20 is TakeOrdered (per-partition heaps + driver merge),
+    never a global sort."""
+    c = maybe_broadcast(load_table(spark, sf_dir, "customer"),
+                        sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
-    o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    o = maybe_broadcast(
+        load_table(spark, sf_dir, "orders").filter(
+            (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))),
+        sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag") == "R")
     return (
