@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..sources import load_table
 from .catalog import register
-from .sqlcompat import dsum_sql
+from .sqlcompat import davg_sql, dsum_sql
 
 _TS = "%Y-%m-%d %H:%M:%S"
 
@@ -156,3 +156,83 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "stream_static_join",
+    oracle=f"""
+    WITH profile AS (
+      SELECT user_id,
+             COUNT(*) AS n_total,
+             CASE WHEN {davg_sql('value')} >= 110.0 THEN 'high'
+                  WHEN {davg_sql('value')} >= 90.0 THEN 'mid'
+                  ELSE 'low' END AS tier
+      FROM events GROUP BY user_id
+    )
+    SELECT tier,
+           COUNT(*) AS n_purchases,
+           {dsum_sql('value')} AS purchase_value,
+           COUNT(DISTINCT p.user_id) AS n_users
+    FROM events p JOIN profile USING (user_id)
+    WHERE p.event_type = 'purchase'
+    GROUP BY tier
+    """,
+    tags=("stream", "join"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: a live purchase stream joined to
+    a static per-user profile (computed batch-side from the event log),
+    then aggregated per profile tier — the dimension-enrichment shape
+    every streaming pipeline runs. The stream side is a genuine
+    ``readStream`` drained with availableNow; the static side is a
+    batch DataFrame, re-read per micro-batch by Structured Streaming's
+    stream-static join (stateless — no watermark needed).
+
+    Scale: the profile side is small per key and broadcasts (or is
+    pre-bucketed at 100 TB); the stream side never shuffles before the
+    join, so enrichment adds no state and no exchange to the hot path.
+    """
+    import uuid as _uuid
+
+    from .queries_ext import _scratch
+
+    profile = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_total"),
+             F.expr(davg_sql("value")).alias("avg_value"))
+        .select(
+            "user_id", "n_total",
+            F.when(F.col("avg_value") >= 110.0, "high")
+             .when(F.col("avg_value") >= 90.0, "mid")
+             .otherwise("low").alias("tier"))
+    )
+    name = f"enrich_{_uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (spark.readStream
+              .schema("event_id long, ts long, user_id long, "
+                      "event_type string, value double, props string")
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir)
+              .filter(F.col("event_type") == "purchase"))
+    enriched = (stream.join(F.broadcast(profile), "user_id")
+                .groupBy("tier")
+                .agg(F.count(F.lit(1)).alias("n_purchases"),
+                     F.expr(dsum_sql("value")).alias("purchase_value"),
+                     F.approx_count_distinct("user_id").alias("_n")))
+    q = (enriched.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation", _scratch(f"ck_{name}"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    # exact distinct per tier is re-derived batch-side (streaming
+    # complete-mode count_distinct is unsupported; the approx column is
+    # dropped) — counts/sums come from the drained stream.
+    exact_users = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(profile), "user_id")
+        .groupBy("tier")
+        .agg(F.countDistinct("user_id").alias("n_users")))
+    return (spark.table(name).drop("_n")
+            .join(exact_users, "tier"))
