@@ -1,11 +1,14 @@
 """Fourth operator batch: the remaining TPC-H-shaped queries expressible
 on the slimmed driver schemas (no partsupp / shipmode / commitdate, so
-Q2/Q4/Q9/Q11/Q12/Q16/Q20/Q21 have no faithful analog) — Q7, Q13, Q15,
-Q17, Q18, Q19, Q22. Together with Q1/Q3/Q5/Q6/Q10/Q14 these exercise
-every join/agg/subquery topology the benchmark uses: cross-nation
-self-paired dims (Q7), outer-join histograms (Q13), scalar-subquery max
-(Q15), per-key correlated thresholds (Q17), HAVING semi-filters (Q18),
-disjunctive join predicates (Q19), and anti-join + scalar average (Q22).
+Q2/Q4/Q9/Q11/Q12/Q16/Q20 have no faithful analog) — Q7, Q8, Q13, Q15,
+Q17, Q18, Q19, Q21 (lateness adapted to a shipdate threshold), Q22.
+Together with Q1/Q3/Q5/Q6/Q10/Q14 these exercise every join/agg/subquery
+topology the benchmark uses: cross-nation self-paired dims (Q7), an
+8-table star with a ratio-of-conditional-sums (Q8), outer-join
+histograms (Q13), scalar-subquery max (Q15), per-key correlated
+thresholds (Q17), HAVING semi-filters (Q18), disjunctive join
+predicates (Q19), double-correlated EXISTS/NOT EXISTS self-joins (Q21),
+and anti-join + scalar average (Q22).
 
 All numeric aggregates go through plans.sqlcompat decimal accumulation
 so Spark and DuckDB agree bit-for-bit (including the Q15/Q17 equality
@@ -86,6 +89,84 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.year("l_shipdate").cast("int").alias("l_year"))
         .agg(F.expr(dsum_sql(_REV, 4)).alias("revenue"),
              F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+_Q8_CASE = ("CASE WHEN nation = 'NATION_1'"
+            f" THEN {_REV} ELSE 0 END")
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    WITH vol AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice, l_discount,
+             n2.n_name AS nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n1.n_regionkey
+      JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                            AND TIMESTAMP '1996-12-31 00:00:00'
+    )
+    SELECT o_year,
+           {dsum_sql(_Q8_CASE, 4)} AS nation_revenue,
+           {dsum_sql(_REV, 4)} AS total_revenue,
+           ({dsum_sql(_Q8_CASE, 4)}) / ({dsum_sql(_REV, 4)}) AS mkt_share
+    FROM vol
+    GROUP BY o_year
+    """,
+    tags=("join", "agg", "star", "tpch"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped national market share: NATION_1's share of
+    ECONOMY-part revenue sold into AMERICA, by order year — the widest
+    star in the pack (lineitem ⋈ part ⋈ supplier ⋈ orders ⋈ customer ⋈
+    nation×2 ⋈ region), with a ratio of conditional sums.
+
+    Scale: every dimension side is broadcast (part after its p_type
+    prune, supplier+nation, customer pre-semi-reduced by the
+    region-filtered nation keys), so lineitem⋈orders on orderkey is the
+    only big shuffle; the orderdate window pushes into the orders scan.
+    The share divides two decimal-exact sums already computed for the
+    output, so the double division is bit-identical cross-engine.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1995-01-01 00:00:00").cast("timestamp"),
+            F.lit("1996-12-31 00:00:00").cast("timestamp")))
+    c = load_table(spark, sf_dir, "customer")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_regionkey").alias("n1_rkey"))
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("nation"))
+    cust_america = c.join(
+        F.broadcast(n1.join(F.broadcast(r), n1.n1_rkey == r.r_regionkey)),
+        c.c_nationkey == F.col("n1_key"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s.join(F.broadcast(n2),
+                                 s.s_nationkey == n2.n2_key)),
+              li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust_america, o.o_custkey == F.col("c_custkey"), "left_semi")
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.expr(dsum_sql(_Q8_CASE, 4)).alias("nation_revenue"),
+             F.expr(dsum_sql(_REV, 4)).alias("total_revenue"),
+             (F.expr(dsum_sql(_Q8_CASE, 4))
+              / F.expr(dsum_sql(_REV, 4))).alias("mkt_share"))
     )
 
 
@@ -297,6 +378,77 @@ def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(branch)
         .agg(F.expr(dsum_sql(_REV, 4)).alias("revenue"),
              F.count(F.lit(1)).alias("n_lineitems"))
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH lo AS (
+      SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 365 DAY) AS is_late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lo l1 ON s_suppkey = l1.l_suppkey
+    WHERE l1.is_late
+      AND EXISTS (SELECT 1 FROM lo l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lo l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.is_late)
+    GROUP BY s_name
+    """,
+    tags=("join", "agg", "subquery", "tpch"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped waiting suppliers: late lineitems whose supplier
+    is the *only* late supplier in a multi-supplier finalized order
+    (the driver schema has no commit/receipt dates, so "late" is adapted
+    to shipping >365 days after the order date — same double-correlated
+    EXISTS / NOT EXISTS self-join topology).
+
+    The oracle keeps the faithful correlated-subquery formulation; the
+    Spark plan decorrelates it into per-(order, supplier) aggregates:
+    an order qualifies iff it has >1 distinct suppliers and exactly one
+    of them is late, and that supplier's late-row count is its numwait
+    contribution — one pass over lineitem instead of three.
+
+    Scale: the fact shuffles once on orderkey (the (orderkey, suppkey)
+    partial agg is map-side-combined into the same exchange); the
+    blame assignment is a per-order reduce with no further shuffle, and
+    supplier is broadcast onto the (tiny) qualifying set.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier")
+    lo = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .select("l_orderkey", "l_suppkey",
+                  (F.col("l_shipdate")
+                   > F.timestamp_add("DAY", F.lit(365), F.col("o_orderdate"))
+                   ).alias("is_late")))
+    per_supp = (lo.groupBy("l_orderkey", "l_suppkey")
+                .agg(F.max("is_late").alias("supp_late"),
+                     F.sum(F.when(F.col("is_late"), 1).otherwise(0))
+                      .alias("n_late_rows")))
+    per_order = (per_supp.groupBy("l_orderkey")
+                 .agg(F.count(F.lit(1)).alias("n_supp"),
+                      F.sum(F.when(F.col("supp_late"), 1).otherwise(0))
+                       .alias("n_late_supp")))
+    qualifying = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+    ).select(F.col("l_orderkey").alias("qk"))
+    return (
+        per_supp.filter(F.col("supp_late"))
+        .join(qualifying, F.col("l_orderkey") == F.col("qk"), "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("n_late_rows").alias("numwait"))
     )
 
 
