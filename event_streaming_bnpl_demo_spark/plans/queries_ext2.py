@@ -349,6 +349,44 @@ def join_interval_op(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_interval_outer",
+    oracle="""
+    SELECT v.user_id AS user_id, v.event_id AS view_id,
+           p.event_id AS p_id, p.value AS p_value
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("join", "theta", "outer"),
+)
+def join_interval_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer variant of the interval join: every view survives,
+    with nulls where no purchase followed within 30 minutes. Under
+    readStream the same call is Spark's watermarked stream-stream outer
+    join — unmatched left state emits null-extended rows once the
+    watermark passes the interval bound
+    (tests/test_streaming_semantics.py::test_stream_stream_outer_join).
+
+    Scale: identical plan to the inner form (equi key drives the
+    shuffle, time bound evaluates in-stage); in streaming the
+    watermark + bound also cap the retained outer-side state."""
+    from ..operators.interval import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"), F.col("value").alias("p_value"))
+    joined = interval_join(
+        v, p.withColumnRenamed("p_user", "user_id"),
+        "user_id", "v_ts", "p_ts", "30 MINUTE", how="left")
+    return joined.select("user_id", "view_id", "p_id", "p_value")
+
+
+@register(
     "q14_promo_share",
     oracle=f"""
     SELECT {dsum_sql("CASE WHEN p_type = 'PROMO' "

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import functions as F
 from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
@@ -161,6 +162,73 @@ def test_stream_stream_interval_join(spark, tmp_path):
     batch = sorted((r["view_id"], r["p_id"], r["p_value"])
                    for r in joined(bv, bp).collect())
     assert streamed == batch == [(1, 2, 99.0)]
+
+
+def test_stream_stream_outer_join(spark, tmp_path):
+    """Watermarked stream-stream LEFT OUTER interval join: a view with
+    no purchase inside the hour emits a null-extended row once the
+    watermark passes its join bound — state is closed, not retained
+    forever. A late sentinel file advances the watermark so the outer
+    result can actually emit under availableNow."""
+    from event_streaming_bnpl_demo_spark.operators.interval import (
+        interval_join)
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    t = "2026-01-01T{:02d}:{:02d}:00.000Z"
+    rows = [
+        {"event_id": 1, "ts": t.format(10, 0), "user_id": 7,
+         "event_type": "view", "value": 1.0},
+        {"event_id": 2, "ts": t.format(10, 30), "user_id": 7,
+         "event_type": "purchase", "value": 99.0},   # matches view 1
+        {"event_id": 3, "ts": t.format(10, 5), "user_id": 8,
+         "event_type": "view", "value": 1.0},        # never matched
+    ]
+    write_jsonl(in_dir, "a.jsonl", rows)
+    # Sentinels far in the future, on BOTH sides: the global watermark
+    # is the MIN of the two input watermarks, so a one-sided sentinel
+    # would never advance it. Two sentinel files because outer results
+    # emit in the batch AFTER the watermark passes their bound.
+    #
+    # The sentinels must NOT be filtered inside the query: a filter on
+    # left-side columns pushes below the left-outer join — and below
+    # the watermark operator — so filtered sentinel views would never
+    # advance the view-side watermark. They are dropped post-collect.
+    for name, day, vid, pid in (("b.jsonl", 2, 98, 99),
+                                ("c.jsonl", 3, 100, 101)):
+        write_jsonl(in_dir, name, [
+            {"event_id": vid, "ts": f"2026-01-0{day}T12:00:00.000Z",
+             "user_id": 0, "event_type": "view", "value": 0.0},
+            {"event_id": pid, "ts": f"2026-01-0{day}T12:05:00.000Z",
+             "user_id": 0, "event_type": "purchase", "value": 0.0}])
+    # the file source admits oldest-mtime first: pin mtimes so the real
+    # data is batch 0 and the sentinel batches follow (maxFilesPerTrigger=1)
+    now = time.time()
+    for i, name in enumerate(["a.jsonl", "b.jsonl", "c.jsonl"]):
+        os.utime(os.path.join(in_dir, name),
+                 (now - 60 + i * 20, now - 60 + i * 20))
+
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1).json(in_dir))
+    v = stream.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"))
+    p = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"), F.col("value").alias("p_value"))
+    q = (interval_join(v.withWatermark("v_ts", "10 minutes"),
+                       p.withWatermark("p_ts", "10 minutes"),
+                       "user_id", "v_ts", "p_ts", "1 HOUR", how="left")
+         .select("view_id", "p_id", "p_value")
+         .writeStream.format("memory").queryName("ssoj")
+         .outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    streamed = sorted(
+        (r["view_id"], r["p_id"], r["p_value"])
+        for r in spark.sql("select * from ssoj").collect()
+        if r["view_id"] < 90)  # drop watermark sentinels
+    assert streamed == [(1, 2, 99.0), (3, None, None)]
 
 
 def test_stream_window_matches_batch(spark, tmp_path):
