@@ -151,6 +151,56 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _components_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT * FROM ({_minhash_oracle()}) t
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ), reach AS (
+      SELECT doc_id AS id, doc_id AS lbl FROM documents
+      UNION
+      SELECT e.src AS id, r.lbl
+      FROM reach r JOIN edges e ON r.id = e.dst
+    ), comp AS (
+      SELECT id AS doc_id, MIN(lbl) AS component FROM reach GROUP BY id
+    )
+    SELECT doc_id, component,
+           COUNT(*) OVER (PARTITION BY component) AS n_members
+    FROM comp
+    """
+
+
+@register("llm_dedup_components", oracle=_components_oracle(),
+          tags=("llm", "dedup", "iterative"))
+def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the minhash-LSH candidate graph — the
+    step a production dedup pipeline runs after pair generation, so
+    transitive near-dups (A~B, B~C) collapse into ONE cluster with a
+    deterministic canonical id (the minimum doc_id in the component).
+    Singleton docs are their own component.
+
+    Iterative min-label propagation (operators.components) — the same
+    fixpoint the oracle computes as a DuckDB recursive transitive
+    closure, which is tractable at oracle scale while the Spark loop
+    is the 100 TB path. See operators/components.py for the
+    round-count and lineage scale analysis.
+    """
+    from ..operators.components import connected_components
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"))
+    pairs = llm_dedup_minhash(spark, sf_dir)
+    comp = connected_components(
+        d, pairs.select(F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst")))
+    w = Window.partitionBy("component")
+    return comp.select(F.col("id").alias("doc_id"), "component",
+                       F.count(F.lit(1)).over(w).alias("n_members"))
+
+
 def _simhash_bits_sql(token_hash: str, nbits: int) -> list[str]:
     """Per-bit ±1 contributions from a token's md5 hex chars."""
     return [

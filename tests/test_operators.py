@@ -139,3 +139,38 @@ def test_change_notifier_fires_per_batch(spark, tmp_path):
     finally:
         spark.streams.removeListener(notifier)
     assert updates and updates[0]["num_input_rows"] == 5
+
+
+def test_connected_components_chain_and_isolated(spark):
+    """Min-label propagation needs diameter-many rounds on a chain —
+    4-1-7-3 collapses to min id 1 only via transitive steps — while
+    the isolated node 9 stays its own component and a 2-clique keeps
+    its own minimum."""
+    from event_streaming_bnpl_demo_spark.operators.components import (
+        connected_components)
+
+    nodes = spark.createDataFrame([(i,) for i in (1, 3, 4, 7, 9, 5, 6)],
+                                  ["id"])
+    edges = spark.createDataFrame(
+        [(4, 1), (1, 7), (7, 3),   # chain, mixed orientation
+         (5, 6)],                  # separate 2-clique
+        ["src", "dst"])
+    got = {r["id"]: r["component"]
+           for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 3: 1, 4: 1, 7: 1, 9: 9, 5: 5, 6: 5}
+
+
+def test_connected_components_round_limit(spark):
+    """A chain longer than max_rounds raises instead of returning a
+    non-converged labeling."""
+    import pytest
+
+    from event_streaming_bnpl_demo_spark.operators.components import (
+        connected_components)
+
+    n = 6
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_rounds=2)
