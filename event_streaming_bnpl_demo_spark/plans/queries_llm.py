@@ -864,6 +864,44 @@ def llm_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(bucket < 5).select("doc_id", "lang", "n_chars")
 
 
+#: per-language keep-rates (percent) for the stratified sample: the
+#: corpus is ~44% English; a training mix typically downsamples the
+#: dominant language and keeps the tail. CASE-dispatched so both
+#: engines evaluate the identical literal table.
+_STRATA_RATES = {"en": 35, "zh": 80, "es": 80, "de": 80, "fr": 80}
+
+_STRATA_CASE = ("CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _STRATA_RATES.items()) + " ELSE 10 END")
+
+
+@register(
+    "llm_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+          % 100 < {_STRATA_CASE}
+    """,
+    tags=("llm", "sample"),
+)
+def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample — the language-rebalancing step
+    of a training-data mix: each language keeps a configured fraction
+    (downsample dominant English, keep the tail), selected by id-hash
+    bucket rather than RNG so the mix is reproducible on any engine
+    and any cluster size.
+
+    Scale: like llm_sample_hash this is a pure pushed-down filter (the
+    CASE rate table is a literal) — no shuffle, no RNG state, no
+    per-stratum pass; resampling a 100 TB corpus is one scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                    16, 10).cast("int") % 100
+    return (d.filter(bucket < F.expr(_STRATA_CASE))
+            .select("doc_id", "lang", "source", "n_chars"))
+
+
 def _decontam_oracle() -> str:
     toks = duckdb_tokens("text")
     sh = shingles_col(toks, "duckdb")
