@@ -741,24 +741,30 @@ def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the BM25 rational form ((N-df+0.5)/(df+0.5)) — no transcendental
     functions, so scores are bit-identical across engines.
 
-    Scale: tf is a (doc,term) aggregate; df is a term aggregate whose
-    result is small (vocabulary-sized) and broadcast back — the classic
-    two-aggregate tf-idf with no O(n²) step.
+    Scale: ONE tokenize pass. tf is a (doc,term) aggregate; df is a
+    window count over the tf rowset (tf rows are distinct per
+    (doc,term), so count-per-term IS the document frequency) — no
+    second aggregate subtree, no join, and the explode never runs
+    twice (Catalyst does not reuse the tf exchange across an
+    aggregate/probe split, measured 6 scans / 4 explodes in the
+    two-aggregate form vs 1 each here). Trade-off: the term-partition
+    window shuffles full tf rows where the df aggregate would shuffle
+    map-side partial counts — the right trade because tokenization
+    dominates per-row cost (same doctrine as the rejected
+    redistribution experiment in DESIGN.md); shuffle-bound corpora
+    should flip back to a checkpointed tf + two aggregates.
     """
     d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     tok = d.select("doc_id", F.explode(F.expr(tokens_col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    # df derives FROM tf (its (doc,term) rows are already distinct), so
-    # the token explode and its aggregation run once, not twice — and
-    # the expensive countDistinct becomes a plain count
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     score = (F.col("tf").cast("double")
              * ((F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
                 / (F.col("df").cast("double") + 0.5)))
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
     return (
-        tf.join(F.broadcast(df), "term").crossJoin(F.broadcast(n))
+        tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+        .crossJoin(F.broadcast(n))
         .withColumn("score", score)
         .withColumn("term_rank", F.row_number().over(w))
         .filter(F.col("term_rank") <= 3)
