@@ -20,10 +20,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources import load_table
 from .catalog import register
-from .sqlcompat import davg_sql, dsum_sql
+from .sqlcompat import davg_over_sql, davg_sql, dsum_over_sql, dsum_sql
 
 _REV = "l_extendedprice * (1 - l_discount)"
 
@@ -230,20 +231,21 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines accumulate in decimal (sqlcompat) — exact, associative,
     so the max and the per-supplier values are bit-identical.
 
-    Scale: revenue is one shuffle on suppkey; the max is a one-row
-    all-reduce broadcast back as a join filter — no global sort, no
-    second pass over lineitem.
+    Scale: revenue is one shuffle on suppkey; the max is a global
+    window over the already-aggregated (supplier-count-sized) rowset —
+    Catalyst would otherwise evaluate the rev subtree twice (once for
+    the scalar max, once for the probe), re-scanning lineitem.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp")))
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.expr(dsum_sql(_REV, 4)).alias("total_revenue"))
-    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
     s = load_table(spark, sf_dir, "supplier")
     return (
-        rev.join(F.broadcast(mx),
-                 rev.total_revenue == mx.max_revenue)
+        rev.withColumn("max_revenue",
+                       F.expr("MAX(total_revenue) OVER ()"))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
         .join(s, F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
@@ -269,20 +271,22 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17-shaped small-quantity revenue: lineitems below 20% of
     their part's average quantity (per-key correlated scalar subquery,
-    decorrelated into an aggregate + self-join).
+    decorrelated into a per-key window instead of aggregate+self-join).
 
-    Scale: the per-part threshold aggregate shuffles lineitem once on
-    partkey and the probe side reuses that partitioning (same key), so
-    the self-join adds no exchange; part is broadcast. The threshold
-    comparison is deterministic because the average is decimal-exact.
+    Scale: ONE scan of lineitem. The brand filter semi-reduces the
+    fact via the broadcast part dimension *before* the per-part window
+    computes the threshold (per-part averages only involve that part's
+    rows, so pre-filtering by part is sound), then one shuffle on
+    partkey serves both the threshold and the probe — the
+    aggregate+join form scanned lineitem twice and, unlike the window,
+    its threshold pass couldn't use the brand prune at all.
     """
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
-    thresh = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        (F.lit(0.2) * F.expr(davg_sql("l_quantity"))).alias("qty_thresh"))
+    thresh = F.lit(0.2) * F.expr(davg_over_sql("l_quantity", "l_partkey"))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(thresh, li.l_partkey == thresh.pk)
+        .withColumn("qty_thresh", thresh)
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
         .agg((F.expr(dsum_sql("l_extendedprice")) / 7.0).alias("avg_yearly"),
              F.count(F.lit(1)).alias("n_small_orders"))
@@ -312,24 +316,22 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity exceeds a threshold (HAVING subquery as a semi-join), with
     customer detail re-attached.
 
-    Scale: the HAVING aggregate and the final per-order aggregate share
-    the orderkey partitioning, so the semi-join between them is
-    co-partitioned; only the (heavily reduced) surviving orders join to
-    customer. The plain SUM in the HAVING filter is intentionally far
-    from the 250 cutoff's ULP (quantities are small integers), while
-    the *output* sum uses decimal accumulation for hash equality.
+    Scale: ONE scan of lineitem — the HAVING aggregate becomes a
+    per-orderkey window on the same shuffle the detail join needs
+    anyway (the aggregate+semi-join form scanned and shuffled lineitem
+    twice: partial-agg for the filter, full rows for the re-join). The
+    surviving orders then join to orders/customer. The window sum uses
+    the same decimal accumulation as the output sum, so the >250
+    cutoff is deterministic.
     """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    big = (li.groupBy("l_orderkey")
-           .agg(F.expr(dsum_sql("l_quantity")).alias("oq"))
-           .filter(F.col("oq") > 250)
-           .select("l_orderkey"))
+    big_rows = (li.withColumn(
+        "oq", F.expr(dsum_over_sql("l_quantity", "l_orderkey")))
+        .filter(F.col("oq") > 250))
     return (
-        o.join(big.withColumnRenamed("l_orderkey", "bk"),
-               o.o_orderkey == F.col("bk"), "left_semi")
-        .join(li, o.o_orderkey == li.l_orderkey)
+        big_rows.join(o, big_rows.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey",
                  F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
@@ -418,10 +420,13 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     of them is late, and that supplier's late-row count is its numwait
     contribution — one pass over lineitem instead of three.
 
-    Scale: the fact shuffles once on orderkey (the (orderkey, suppkey)
-    partial agg is map-side-combined into the same exchange); the
-    blame assignment is a per-order reduce with no further shuffle, and
-    supplier is broadcast onto the (tiny) qualifying set.
+    Scale: ONE scan and ONE shuffle of the fact — the
+    (orderkey, suppkey) aggregate is map-side-combined into an
+    orderkey-prefixed exchange, and the per-order qualification
+    (n_supp > 1, exactly one late) is a window over that same
+    partitioning instead of a second aggregate + semi-join back onto
+    per_supp (which would evaluate the whole per_supp subtree twice);
+    supplier broadcasts onto the (tiny) qualifying set.
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(
@@ -436,16 +441,14 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.max("is_late").alias("supp_late"),
                      F.sum(F.when(F.col("is_late"), 1).otherwise(0))
                       .alias("n_late_rows")))
-    per_order = (per_supp.groupBy("l_orderkey")
-                 .agg(F.count(F.lit(1)).alias("n_supp"),
-                      F.sum(F.when(F.col("supp_late"), 1).otherwise(0))
-                       .alias("n_late_supp")))
-    qualifying = per_order.filter(
-        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
-    ).select(F.col("l_orderkey").alias("qk"))
+    w = Window.partitionBy("l_orderkey")
     return (
-        per_supp.filter(F.col("supp_late"))
-        .join(qualifying, F.col("l_orderkey") == F.col("qk"), "left_semi")
+        per_supp
+        .withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late_supp",
+                    F.sum(F.when(F.col("supp_late"), 1).otherwise(0)).over(w))
+        .filter(F.col("supp_late") & (F.col("n_supp") > 1)
+                & (F.col("n_late_supp") == 1))
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.sum("n_late_rows").alias("numwait"))

@@ -48,6 +48,25 @@ def davg(expr: str, alias: str, scale: int = 6) -> Column:
     return F.expr(davg_sql(expr, scale)).alias(alias)
 
 
+def dsum_over_sql(expr: str, partition_by: str = "", scale: int = 2) -> str:
+    """Windowed form of :func:`dsum_sql` — the same exact decimal
+    accumulation as an analytic function, so an aggregate+self-join can
+    collapse into a single-scan window (Catalyst does not reuse the
+    probe exchange across that split; measured on tf-idf and the
+    decorrelated TPC-H shapes). Empty ``partition_by`` = global frame.
+    """
+    over = f"OVER (PARTITION BY {partition_by})" if partition_by else "OVER ()"
+    return (f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(30,{scale}))) {over}"
+            f" AS STRING) AS DOUBLE)")
+
+
+def davg_over_sql(expr: str, partition_by: str = "", scale: int = 6) -> str:
+    """Windowed form of :func:`davg_sql`: exact decimal sum / count."""
+    over = f"OVER (PARTITION BY {partition_by})" if partition_by else "OVER ()"
+    return (f"{dsum_over_sql(expr, partition_by, scale)}"
+            f" / CAST(COUNT({expr}) {over} AS DOUBLE)")
+
+
 def rounded(expr: str, alias: str, ndigits: int = 6) -> Column:
     """ROUND for single-row (non-accumulated) doubles where both engines
     see identical input bits; deterministic because the operand is."""
