@@ -240,15 +240,36 @@ def _verified_oracle() -> str:
 def llm_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production near-dup pipeline composed end-to-end: MinHash-LSH
     candidates (high recall, ~linear) verified by exact shingle-Jaccard
-    (precision) — only candidate pairs ever reach the exact
-    computation. This is the two-stage shape every 100 TB dedup run
-    uses; here the stages are the two already-verified catalog
-    operators joined on the pair key."""
-    qs = all_queries()
-    cand = qs["llm_dedup_minhash"].fn(spark, sf_dir)
-    jac = qs["llm_dedup_ngram_jaccard"].fn(spark, sf_dir)
-    return cand.join(jac, ["doc_a", "doc_b"]).select(
-        "doc_a", "doc_b", "jaccard")
+    (precision) — and, unlike the oracle's all-pairs jac CTE, only
+    candidate pairs ever reach the exact computation: the per-doc
+    shingle sets are collected once from the SAME checkpointed shingle
+    table the signatures came from and joined onto the (tiny) candidate
+    list, so the corpus is tokenized/shingled exactly once and no
+    non-candidate pair is ever compared. This is the two-stage shape
+    every 100 TB dedup run uses.
+    """
+    from ..functions.text import shingles_col, tokens_col
+    from ..sources import spread
+    from .queries_llm import minhash_pairs
+
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks_df = d.select("doc_id", F.expr(tokens_col("text")).alias("toks"))
+    sh = (toks_df.select("doc_id", F.explode(
+            F.array_distinct(F.expr(shingles_col("toks", "spark"))))
+          .alias("s"))
+          .localCheckpoint(eager=True))
+    cand = minhash_pairs(sh.select("doc_id", F.md5("s").alias("hs")))
+    sets = sh.groupBy("doc_id").agg(F.collect_set("s").alias("hset"))
+    a = sets.select(F.col("doc_id").alias("doc_a"),
+                    F.col("hset").alias("ha"))
+    b = sets.select(F.col("doc_id").alias("doc_b"),
+                    F.col("hset").alias("hb"))
+    inter = F.size(F.array_intersect("ha", "hb")).cast("double")
+    union = (F.size("ha") + F.size("hb")).cast("double") - inter
+    return (cand.join(a, "doc_a").join(b, "doc_b")
+            .filter(inter / union >= 0.5)
+            .select("doc_a", "doc_b",
+                    F.round(inter / union, 6).alias("jaccard")))
 
 
 @register(

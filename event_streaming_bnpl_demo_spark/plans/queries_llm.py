@@ -103,25 +103,13 @@ def _minhash_oracle() -> str:
     """
 
 
-@register("llm_dedup_minhash", oracle=_minhash_oracle(), tags=("llm", "dedup", "lsh"))
-def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup candidates: word-3-gram shingles ->
-    ONE md5 per shingle sliced into K=6 20-bit min-hashes -> 3 bands
-    of 2 -> pairs emitted per band bucket.
-
-    Scale: no self-join at all — bands are grouped (one shuffle on the
-    band value, ~uniform keys) and pairs are generated inside each
-    bucket with a higher-order expression, so the pipeline is computed
-    once and no document compares beyond its bucket. Token arrays are
-    materialized as a column before shingling so ``split`` runs once
-    per row, not once per lambda element; hashing is once per shingle
-    (digest slices), not once per (shingle, hash function).
+def minhash_pairs(sh: DataFrame) -> DataFrame:
+    """LSH candidate pairs from a hashed-shingle table ``(doc_id, hs)``
+    (hs = md5 hex of one distinct shingle): per-doc min-slice
+    signatures -> bands -> within-bucket pair generation. Shared by
+    llm_dedup_minhash and the composed llm_dedup_verified pipeline so
+    the shingle pass can be computed (and checkpointed) once upstream.
     """
-    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    toks_df = d.select("doc_id", F.expr(tokens_col("text")).alias("toks"))
-    sh = toks_df.select("doc_id", F.explode(
-        F.array_distinct(F.expr(shingles_col("toks", "spark")))).alias("s")
-    ).select("doc_id", F.md5("s").alias("hs"))
     sig = sh.groupBy("doc_id").agg(*[
         F.min(F.substring("hs", p, w)).alias(f"h{i}")
         for i, (p, w) in enumerate(_MINHASH_SLICES)
@@ -149,6 +137,28 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
+
+
+@register("llm_dedup_minhash", oracle=_minhash_oracle(), tags=("llm", "dedup", "lsh"))
+def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidates: word-3-gram shingles ->
+    ONE md5 per shingle sliced into K=6 20-bit min-hashes -> 3 bands
+    of 2 -> pairs emitted per band bucket.
+
+    Scale: no self-join at all — bands are grouped (one shuffle on the
+    band value, ~uniform keys) and pairs are generated inside each
+    bucket with a higher-order expression, so the pipeline is computed
+    once and no document compares beyond its bucket. Token arrays are
+    materialized as a column before shingling so ``split`` runs once
+    per row, not once per lambda element; hashing is once per shingle
+    (digest slices), not once per (shingle, hash function).
+    """
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks_df = d.select("doc_id", F.expr(tokens_col("text")).alias("toks"))
+    sh = toks_df.select("doc_id", F.explode(
+        F.array_distinct(F.expr(shingles_col("toks", "spark")))).alias("s")
+    ).select("doc_id", F.md5("s").alias("hs"))
+    return minhash_pairs(sh)
 
 
 def _components_oracle() -> str:
