@@ -309,3 +309,25 @@ def scalar_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein(F.col("p_brand"), F.col("p_type")).cast("bigint")
          .alias("dist_brand_type"),
     )
+
+
+def _pyds_oracle() -> str:
+    from ..sources.pydatasource import oracle_sql
+    return oracle_sql(rows=5000)
+
+
+@register("source_python_datasource", oracle=_pyds_oracle(),
+          tags=("source", "spark4"))
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (Spark 4 extension point): the
+    deterministic synthetic event generator read through
+    ``spark.read.format("bnpl_synthetic")``. Every row is a pure
+    function of its global index, so the oracle reproduces the source
+    bit-for-bit with a DuckDB generate_series query — a fully
+    value-checked user-defined connector. The same class also serves
+    ``readStream`` (tests/test_streaming_semantics.py::
+    test_python_datasource_stream)."""
+    from ..sources.pydatasource import register_datasource
+    register_datasource(spark)
+    return (spark.read.format("bnpl_synthetic")
+            .option("rows", 5000).option("partitions", 8).load())

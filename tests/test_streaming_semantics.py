@@ -259,3 +259,35 @@ def test_stream_window_matches_batch(spark, tmp_path):
     assert streamed  # at least the first windows closed
     for k, v in streamed.items():
         assert batch[k] == v
+
+
+def test_python_datasource_stream(spark, tmp_path):
+    """The custom Python DataSource's streaming reader: micro-batches
+    serve consecutive index ranges, so the memory sink holds an exact
+    deterministic prefix of the generator — and readBetweenOffsets
+    regenerates any committed range (replay = exactly-once by
+    determinism)."""
+    from event_streaming_bnpl_demo_spark.sources.pydatasource import (
+        _row, register_datasource)
+
+    register_datasource(spark)
+    q = (spark.readStream.format("bnpl_synthetic")
+         .option("rowsPerBatch", 50).load()
+         .writeStream.format("memory").queryName("pyds")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(processingTime="0 seconds").start())
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            n = spark.sql("select count(*) c from pyds").collect()[0]["c"]
+            if n >= 100:
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    rows = sorted((r["event_id"], r["user_id"], r["event_type"], r["amount"])
+                  for r in spark.sql("select * from pyds").collect())
+    assert len(rows) >= 100
+    assert rows == [_row(i) for i in range(len(rows))]
