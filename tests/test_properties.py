@@ -62,3 +62,72 @@ def test_bills_projection_order_and_duplicate_invariant(spark, events, seed):
     shuffled = list(events) + [seed.choice(events)]  # duplicate one
     seed.shuffle(shuffled)
     assert _project(spark, shuffled) == baseline
+
+
+# ---------------------------------------------------------------------------
+# custom join operators vs brute-force reference semantics
+# ---------------------------------------------------------------------------
+
+_JOIN_ROWS = st.lists(
+    st.tuples(st.integers(1, 2),          # key
+              st.integers(0, 20),         # ts (epoch seconds)
+              st.integers(0, 99)),        # value
+    min_size=0, max_size=8)
+
+
+def _ts_df(spark, rows, ts_name, val_name):
+    import datetime as dt
+    data = [(k, dt.datetime(2026, 1, 1, 0, 0, t, tzinfo=dt.timezone.utc), v)
+            for k, t, v in rows]
+    return spark.createDataFrame(
+        data, f"user_id long, {ts_name} timestamp, {val_name} long")
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(left=_JOIN_ROWS, right=_JOIN_ROWS)
+def test_interval_join_matches_bruteforce(spark, left, right):
+    """interval_join == the O(n*m) definition: every (l, r) pair with
+    equal keys and r_ts in (l_ts, l_ts + 5s], for ANY inputs."""
+    from event_streaming_bnpl_demo_spark.operators.interval import (
+        interval_join)
+
+    ldf = _ts_df(spark, left, "v_ts", "lval")
+    rdf = _ts_df(spark, right, "p_ts", "rval")
+    got = sorted((r["user_id"], r["lval"], r["rval"])
+                 for r in interval_join(ldf, rdf, "user_id",
+                                        "v_ts", "p_ts", "5 SECONDS")
+                 .collect())
+    want = sorted((lk, lv, rv)
+                  for lk, lt, lv in left
+                  for rk, rt, rv in right
+                  if lk == rk and lt < rt <= lt + 5)
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(left=_JOIN_ROWS, right=_JOIN_ROWS)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    """asof_join == the definition: per left row, the right row with
+    the greatest r_ts <= l_ts for the same key; equal-timestamp ties
+    break to the field-wise max struct (value, ts) — deterministic, so
+    the brute force can predict it exactly."""
+    from event_streaming_bnpl_demo_spark.operators.asof import asof_join
+
+    ldf = _ts_df(spark, left, "l_ts", "lval")
+    rdf = _ts_df(spark, right, "r_ts", "rval")
+    got = sorted((r["user_id"], r["lval"], r["rval"])
+                 for r in asof_join(ldf, rdf, "user_id", "l_ts", "r_ts")
+                 .select("user_id", "lval", "rval").collect())
+    want = []
+    for lk, lt, lv in left:
+        cands = [(rt, rv) for rk, rt, rv in right if rk == lk and rt <= lt]
+        if cands:
+            best_ts = max(rt for rt, _ in cands)
+            # tie-break = max struct (rval, rts) among best_ts rows
+            rv = max(rv for rt, rv in cands if rt == best_ts)
+        else:
+            rv = None
+        want.append((lk, lv, rv))
+    assert got == sorted(want)
