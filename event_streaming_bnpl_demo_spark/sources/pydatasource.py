@@ -1,9 +1,12 @@
 """Custom Python DataSource (Spark 4 ``pyspark.sql.datasource``): a
-deterministic synthetic BNPL purchase-event generator exposing BOTH a
-partitioned batch reader and a checkpointable streaming reader from one
-implementation — the engine's demonstration of Spark's user-defined
-source extension point (the reference hard-wires its one source to the
-Kinesis SDK, consumer/consumer.go:52-96; here a new source is a small
+deterministic synthetic BNPL purchase-event generator exposing all four
+connector surfaces from one class — partitioned batch reader,
+checkpointable streaming reader, two-phase-commit batch writer, and
+per-epoch idempotent streaming writer. This is the engine's
+demonstration of Spark's user-defined connector extension point (the
+reference hard-wires its one source to the Kinesis SDK,
+consumer/consumer.go:52-96, and its one sink to non-idempotent MySQL
+INSERTs, consumer/consumer.go:185-191; here both ends are a small
 Python class away, registered per-session).
 
 Every row is a pure function of its global index, so the source is
@@ -21,9 +24,16 @@ where Spark puts connector code.
 
 from __future__ import annotations
 
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    DataSourceStreamWriter, DataSourceWriter,
                                     InputPartition,
-                                    SimpleDataSourceStreamReader)
+                                    SimpleDataSourceStreamReader,
+                                    WriterCommitMessage)
 
 #: Knuth multiplicative-hash constant / MINSTD multiplier — fixed
 #: public constants so the oracle SQL reproduces rows bit-for-bit.
@@ -94,13 +104,89 @@ class _StreamReader(SimpleDataSourceStreamReader):
         pass  # nothing external to clean up; rows are regenerable
 
 
-class SyntheticEventsDataSource(DataSource):
-    """``spark.read.format("bnpl_synthetic")`` /
-    ``spark.readStream.format("bnpl_synthetic")`` after
-    ``spark.dataSource.register(SyntheticEventsDataSource)``.
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    path: str
+    rows: int
 
-    Options: ``rows`` (batch total, default 10000), ``partitions``
-    (batch split, default 8), ``rowsPerBatch`` (streaming, default 100).
+
+class _JsonlWriter(DataSourceWriter):
+    """Task-side write to a uniquely-named temp file; the driver-side
+    ``commit`` atomically renames every task's file into place — the
+    standard two-phase commit of a Spark sink, in ~30 lines. ``abort``
+    leaves only ``.tmp-`` files, which a re-run ignores."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("bnpl_synthetic writer requires option 'path'")
+
+    def write(self, iterator):
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _FileCommit(path=tmp, rows=n)
+
+    def commit(self, messages):
+        for m in messages:
+            os.rename(m.path, m.path.replace(".tmp-", "part-"))
+
+    def abort(self, messages):
+        for m in messages:
+            if os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class _JsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming flavor: one committed directory per epoch (micro
+    batch), so a replayed epoch overwrites its own output instead of
+    appending twice — idempotent commit, the property the reference's
+    non-idempotent INSERT sink lacks (consumer/consumer.go:185-191)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("bnpl_synthetic writer requires option 'path'")
+
+    def write(self, iterator):
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _FileCommit(path=tmp, rows=n)
+
+    def commit(self, messages, batchId):
+        epoch = os.path.join(self.path, f"epoch={batchId}")
+        os.makedirs(epoch, exist_ok=True)
+        for f in os.listdir(epoch):      # replayed epoch: clear first
+            os.remove(os.path.join(epoch, f))
+        for i, m in enumerate(messages):
+            os.rename(m.path, os.path.join(epoch, f"part-{i:05d}.jsonl"))
+
+    def abort(self, messages, batchId):
+        for m in messages:
+            if os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``spark.read`` / ``spark.readStream`` / ``df.write`` /
+    ``writeStream`` with ``format("bnpl_synthetic")`` after
+    ``spark.dataSource.register(SyntheticEventsDataSource)`` — all four
+    connector surfaces from one class.
+
+    Read options: ``rows`` (batch total, default 10000), ``partitions``
+    (batch split, default 8), ``rowsPerBatch`` (streaming, default
+    100). Write options: ``path`` (JSON-lines output; batch = two-phase
+    temp-file + rename commit, streaming = one idempotent directory per
+    epoch).
     """
 
     @classmethod
@@ -115,6 +201,12 @@ class SyntheticEventsDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return _StreamReader(self.options)
+
+    def writer(self, schema, overwrite):
+        return _JsonlWriter(self.options)
+
+    def streamWriter(self, schema, overwrite):
+        return _JsonlStreamWriter(self.options)
 
 
 def register_datasource(spark) -> None:

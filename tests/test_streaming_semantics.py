@@ -291,3 +291,56 @@ def test_python_datasource_stream(spark, tmp_path):
                   for r in spark.sql("select * from pyds").collect())
     assert len(rows) >= 100
     assert rows == [_row(i) for i in range(len(rows))]
+
+
+def test_python_datasource_batch_writer(spark, tmp_path):
+    """The custom DataSource's batch writer: per-task temp files, one
+    driver-side rename commit — reading the committed output back
+    yields exactly the written rows, and no temp files survive."""
+    from event_streaming_bnpl_demo_spark.sources.pydatasource import (
+        SCHEMA as PYDS_SCHEMA, _row, register_datasource)
+
+    register_datasource(spark)
+    out = str(tmp_path / "out")
+    (spark.read.format("bnpl_synthetic").option("rows", 500).load()
+     .write.format("bnpl_synthetic").option("path", out)
+     .mode("append").save())
+    files = os.listdir(out)
+    assert files and all(f.startswith("part-") for f in files)
+    back = sorted(
+        (r["event_id"], r["user_id"], r["event_type"], r["amount"])
+        for r in spark.read.schema(PYDS_SCHEMA).json(out).collect())
+    assert back == [_row(i) for i in range(500)]
+
+
+def test_python_datasource_stream_writer(spark, tmp_path):
+    """The custom DataSource's streaming writer commits one directory
+    per epoch; the union of all epochs is an exact prefix of the
+    generator (no loss, no duplication across micro-batches)."""
+    from event_streaming_bnpl_demo_spark.sources.pydatasource import (
+        SCHEMA as PYDS_SCHEMA, _row, register_datasource)
+
+    register_datasource(spark)
+    out = str(tmp_path / "out")
+    q = (spark.readStream.format("bnpl_synthetic")
+         .option("rowsPerBatch", 40).load()
+         .writeStream.format("bnpl_synthetic").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(processingTime="0 seconds").start())
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            epochs = [d for d in os.listdir(out)
+                      if d.startswith("epoch=")] if os.path.isdir(out) else []
+            if len(epochs) >= 2:
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    back = sorted(
+        (r["event_id"], r["user_id"], r["event_type"], r["amount"])
+        for r in spark.read.schema(PYDS_SCHEMA)
+        .json(os.path.join(out, "epoch=*")).collect())
+    assert len(back) >= 80
+    assert back == [_row(i) for i in range(len(back))]
