@@ -193,3 +193,29 @@ def test_maybe_broadcast_is_stats_gated(spark):
     finally:
         from event_streaming_bnpl_demo_spark.session import tune
         tune(spark)
+
+
+def test_join_strategy_hints(spark):
+    """All three equi-join strategies are selectable per-side: the
+    default threshold broadcasts small dims, a shuffle_hash hint picks
+    ShuffledHashJoin (no sort of either side — right when both sides
+    are large but one fits per-partition in memory), and merge forces
+    the sort-merge plan (right when both are huge; spillable)."""
+    from pyspark.sql import functions as F
+
+    from event_streaming_bnpl_demo_spark.sources import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    o = load_table(spark, SF_SMOKE, "orders")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shj = li.join(o.hint("shuffle_hash"),
+                      li.l_orderkey == o.o_orderkey)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in shj
+        smj = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in smj
+    finally:
+        from event_streaming_bnpl_demo_spark.session import tune
+        tune(spark)
