@@ -133,3 +133,70 @@ def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         priority_code("o_orderpriority").alias("priority_code"),
         lane("o_orderpriority").alias("lane"),
     )
+
+
+@register(
+    "udf_cogrouped_asof",
+    oracle="""
+    WITH cand AS (
+      SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS p_ts,
+             v.event_id AS view_id, v.ts AS v_ts,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY v.ts DESC, v.event_id DESC) AS rn
+      FROM events p
+      JOIN events v ON v.user_id = p.user_id
+                   AND v.event_type = 'view' AND v.ts <= p.ts
+      WHERE p.event_type = 'purchase'
+    )
+    SELECT purchase_id, user_id, view_id,
+           CAST(date_diff('second', v_ts, p_ts) AS BIGINT) AS seconds_since_view
+    FROM cand WHERE rn = 1
+    """,
+    tags=("udf", "asof"),
+)
+def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map UDF surface (``groupBy().cogroup().applyInPandas``):
+    both event branches grouped by user land in one pandas function as
+    two aligned frames, merged per user with ``pd.merge_asof`` — the
+    canonical use of cogroup, and the vectorized-Python twin of the
+    pure-SQL join_asof (same oracle, so both formulations are proven
+    equal).
+
+    Scale: one shuffle of each side on user_id, then Arrow-batched
+    per-group pandas — the right tier when per-group logic is genuinely
+    imperative; join_asof / operators.asof stay the JVM-side defaults.
+    Ties at equal v_ts break to the max view_id because merge_asof
+    takes the LAST right row in (v_ts, view_id) sort order; seconds are
+    floor-epoch diffs, matching unix_timestamp()/date_diff('second').
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("p_ts"))
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"))
+    out_cols = ["purchase_id", "user_id", "view_id", "seconds_since_view"]
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame(columns=out_cols)
+        m = pd.merge_asof(
+            left.sort_values("p_ts"),
+            right[["view_id", "v_ts"]].sort_values(["v_ts", "view_id"]),
+            left_on="p_ts", right_on="v_ts", direction="backward")
+        m = m.dropna(subset=["view_id"])
+        secs = (m["p_ts"].astype("int64") // 10**9
+                - m["v_ts"].astype("int64") // 10**9)
+        return pd.DataFrame({
+            "purchase_id": m["purchase_id"].astype("int64"),
+            "user_id": m["user_id"].astype("int64"),
+            "view_id": m["view_id"].astype("int64"),
+            "seconds_since_view": secs.astype("int64"),
+        })
+
+    return (p.groupBy("user_id").cogroup(v.groupBy("user_id"))
+            .applyInPandas(merge, ("purchase_id bigint, user_id bigint, "
+                                   "view_id bigint, seconds_since_view bigint")))
