@@ -194,6 +194,41 @@ class BnplPipeline:
             .dropDuplicates(["event_data"])
         )
 
+    def compact_log(self, target_rows_per_file: int = 1_000_000) -> dict:
+        """Compact the archive's per-micro-batch small files — THE
+        operational cost of an append file sink at scale (every 1 s
+        trigger writes ≥1 file per partition; a day is ~86k files).
+        Rewrites the log at ``target_rows_per_file`` granularity,
+        preserving the event_type partitioning, then swaps directories.
+
+        Single-writer maintenance op (run it between trigger windows —
+        the swap is not transactional for concurrent readers; at 100 TB
+        this job is a table-format responsibility, e.g. Delta/Iceberg
+        OPTIMIZE, with the same rewrite shape). The source checkpoint
+        is untouched: compaction rewrites sink files only, so streaming
+        appends continue exactly where they left off.
+        """
+        import glob
+        import shutil
+
+        def _files(d: str) -> int:
+            return len(glob.glob(os.path.join(d, "**", "part-*"),
+                                 recursive=True))
+
+        raw = self.spark.read.parquet(self.log_dir)
+        n = raw.count()
+        before = _files(self.log_dir)
+        nfiles = max(1, -(-n // target_rows_per_file))
+        tmp, old = self.log_dir + ".compacting", self.log_dir + ".old"
+        (raw.repartition(nfiles)
+         .write.mode("overwrite").partitionBy("event_type_part")
+         .parquet(tmp))
+        os.rename(self.log_dir, old)
+        os.rename(tmp, self.log_dir)
+        shutil.rmtree(old)
+        return {"rows": n, "files_before": before,
+                "files_after": _files(self.log_dir)}
+
     def promises(self) -> DataFrame:
         return self.spark.read.parquet(self.promises_dir)
 

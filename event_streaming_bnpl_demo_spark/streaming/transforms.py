@@ -175,3 +175,32 @@ def user_status(promises: DataFrame, bills: DataFrame, user_id: str
                         F.date_format("paid_date", "yyyy-MM-dd"))
                   .alias("paid_date")))
     return p, b
+
+
+def observe_quality(events: DataFrame, name: str = "bnpl_quality"):
+    """Attach zero-extra-pass data-quality metrics via ``df.observe``:
+    row count, malformed rows (no event_type), negative amounts, and
+    null ingest timestamps, all accumulated DURING whatever action the
+    caller runs next — no second scan, no collect. Returns
+    ``(df, observation)``; read ``observation.get`` after an action
+    (batch), or find the metrics under ``observedMetrics[name]`` in
+    each streaming progress event.
+
+    This is the engine's answer to "validate 100 TB without paying for
+    a validation pass": the metrics piggyback on the pipeline's own
+    scan inside the same whole-stage-codegen task.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    out = events.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("event_type").isNull(), 1).otherwise(0))
+         .alias("n_missing_type"),
+        F.sum(F.when(F.col("amount") < 0, 1).otherwise(0))
+         .alias("n_negative_amount"),
+        F.sum(F.when(F.col("ingest_ts").isNull(), 1).otherwise(0))
+         .alias("n_null_ingest_ts"),
+    )
+    return out, obs

@@ -10,6 +10,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from event_streaming_bnpl_demo_spark.streaming.pipeline import BnplPipeline
 
@@ -228,3 +229,60 @@ def test_state_machine_stream(spark, tmp_path, reorder, api):
     assert rows["b-001"]["status"] == "paid"
     assert rows["b-001"]["paid_date"] == "2026-01-02"
     assert rows["b-001"]["amount"] == 5000
+
+
+def _purchase(uid: str, amount: int, ts: str) -> dict:
+    return {"event_type": "PurchaseCompletedEvent",
+            "order_id": f"order-{uid}", "user_id": uid,
+            "amount": amount, "ingest_ts": ts}
+
+
+def test_compact_log_preserves_rows(spark, tmp_path):
+    """compact_log rewrites the many per-micro-batch archive files into
+    few, preserves the exact event multiset, and streaming appends keep
+    working afterwards (the source checkpoint is untouched)."""
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    for f in range(3):   # 3 files -> 3 micro-batches of small writes
+        write_events(in_dir, [
+            _purchase(f"u{f}-{i}", 100 + i, ts=f"2026-01-01T00:0{f}:{i:02d}Z")
+            for i in range(5)], name=f"f{f}.jsonl")
+    pipe = BnplPipeline(spark, in_dir, out_dir)
+    pipe.run_stream(available_now=True)
+    before = sorted(r["event_data"]
+                    for r in pipe.read_log().select("event_data").collect())
+
+    stats = pipe.compact_log(target_rows_per_file=1_000_000)
+    assert stats["files_after"] < stats["files_before"]
+    after = sorted(r["event_data"]
+                   for r in pipe.read_log().select("event_data").collect())
+    assert after == before
+
+    # the stream continues from its checkpoint onto the compacted log
+    write_events(in_dir, [_purchase("u9", 999, ts="2026-01-01T00:09:00Z")],
+                 name="f9.jsonl")
+    BnplPipeline(spark, in_dir, out_dir).run_stream(available_now=True)
+    final = BnplPipeline(spark, in_dir, out_dir).read_log()
+    assert final.filter(F.col("user_id") == "u9").count() > 0
+    # +2: the new purchase archives itself AND its flattened derived promise
+    assert final.select("event_data").distinct().count() == len(before) + 2
+
+
+def test_observe_quality_metrics(spark, tmp_path):
+    """df.observe quality metrics accumulate during the pipeline's own
+    action — no second scan: counts, malformed rows, negative amounts."""
+    from event_streaming_bnpl_demo_spark.schemas import BNPL_ENVELOPE
+    from event_streaming_bnpl_demo_spark.streaming.transforms import (
+        observe_quality)
+
+    in_dir = str(tmp_path / "in")
+    rows = [_purchase("u1", 100, ts="2026-01-01T00:00:00Z"),
+            _purchase("u2", -5, ts="2026-01-01T00:00:01Z"),
+            {"order_id": "o-bad"}]  # no event_type
+    write_events(in_dir, rows)
+    df = spark.read.schema(BNPL_ENVELOPE).json(in_dir)
+    observed, obs = observe_quality(df)
+    assert observed.count() == 3     # the action the metrics ride on
+    got = obs.get
+    assert got["n_rows"] == 3
+    assert got["n_missing_type"] == 1
+    assert got["n_negative_amount"] == 1
