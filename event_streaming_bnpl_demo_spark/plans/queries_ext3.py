@@ -331,3 +331,29 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_datasource(spark)
     return (spark.read.format("bnpl_synthetic")
             .option("rows", 5000).option("partitions", 8).load())
+
+
+_LATERAL_SQL = """
+SELECT n_name, c.c_name, c.c_acctbal
+FROM nation, LATERAL (
+  SELECT c_name, c_acctbal FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) c
+"""
+
+
+@register("join_lateral", oracle=_LATERAL_SQL, tags=("join", "subquery"))
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (identical SQL text both engines):
+    top-2 customers by balance for every nation — the per-row-subquery
+    surface SQL users reach for before they learn window functions.
+    Catalyst decorrelates it into the same shuffle + per-key ranking a
+    row_number() formulation plans (topk_per_group is the DataFrame
+    twin), so the lateral form costs one shuffle, not |nation| probes.
+    The deterministic ORDER BY tie-break (acctbal, then name) keeps the
+    LIMIT 2 cut identical across engines."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
