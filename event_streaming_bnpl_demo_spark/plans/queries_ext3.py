@@ -357,3 +357,41 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE sched AS (
+  SELECT o_orderkey, 1 AS installment_no,
+         CAST(o_totalprice AS DOUBLE) AS remaining
+  FROM orders WHERE o_orderkey % 100 = 0
+  UNION ALL
+  SELECT o_orderkey, installment_no + 1, remaining - 50000.0
+  FROM sched WHERE remaining > 50000.0
+)
+SELECT o_orderkey,
+       CAST(installment_no AS BIGINT) AS installment_no,
+       ROUND(LEAST(remaining, 50000.0), 2) AS installment_amount
+FROM sched
+"""
+
+
+@register("sql_recursive_cte", oracle=_RECURSIVE_SQL,
+          tags=("sql", "recursive", "spark4"))
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (new in Spark 4) through the SQL entry path,
+    identical text on both engines: each sampled order unrolled into
+    its monthly ¥50k installment schedule until the balance clears —
+    the BNPL 月まとめ払い payment plan as a set-based recursion.
+    Iteration count = ceil(max total / installment), so the recursion
+    is bounded by data, not row count; every step is one incremental
+    self-union the engine distributes like any other batch.
+
+    Determinism: both engines execute the same IEEE double
+    subtraction sequence from the same parquet doubles, so remaining
+    balances (and the final ROUND) are bit-identical. The iterative
+    DataFrame twin of this pattern is operators/components.py's label
+    propagation loop."""
+    from ..sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)
