@@ -131,3 +131,40 @@ def test_asof_join_matches_bruteforce(spark, left, right):
             rv = None
         want.append((lk, lv, rv))
     assert got == sorted(want)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)),
+                      min_size=0, max_size=15))
+def test_connected_components_matches_union_find(spark, edges):
+    """connected_components == a sequential union-find over the same
+    random graph (nodes 0..12, arbitrary self-loops/duplicates/both
+    orientations included)."""
+    from event_streaming_bnpl_demo_spark.operators.components import (
+        connected_components)
+
+    nodes = list(range(13))
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min member of each set
+    want = {}
+    for n in nodes:
+        root = find(n)
+        want[n] = min(m for m in nodes if find(m) == root)
+
+    ndf = spark.createDataFrame([(n,) for n in nodes], ["id"])
+    edf = spark.createDataFrame(edges or [(0, 0)], ["src", "dst"])
+    got = {r["id"]: r["component"]
+           for r in connected_components(ndf, edf).collect()}
+    assert got == want
