@@ -211,6 +211,37 @@ def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.count(F.lit(1)).over(w).alias("n_members"))
 
 
+@register(
+    "llm_dedup_apply",
+    oracle=f"""
+    WITH comp AS ({_components_oracle()})
+    SELECT d.doc_id, d.lang, d.source, d.n_chars,
+           comp.n_members AS cluster_size
+    FROM documents d JOIN comp ON d.doc_id = comp.doc_id
+    WHERE comp.doc_id = comp.component
+    """,
+    tags=("llm", "dedup", "iterative"),
+)
+def llm_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's OUTPUT: the surviving corpus — one
+    canonical document per connected component (the min doc_id keeps
+    itself; every transitive near-dup collapses into it), with the
+    cluster size kept as provenance. candidates → verify → cluster →
+    THIS is the end-to-end story; downstream training-data assembly
+    reads this table.
+
+    Scale: a join of documents against the component labeling on
+    doc_id plus a pushed-down survivor filter — the iterative part is
+    llm_dedup_components; applying it is one co-partitioned join.
+    """
+    comp = llm_dedup_components(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    return (d.join(comp, "doc_id")
+            .filter(F.col("doc_id") == F.col("component"))
+            .select("doc_id", "lang", "source", "n_chars",
+                    F.col("n_members").alias("cluster_size")))
+
+
 def _simhash_bits_sql(token_hash: str, nbits: int) -> list[str]:
     """Per-bit ±1 contributions from a token's md5 hex chars."""
     return [
