@@ -219,3 +219,21 @@ def test_join_strategy_hints(spark):
     finally:
         from event_streaming_bnpl_demo_spark.session import tune
         tune(spark)
+
+
+def test_window_decorrelation_stays_single_scan(spark):
+    """The window-decorrelated shapes (DESIGN.md finding 5) must not
+    regress to aggregate+self-join plans that re-scan their fact
+    input: executedPlan node counts pin the scan budget per query."""
+    budgets = {            # max "Scan parquet" nodes allowed
+        "q15_top_supplier": 2,       # lineitem + supplier
+        "q17_small_qty_revenue": 2,  # lineitem + part
+        "q18_large_volume": 3,       # lineitem + orders + customer
+        "q21_waiting_suppliers": 3,  # lineitem + orders + supplier
+        "llm_tfidf_top_terms": 2,    # documents (tokenize) + count
+    }
+    for name, budget in budgets.items():
+        plan = (QUERIES[name].fn(spark, SF_SMOKE)._jdf
+                .queryExecution().executedPlan().toString())
+        scans = plan.count("Scan parquet")
+        assert scans <= budget, f"{name}: {scans} scans > {budget}"
