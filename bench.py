@@ -6,11 +6,12 @@
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 ``value`` is total steady-state wall-clock over the headline set (lower
-is better): each query is forced twice with a count() and the best time
-is kept, so one-time whole-stage-codegen compilation (a per-PLAN cost
-that is irrelevant at 100 TB, where a plan compiles once and runs for
-minutes) stays out of the throughput number. The first-run total is
-reported alongside as ``cold_sec``.
+is better): each query is forced three times with a count() and the
+best time is kept, so one-time whole-stage-codegen compilation (a
+per-PLAN cost that is irrelevant at 100 TB, where a plan compiles once
+and runs for minutes) and transient host-load noise stay out of the
+throughput number. The first-run total is reported alongside as
+``cold_sec``.
 """
 
 from __future__ import annotations
@@ -115,7 +116,7 @@ def main() -> None:
     for name in HEADLINE:
         q = catalog[name]
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
