@@ -344,3 +344,68 @@ def test_python_datasource_stream_writer(spark, tmp_path):
         .json(os.path.join(out, "epoch=*")).collect())
     assert len(back) >= 80
     assert back == [_row(i) for i in range(len(back))]
+
+
+def test_two_hop_streaming_dag(spark, tmp_path):
+    """The reference's multi-stage dataflow (derived events re-enter
+    the stream, SURVEY §3.2) as an explicit two-hop streaming DAG: hop
+    A's parquet sink is hop B's file-stream source, each hop
+    independently checkpointed. The engine's default flattens the
+    cascade into one micro-batch (BnplPipeline), but the faithful
+    multi-query topology must also work — sinks are valid sources.
+
+    Hop A: raw events -> typed parquet log.
+    Hop B: log -> per-type running counts.
+    """
+    in_dir = str(tmp_path / "in")
+    mid = str(tmp_path / "mid")        # hop A sink = hop B source
+    rows = [
+        {"event_id": i, "ts": f"2026-01-01T10:00:{i:02d}.000Z",
+         "user_id": i % 3, "event_type": t, "value": float(i)}
+        for i, t in enumerate(["view", "view", "purchase", "view",
+                               "purchase", "refund"])
+    ]
+    write_jsonl(in_dir, "a.jsonl", rows)
+
+    qa = (spark.readStream.schema(SCHEMA).json(in_dir)
+          .writeStream.format("parquet")
+          .option("path", mid)
+          .option("checkpointLocation", str(tmp_path / "ck_a"))
+          .trigger(availableNow=True).start())
+    qa.awaitTermination()
+
+    qb = (spark.readStream.schema(SCHEMA).parquet(mid)
+          .groupBy("event_type")
+          .agg(F.count(F.lit(1)).alias("n"))
+          .writeStream.format("memory").queryName("hop_b")
+          .outputMode("complete")
+          .option("checkpointLocation", str(tmp_path / "ck_b"))
+          .trigger(availableNow=True).start())
+    qb.awaitTermination()
+
+    got = {r["event_type"]: r["n"]
+           for r in spark.sql("select * from hop_b").collect()}
+    assert got == {"view": 3, "purchase": 2, "refund": 1}
+
+    # late second wave: BOTH hops resume from their checkpoints and
+    # the downstream aggregate sees exactly the new rows once
+    write_jsonl(in_dir, "b.jsonl", [
+        {"event_id": 9, "ts": "2026-01-01T10:01:00.000Z", "user_id": 0,
+         "event_type": "view", "value": 9.0}])
+    for name, fn in (("a2", lambda: spark.readStream.schema(SCHEMA)
+                      .json(in_dir).writeStream.format("parquet")
+                      .option("path", mid)
+                      .option("checkpointLocation", str(tmp_path / "ck_a"))
+                      .trigger(availableNow=True).start()),):
+        q = fn(); q.awaitTermination()
+    qb2 = (spark.readStream.schema(SCHEMA).parquet(mid)
+           .groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .writeStream.format("memory").queryName("hop_b2")
+           .outputMode("complete")
+           .option("checkpointLocation", str(tmp_path / "ck_b"))
+           .trigger(availableNow=True).start())
+    qb2.awaitTermination()
+    got2 = {r["event_type"]: r["n"]
+            for r in spark.sql("select * from hop_b2").collect()}
+    assert got2 == {"view": 4, "purchase": 2, "refund": 1}
