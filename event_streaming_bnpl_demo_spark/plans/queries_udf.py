@@ -27,8 +27,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udf
 
-from ..sources import load_table
+from ..functions.vectors import duckdb_cosine
+from ..sources import load_table, spread
 from .catalog import register
+
+DIM = 64  # embedding dimensionality (FIXTURES.md §B)
 
 
 @register(
@@ -200,3 +203,63 @@ def udf_cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (p.groupBy("user_id").cogroup(v.groupBy("user_id"))
             .applyInPandas(merge, ("purchase_id bigint, user_id bigint, "
                                    "view_id bigint, seconds_since_view bigint")))
+
+
+@register(
+    "udf_pandas_cosine",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id AS vec_id, e.label AS label,
+           ROUND({duckdb_cosine('e.embedding', 'q.qe', DIM)}, 4) AS cos_sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY {duckdb_cosine('e.embedding', 'q.qe', DIM)} DESC, e.vec_id
+    LIMIT 10
+    """,
+    tags=("udf", "similarity"),
+)
+def udf_pandas_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vectorized-Pandas-UDF tier of similarity search, sharing
+    llm_simsearch_topk's oracle — numpy-batched cosine proven
+    bit-equal to the JVM higher-order-function fold. The trick: numpy's
+    own sum/dot use pairwise/SIMD summation (different rounding), so
+    the UDF accumulates dimension-by-dimension across the whole Arrow
+    batch (``acc += M[:, k] * q[k]``) — the exact left-to-right IEEE
+    fold of functions/vectors.dot_expr, vectorized over rows instead
+    of elements.
+
+    Scale: Arrow ships the embedding column zero-copy; one Python
+    worker call per batch, O(dim) vector ops each. Use this tier when
+    the per-element math outgrows SQL expressions (learned metrics,
+    quantized dots); the builtin fold remains the default.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    qvec = np.asarray(
+        e.filter(F.col("vec_id") == 0).select("embedding").head()[0],
+        dtype=np.float64)
+    qn = 0.0
+    for x in qvec:                      # sequential fold, matches SQL
+        qn += x * x
+    qn = float(np.sqrt(qn))
+
+    @pandas_udf("double")
+    def cos(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        dot = np.zeros(len(m))
+        nrm = np.zeros(len(m))
+        for k in range(m.shape[1]):     # dim-sequential, row-vectorized
+            dot += m[:, k] * qvec[k]
+            nrm += m[:, k] * m[:, k]
+        return pd.Series(dot / (np.sqrt(nrm) * qn))
+
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .withColumn("cos_raw", cos(F.col("embedding")))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", F.round("cos_raw", 4).alias("cos_sim"))
+    )
