@@ -115,11 +115,14 @@ def test_asof_join_matches_bruteforce(spark, left, right):
     the brute force can predict it exactly."""
     from event_streaming_bnpl_demo_spark.operators.asof import asof_join
 
+    def key(t):
+        return tuple(-1 if v is None else v for v in t)
+
     ldf = _ts_df(spark, left, "l_ts", "lval")
     rdf = _ts_df(spark, right, "r_ts", "rval")
-    got = sorted((r["user_id"], r["lval"], r["rval"])
-                 for r in asof_join(ldf, rdf, "user_id", "l_ts", "r_ts")
-                 .select("user_id", "lval", "rval").collect())
+    got = sorted(((r["user_id"], r["lval"], r["rval"])
+                  for r in asof_join(ldf, rdf, "user_id", "l_ts", "r_ts")
+                  .select("user_id", "lval", "rval").collect()), key=key)
     want = []
     for lk, lt, lv in left:
         cands = [(rt, rv) for rk, rt, rv in right if rk == lk and rt <= lt]
@@ -130,7 +133,7 @@ def test_asof_join_matches_bruteforce(spark, left, right):
         else:
             rv = None
         want.append((lk, lv, rv))
-    assert got == sorted(want)
+    assert got == sorted(want, key=key)
 
 
 @settings(max_examples=8, deadline=None,
