@@ -196,3 +196,40 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
             })
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+CHECKSUM_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType(), False),
+    T.StructField("byte_len", T.LongType(), True),
+    T.StructField("crc32", T.LongType(), False),
+])
+
+
+def checksum_media(media: DataFrame) -> DataFrame:
+    """Integrity pass via ``mapInArrow`` — the lowest-level Python
+    tier: RecordBatches arrive as raw Arrow memory, the binary payload
+    column is CRC'd without ever materializing a pandas object per
+    row. This is the right tier for byte-oriented work (checksums,
+    magic-number sniffing, container demuxing) where pandas boxing of
+    ``bytes`` objects is pure overhead; resize/featurize stay on
+    mapInPandas where per-element Python logic is unavoidable.
+    """
+    import zlib
+
+    import pyarrow as pa
+
+    def run(batches):
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            ids = tbl.column("asset_id")
+            payloads = tbl.column("payload")
+            crcs = [zlib.crc32(p.as_py() or b"") for p in payloads]
+            lens = [len(p.as_py() or b"") for p in payloads]
+            yield pa.RecordBatch.from_arrays(
+                [ids.combine_chunks(), pa.array(lens, pa.int64()),
+                 pa.array(crcs, pa.int64())],
+                schema=pa.schema([("asset_id", pa.int64()),
+                                  ("byte_len", pa.int64()),
+                                  ("crc32", pa.int64())]))
+
+    return media.mapInArrow(run, schema=CHECKSUM_SCHEMA)

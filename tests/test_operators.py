@@ -174,3 +174,22 @@ def test_connected_components_round_limit(spark):
         [(i, i + 1) for i in range(n - 1)], ["src", "dst"])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(nodes, edges, max_rounds=2)
+
+
+def test_checksum_media_arrow_tier(spark):
+    """mapInArrow checksum pass: CRCs computed from raw Arrow memory
+    match a driver-side reference over the same payloads."""
+    import zlib
+
+    from event_streaming_bnpl_demo_spark.operators.multimodal import (
+        checksum_media, media_from_documents)
+    from event_streaming_bnpl_demo_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    media = media_from_documents(docs)
+    got = {r["asset_id"]: (r["byte_len"], r["crc32"])
+           for r in checksum_media(media).collect()}
+    want = {r["doc_id"]: (len(r["text"].encode()),
+                          zlib.crc32(r["text"].encode()))
+            for r in docs.collect()}
+    assert got == want
