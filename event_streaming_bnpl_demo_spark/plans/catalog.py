@@ -38,6 +38,79 @@ class Query:
 
 _REGISTRY: dict[str, Query] = {}
 
+# Catalog iteration order. The driver's correctness harness budgets ~50
+# queries per round, taken in dict order — so the first tier is pinned
+# to cover every SURVEY.md §2 operator family at least once (ref pack,
+# sources, every join shape incl. TPC-H topologies, agg/grouping/stats,
+# windows, set ops, scalars, streaming, the full LLM pack, UDF surface).
+# Queries beyond the tier run only if budget remains, ordered so that
+# names without a previous driver-side CORRECTNESS row come first and
+# coverage widens round over round.
+_PRIORITY: tuple[str, ...] = (
+    # flagship + reference operators (SURVEY §2.1 R1–R15)
+    "q1_pricing_summary",
+    "ref_filter_project", "ref_type_router", "ref_purchase_to_promise",
+    "ref_lastwin_state", "ref_event_log",
+    # sources
+    "source_json_scan", "source_stream_replay",
+    # joins: every shape
+    "join_inner", "join_right_outer", "join_semi", "join_anti",
+    "q5_region_revenue", "join_range_theta", "join_asof", "join_interval_op",
+    # TPC-H join topologies (star, outer+distribution, correlated
+    # scalar subquery, exists/not-exists self-joins)
+    "q7_nation_volume", "q13_order_distribution", "q17_small_qty_revenue",
+    "q21_waiting_suppliers",
+    # aggregation / grouping sets / stats
+    "agg_distinct", "agg_grouping_sets", "agg_stats_moments",
+    # analytic windows: ranking, lag/lead, frames; top-k
+    "window_rank", "window_lag_lead", "window_range_interval",
+    "topk_per_group",
+    # set ops
+    "set_except_all",
+    # scalar packs (string + date also witness ref R14/R15), maps
+    "scalar_string", "scalar_date", "map_ops",
+    # streaming
+    "stream_session_window", "stream_dedup_keys", "stream_static_join",
+    # LLM-data pack: dedup tiers, similarity tiers, text, assembly
+    "llm_dedup_exact", "llm_dedup_minhash", "llm_dedup_components",
+    "llm_dedup_simhash", "llm_dedup_ngram_jaccard_capped",
+    "llm_dedup_embedding_banded",
+    "llm_simsearch_topk", "llm_simsearch_lsh", "llm_simsearch_ivf",
+    "llm_text_winnow", "llm_text_quality", "llm_tfidf_top_terms",
+    "llm_pack_sequences", "llm_multimodal_meta",
+    # UDF surface (pandas UDF + cogrouped applyInPandas)
+    "udf_pandas_tokens", "udf_cogrouped_asof",
+)
+
+# Names with a driver-side green row in CORRECTNESS_r01.json — these
+# yield the tail of the iteration order to queries the driver has never
+# checked, so leftover budget extends coverage instead of repeating it.
+_DRIVER_CHECKED: frozenset[str] = frozenset({
+    "q1_pricing_summary", "agg_group_basic", "agg_distinct", "agg_rollup",
+    "agg_cube", "join_inner", "join_left_outer", "join_full_outer",
+    "join_semi", "join_anti", "q5_region_revenue", "join_range_theta",
+    "join_asof", "topk_global", "topk_per_group", "set_union_distinct",
+    "set_intersect", "set_except", "set_dropdup", "scalar_string",
+    "scalar_date", "scalar_math", "scalar_conditional", "json_extract",
+    "array_ops", "ref_filter_project", "ref_type_router",
+    "ref_purchase_to_promise", "ref_lastwin_state", "ref_event_log",
+    "window_rank", "window_lag_lead", "window_running_total",
+    "window_sliding_frame", "stream_tumbling_window",
+    "stream_sliding_window", "stream_session_window", "stream_dedup_keys",
+    "agg_approx_distinct", "stream_static_join", "llm_dedup_exact",
+    "llm_dedup_minhash", "llm_dedup_components", "llm_dedup_apply",
+    "llm_dedup_simhash", "llm_dedup_ngram_jaccard", "llm_dedup_embedding",
+    "llm_simsearch_topk", "llm_simsearch_lsh", "llm_text_winnow",
+})
+
+
+def _ordered_names() -> list[str]:
+    prio = [n for n in _PRIORITY if n in _REGISTRY]
+    seen = set(prio)
+    fresh = [n for n in _REGISTRY if n not in seen and n not in _DRIVER_CHECKED]
+    rerun = [n for n in _REGISTRY if n not in seen and n in _DRIVER_CHECKED]
+    return prio + fresh + rerun
+
 
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Decorator: add a query to the catalog."""
@@ -52,7 +125,7 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 def all_queries() -> dict[str, Query]:
     _load()
-    return dict(_REGISTRY)
+    return {name: _REGISTRY[name] for name in _ordered_names()}
 
 
 def queries() -> dict[str, QueryFn]:

