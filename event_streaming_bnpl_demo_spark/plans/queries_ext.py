@@ -381,7 +381,7 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT q.qid, e.vec_id,
              {duckdb_cosine('e.embedding', 'q.qe', DIM)} AS c,
              ROW_NUMBER() OVER (PARTITION BY q.qid
-                                ORDER BY {duckdb_cosine('e.embedding', 'q.qe', DIM)}
+                                ORDER BY ROUND({duckdb_cosine('e.embedding', 'q.qe', DIM)}, 4)
                                          DESC, e.vec_id) AS rn
       FROM embeddings e CROSS JOIN q
       WHERE e.vec_id <> q.qid) t
@@ -404,7 +404,7 @@ def llm_simsearch_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
          .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
                  F.col("nrm").alias("qn")))
     cos = F.expr(f"({dot_expr('embedding', 'qe', DIM)} / (nrm * qn))")
-    w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("vec_id"))
+    w = Window.partitionBy("qid").orderBy(F.desc(F.round("c", 4)), F.asc("vec_id"))
     return (
         e.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))

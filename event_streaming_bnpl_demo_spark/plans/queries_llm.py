@@ -463,7 +463,7 @@ def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND({duckdb_cosine('e.embedding', 'q.qe', DIM)}, 4) AS cos_sim
     FROM embeddings e CROSS JOIN q
     WHERE e.vec_id <> 0
-    ORDER BY {duckdb_cosine('e.embedding', 'q.qe', DIM)} DESC, e.vec_id
+    ORDER BY ROUND({duckdb_cosine('e.embedding', 'q.qe', DIM)}, 4) DESC, e.vec_id
     LIMIT 10
     """,
     tags=("llm", "similarity"),
@@ -486,7 +486,7 @@ def llm_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .withColumn("cos_raw", cos)
-        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .orderBy(F.desc(F.round("cos_raw", 4)), F.asc("vec_id"))
         .limit(10)
         .select("vec_id", "label", F.round("cos_raw", 4).alias("cos_sim"))
     )
@@ -566,7 +566,7 @@ def llm_dedup_embedding_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND({duckdb_cosine('e.embedding', 'q.qe', DIM)}, 4) AS cos_sim
     FROM embeddings e CROSS JOIN q
     WHERE e.vec_id <> 0 AND {_signbucket('e.embedding', 'duckdb')} = q.qb
-    ORDER BY {duckdb_cosine('e.embedding', 'q.qe', DIM)} DESC, e.vec_id
+    ORDER BY ROUND({duckdb_cosine('e.embedding', 'q.qe', DIM)}, 4) DESC, e.vec_id
     LIMIT 5
     """,
     tags=("llm", "similarity", "lsh"),
@@ -594,7 +594,7 @@ def llm_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bucket", bucket)
         .join(F.broadcast(q), F.col("bucket") == F.col("qb"))
         .withColumn("cos_raw", cos)
-        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .orderBy(F.desc(F.round("cos_raw", 4)), F.asc("vec_id"))
         .limit(5)
         .select("vec_id", "bucket", F.round("cos_raw", 4).alias("cos_sim"))
     )
@@ -668,14 +668,14 @@ def _ivf_oracle() -> str:
     ),
     probe AS (
       SELECT r.label FROM reps r CROSS JOIN q
-      ORDER BY {cos_rep} DESC, r.label
+      ORDER BY ROUND({cos_rep}, 4) DESC, r.label
       LIMIT {_IVF_PROBES}
     )
     SELECT e.vec_id AS vec_id, e.label AS label,
            ROUND({cos_e}, 4) AS cos_sim
     FROM embeddings e JOIN probe USING (label) CROSS JOIN q
     WHERE e.vec_id <> 0
-    ORDER BY {cos_e} DESC, e.vec_id
+    ORDER BY ROUND({cos_e}, 4) DESC, e.vec_id
     LIMIT 5
     """
 
@@ -705,7 +705,7 @@ def llm_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.expr(f"({dot_expr('embedding', 'qe', DIM)} / (nrm * qn))")
     probed = (reps.crossJoin(F.broadcast(q))
               .withColumn("cscore", cos)
-              .orderBy(F.desc("cscore"), F.asc("label"))
+              .orderBy(F.desc(F.round("cscore", 4)), F.asc("label"))
               .limit(_IVF_PROBES)
               .select("label"))
     return (
@@ -713,7 +713,7 @@ def llm_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .withColumn("cos_raw", cos)
-        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .orderBy(F.desc(F.round("cos_raw", 4)), F.asc("vec_id"))
         .limit(5)
         .select("vec_id", "label", F.round("cos_raw", 4).alias("cos_sim"))
     )

@@ -171,8 +171,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT tier,
            COUNT(*) AS n_purchases,
-           {dsum_sql('value')} AS purchase_value,
-           COUNT(DISTINCT p.user_id) AS n_users
+           {dsum_sql('value')} AS purchase_value
     FROM events p JOIN profile USING (user_id)
     WHERE p.event_type = 'purchase'
     GROUP BY tier
@@ -186,12 +185,23 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     every streaming pipeline runs. The stream side is a genuine
     ``readStream`` drained with availableNow; the static side is a
     batch DataFrame, re-read per micro-batch by Structured Streaming's
-    stream-static join (stateless — no watermark needed).
+    stream-static join (stateless — no watermark needed). Every
+    reported column comes from the drained stream; the distinct-user
+    sketch the stream also maintains is surfaced by the rows-only twin
+    ``stream_static_join_approx`` (complete-mode streaming cannot run
+    exact count_distinct, and sketches are engine-specific, so that
+    column cannot hash-match a DuckDB oracle).
 
     Scale: the profile side is small per key and broadcasts (or is
     pre-bucketed at 100 TB); the stream side never shuffles before the
     join, so enrichment adds no state and no exchange to the hot path.
     """
+    return _run_stream_static(spark, sf_dir).drop("n_users_approx")
+
+
+def _run_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the stream-static enrichment join into a memory sink and
+    return (tier, n_purchases, purchase_value, n_users_approx)."""
     import uuid as _uuid
 
     from .queries_ext import _scratch
@@ -219,20 +229,24 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("tier")
                 .agg(F.count(F.lit(1)).alias("n_purchases"),
                      F.expr(dsum_sql("value")).alias("purchase_value"),
-                     F.approx_count_distinct("user_id").alias("_n")))
+                     F.approx_count_distinct("user_id")
+                      .alias("n_users_approx")))
     q = (enriched.writeStream.format("memory").queryName(name)
          .outputMode("complete")
          .option("checkpointLocation", _scratch(f"ck_{name}"))
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    # exact distinct per tier is re-derived batch-side (streaming
-    # complete-mode count_distinct is unsupported; the approx column is
-    # dropped) — counts/sums come from the drained stream.
-    exact_users = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(profile), "user_id")
-        .groupBy("tier")
-        .agg(F.countDistinct("user_id").alias("n_users")))
-    return (spark.table(name).drop("_n")
-            .join(exact_users, "tier"))
+    return spark.table(name)
+
+
+@register("stream_static_join_approx", tags=("stream", "join", "approx"))
+def stream_static_join_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streamed distinct-user sketch from the stream-static
+    enrichment join: approx_count_distinct (HyperLogLog++) maintained
+    IN the streaming aggregation itself — complete-mode streaming
+    cannot run exact count_distinct, and HLL sketches are
+    engine-specific, hence rows-only. The hash-matched twin
+    ``stream_static_join`` verifies the same join topology's exact
+    columns."""
+    return _run_stream_static(spark, sf_dir).select(
+        "tier", "n_purchases", "n_users_approx")

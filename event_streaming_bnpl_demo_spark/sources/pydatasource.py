@@ -116,8 +116,9 @@ class _JsonlWriter(DataSourceWriter):
     standard two-phase commit of a Spark sink, in ~30 lines. ``abort``
     leaves only ``.tmp-`` files, which a re-run ignores."""
 
-    def __init__(self, options):
+    def __init__(self, options, overwrite: bool = False):
         self.path = options.get("path")
+        self.overwrite = overwrite
         if not self.path:
             raise ValueError("bnpl_synthetic writer requires option 'path'")
 
@@ -132,8 +133,17 @@ class _JsonlWriter(DataSourceWriter):
         return _FileCommit(path=tmp, rows=n)
 
     def commit(self, messages):
+        if self.overwrite:
+            # clear prior committed output BEFORE renaming this job's
+            # files in, so mode('overwrite') replaces instead of unions
+            for name in os.listdir(self.path):
+                if name.startswith("part-") and name.endswith(".jsonl"):
+                    os.remove(os.path.join(self.path, name))
         for m in messages:
-            os.rename(m.path, m.path.replace(".tmp-", "part-"))
+            # rename only the basename: a parent directory containing
+            # '.tmp-' must not be rewritten by a whole-path replace
+            d, base = os.path.split(m.path)
+            os.rename(m.path, os.path.join(d, base.replace(".tmp-", "part-", 1)))
 
     def abort(self, messages):
         for m in messages:
@@ -203,7 +213,7 @@ class SyntheticEventsDataSource(DataSource):
         return _StreamReader(self.options)
 
     def writer(self, schema, overwrite):
-        return _JsonlWriter(self.options)
+        return _JsonlWriter(self.options, overwrite=overwrite)
 
     def streamWriter(self, schema, overwrite):
         return _JsonlStreamWriter(self.options)

@@ -243,13 +243,22 @@ class BnplPipeline:
                 "files_after": _files(self.log_dir)}
 
     def promises(self) -> DataFrame:
-        return self.spark.read.parquet(self.promises_dir)
+        # Keyed on the configured mode — NOT on directory existence —
+        # so re-running the same out_dir with the mode switched never
+        # serves a projection the other mode left behind. In recompute
+        # mode the log is the source of truth and the projection is
+        # (lazily) recomputed from it at read time — exact even when a
+        # caught-up checkpoint meant this run wrote no batch at all;
+        # the per-batch materialized dir remains for external readers.
+        if self.projection_mode == "incremental":
+            return self.spark.read.parquet(self.promises_dir)
+        return transforms.project_promises(self.read_log())
 
     def bills(self) -> DataFrame:
         # incremental mode: the folded state table is the source of
         # truth and the bill view is a cheap projection over it;
-        # recompute mode materializes bills_dir directly from the log
-        if os.path.isdir(self.bills_state_dir):
+        # recompute mode derives bills from the log (see promises()).
+        if self.projection_mode == "incremental":
             return transforms.bills_from_state(
                 self.spark.read.parquet(self.bills_state_dir))
-        return self.spark.read.parquet(self.bills_dir)
+        return transforms.project_bills(self.read_log())

@@ -17,6 +17,7 @@ grouped rows, so the Python hop is vectorized, not per-row.
 
 from __future__ import annotations
 
+import contextlib
 from collections.abc import Iterator
 from typing import Any
 
@@ -103,6 +104,33 @@ class BillLifecycleProcessor(StatefulProcessor):
         pass
 
 
+_STATE_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+_ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
+                     "RocksDBStateStoreProvider")
+
+
+@contextlib.contextmanager
+def rocksdb_state_store(spark):
+    """Scope the RocksDB state-store provider to one query start.
+
+    The provider is a *session* conf read when a streaming query
+    starts; setting it as a plan-construction side effect would
+    silently switch the store for every unrelated query started later
+    in the session. Wrap the ``.start()`` call instead — the prior
+    provider is restored on exit (started queries keep the provider
+    they launched with).
+    """
+    prev = spark.conf.get(_STATE_PROVIDER_KEY, None)
+    spark.conf.set(_STATE_PROVIDER_KEY, _ROCKSDB_PROVIDER)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(_STATE_PROVIDER_KEY)
+        else:
+            spark.conf.set(_STATE_PROVIDER_KEY, prev)
+
+
 def bill_state_stream_tws(events: DataFrame) -> DataFrame:
     """bill_state_stream on the Spark 4 ``transformWithStateInPandas``
     API — same filter, same fold, same update-mode output contract;
@@ -110,8 +138,11 @@ def bill_state_stream_tws(events: DataFrame) -> DataFrame:
 
     transformWithState only runs on the RocksDB state store provider
     (the scale-path store anyway: state spills to disk instead of
-    living on the JVM heap), so the session is switched to it here —
-    it applies to queries started afterwards.
+    living on the JVM heap). This builder does NOT mutate session
+    conf — start the query under :func:`rocksdb_state_store`::
+
+        with rocksdb_state_store(spark):
+            q = bill_state_stream_tws(events).writeStream....start()
 
     Runtime dependency: the transformWithState driver worker speaks a
     protobuf state-server protocol, so ``google.protobuf`` must be
@@ -119,10 +150,6 @@ def bill_state_stream_tws(events: DataFrame) -> DataFrame:
     lacks it, so the paired test auto-skips there and the
     applyInPandasWithState path stays the tested default).
     """
-    events.sparkSession.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider")
     bills = events.filter(
         events.event_type.isin("MemberBillCreatedEvent", "PaymentCompletedEvent"))
     return (

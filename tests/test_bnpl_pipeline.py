@@ -206,9 +206,11 @@ def test_state_machine_stream(spark, tmp_path, reorder, api):
     """Bill lifecycle over a file stream on BOTH stateful APIs
     (applyInPandasWithState and Spark 4 transformWithStateInPandas):
     create→pay (and pay→create reordered) both end 'paid'."""
+    import contextlib
+
     from event_streaming_bnpl_demo_spark.sources.events import read_event_stream
     from event_streaming_bnpl_demo_spark.streaming.state import (
-        bill_state_stream, bill_state_stream_tws)
+        bill_state_stream, bill_state_stream_tws, rocksdb_state_store)
 
     impl = bill_state_stream if api == "group_state" else bill_state_stream_tws
     events = GOLDEN[2:4]
@@ -218,11 +220,16 @@ def test_state_machine_stream(spark, tmp_path, reorder, api):
     out = str(tmp_path / "state_out")
     write_events(in_dir, events)
     stream = read_event_stream(spark, in_dir)
-    q = (impl(stream).writeStream
-         .format("memory").queryName(f"bill_state_{api}")
-         .outputMode("update")
-         .option("checkpointLocation", out)
-         .trigger(availableNow=True).start())
+    # transformWithState requires the RocksDB provider — scoped to this
+    # query start so the session default is untouched afterwards
+    provider = (rocksdb_state_store(spark) if api == "transform_with_state"
+                else contextlib.nullcontext())
+    with provider:
+        q = (impl(stream).writeStream
+             .format("memory").queryName(f"bill_state_{api}")
+             .outputMode("update")
+             .option("checkpointLocation", out)
+             .trigger(availableNow=True).start())
     q.awaitTermination()
     rows = {r["bill_id"]: r.asDict()
             for r in spark.sql(f"select * from bill_state_{api}").collect()}
