@@ -43,6 +43,17 @@ HEADLINE = [
     "llm_simsearch_topk",
     "llm_tfidf_top_terms",
     "ref_lastwin_state",
+    # TPC-H topology pack (round 2): the hardest join shapes, benched
+    # so regressions in join planning are caught round-over-round
+    "q7_nation_volume",
+    "q8_market_share",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_volume",
+    "q19_disjunctive_join",
+    "q21_waiting_suppliers",
+    "q22_idle_balances",
 ]
 
 

@@ -51,15 +51,18 @@ _PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "ref_filter_project", "ref_type_router", "ref_purchase_to_promise",
     "ref_lastwin_state", "ref_event_log",
-    # sources
-    "source_json_scan", "source_stream_replay",
-    # joins: every shape
-    "join_inner", "join_right_outer", "join_semi", "join_anti",
-    "q5_region_revenue", "join_range_theta", "join_asof", "join_interval_op",
-    # TPC-H join topologies (star, outer+distribution, correlated
-    # scalar subquery, exists/not-exists self-joins)
-    "q7_nation_volume", "q13_order_distribution", "q17_small_qty_revenue",
-    "q21_waiting_suppliers",
+    # sources (file formats, streaming replay, custom Python DataSource)
+    "source_json_scan", "source_stream_replay", "source_python_datasource",
+    # joins: every shape. Where a COVERAGE row has an r01-green sibling,
+    # the never-driver-checked sibling holds the slot (cross for
+    # semi/anti/cross, right-outer for the outer row) so cumulative
+    # driver-green coverage grows while every row stays green this round.
+    "join_right_outer", "join_cross_small", "join_salted_skew",
+    "q5_region_revenue", "join_range_theta", "join_asof",
+    "join_interval_op", "join_interval_outer",
+    # TPC-H join topologies (correlated scalar subquery, double-
+    # correlated EXISTS self-joins — the two hardest shapes)
+    "q17_small_qty_revenue", "q21_waiting_suppliers",
     # aggregation / grouping sets / stats
     "agg_distinct", "agg_grouping_sets", "agg_stats_moments",
     # analytic windows: ranking, lag/lead, frames; top-k
@@ -67,19 +70,38 @@ _PRIORITY: tuple[str, ...] = (
     "topk_per_group",
     # set ops
     "set_except_all",
-    # scalar packs (string + date also witness ref R14/R15), maps
+    # scalar packs (string + date also witness ref R14/R15), maps,
+    # subqueries, recursive CTE
     "scalar_string", "scalar_date", "map_ops",
+    "scalar_subquery", "sql_recursive_cte",
     # streaming
     "stream_session_window", "stream_dedup_keys", "stream_static_join",
     # LLM-data pack: dedup tiers, similarity tiers, text, assembly
     "llm_dedup_exact", "llm_dedup_minhash", "llm_dedup_components",
-    "llm_dedup_simhash", "llm_dedup_ngram_jaccard_capped",
-    "llm_dedup_embedding_banded",
-    "llm_simsearch_topk", "llm_simsearch_lsh", "llm_simsearch_ivf",
-    "llm_text_winnow", "llm_text_quality", "llm_tfidf_top_terms",
+    "llm_dedup_apply", "llm_dedup_simhash", "llm_dedup_ngram_jaccard_capped",
+    "llm_dedup_embedding_banded", "llm_simsearch_ivf",
+    "llm_text_quality", "llm_tfidf_top_terms",
     "llm_pack_sequences", "llm_multimodal_meta",
     # UDF surface (pandas UDF + cogrouped applyInPandas)
     "udf_pandas_tokens", "udf_cogrouped_asof",
+)
+
+# Second tier: the most valuable never-driver-checked queries, in the
+# order extra budget should reach them (TPC-H topologies first — the
+# hardest join shapes — then the assembly/stats/text tails).
+_PRIORITY2: tuple[str, ...] = (
+    "q2_min_cost_supply", "q4_priority_late_ship", "q9_product_type_profit",
+    "q11_important_parts", "q12_ship_lateness", "q16_supplier_diversity",
+    "q20_heavy_promo_suppliers",
+    "q7_nation_volume", "q8_market_share", "q13_order_distribution",
+    "q15_top_supplier", "q18_large_volume", "q19_disjunctive_join",
+    "q22_idle_balances",
+    "q3_shipping_priority", "q6_forecast_revenue", "q10_returned_items",
+    "q14_promo_share", "join_snowflake_dims",
+    "agg_median_exact", "agg_minmax_by", "agg_stats_corr",
+    "subquery_exists", "join_lateral", "json_variant",
+    "llm_decontaminate", "llm_sample_stratified", "llm_split_train_eval",
+    "llm_simsearch_batch", "udf_pandas_cosine", "udf_grouped_demean",
 )
 
 # Names with a driver-side green row in CORRECTNESS_r01.json — these
@@ -107,9 +129,11 @@ _DRIVER_CHECKED: frozenset[str] = frozenset({
 def _ordered_names() -> list[str]:
     prio = [n for n in _PRIORITY if n in _REGISTRY]
     seen = set(prio)
+    prio2 = [n for n in _PRIORITY2 if n in _REGISTRY and n not in seen]
+    seen.update(prio2)
     fresh = [n for n in _REGISTRY if n not in seen and n not in _DRIVER_CHECKED]
     rerun = [n for n in _REGISTRY if n not in seen and n in _DRIVER_CHECKED]
-    return prio + fresh + rerun
+    return prio + prio2 + fresh + rerun
 
 
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
