@@ -198,6 +198,148 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+# --------------------------------------------------------------------------
+# Audio tier — REAL codec path (not a stub): WAV/PCM encode + decode via
+# the stdlib ``wave`` module, sample math via numpy. Image/video decode
+# remains stubbed above (their codec libraries genuinely do not exist in
+# this container); audio is the modality whose container format the
+# standard library can parse, so its decode / feature-extract / resample
+# operators run end-to-end on real bytes.
+# --------------------------------------------------------------------------
+
+AUDIO_SR = 8000          #: synth sample rate (Hz)
+AUDIO_PERIOD = 8         #: square-wave period in samples (4 high, 4 low)
+
+AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType(), False),
+    T.StructField("sr", T.IntegerType(), False),
+    T.StructField("n_channels", T.IntegerType(), False),
+    T.StructField("n_samples", T.LongType(), False),
+    T.StructField("duration_ms", T.LongType(), False),
+    T.StructField("rms", T.DoubleType(), False),
+    T.StructField("peak", T.IntegerType(), False),
+    T.StructField("zero_crossings", T.LongType(), False),
+])
+
+
+def _encode_wav(samples, sr: int = AUDIO_SR) -> bytes:
+    """PCM16 mono WAV encode (stdlib ``wave`` writes the RIFF header)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def _decode_wav(payload: bytes):
+    """WAV decode -> (sample_rate, n_channels, int16 sample array).
+    Real parse of the RIFF/WAVE container — a corrupt header raises."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sr = w.getframerate()
+        nch = w.getnchannels()
+        if w.getsampwidth() != 2:
+            raise NotImplementedError("only PCM16 supported")
+        frames = w.readframes(w.getnframes())
+    return sr, nch, np.frombuffer(frames, dtype="<i2")
+
+
+def synth_audio_media(docs: DataFrame) -> DataFrame:
+    """Deterministic audio corpus: one PCM16 WAV per document, a square
+    wave whose amplitude/length derive from ``doc_id`` alone — so every
+    decoded feature has a closed-form value an external oracle can
+    compute without touching the bytes (amplitude A = 1000 + id % 9000,
+    n_samples = 160 + (id % 64) * 16, period 8 → RMS = A exactly,
+    zero-crossings = n/4 - 1).
+
+    Scale: encode runs inside Arrow batches (mapInPandas); payloads are
+    a few KB each and never leave the executor as Python rows.
+    """
+    import numpy as np
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                amp = 1000 + int(doc_id) % 9000
+                n = 160 + (int(doc_id) % 64) * 16
+                half = AUDIO_PERIOD // 2
+                cycle = np.concatenate([np.full(half, amp, dtype=np.int16),
+                                        np.full(half, -amp, dtype=np.int16)])
+                samples = np.tile(cycle, n // AUDIO_PERIOD)
+                payloads.append(_encode_wav(samples))
+            yield pd.DataFrame({
+                "asset_id": pdf["doc_id"],
+                "modality": "audio",
+                "payload": payloads,
+                "byte_len": [len(p) for p in payloads],
+                "sha256": [hashlib.sha256(p).hexdigest() for p in payloads],
+            })
+
+    return docs.select("doc_id").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode WAV payloads and measure them: duration, RMS, peak,
+    zero-crossing count — the audio analog of image feature
+    extraction, computed from the DECODED samples (the container header
+    contributes only sr/channels; every statistic is sample math)."""
+    import numpy as np
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = {k: [] for k in ("asset_id", "sr", "n_channels",
+                                    "n_samples", "duration_ms", "rms",
+                                    "peak", "zero_crossings")}
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                sr, nch, s = _decode_wav(bytes(payload))
+                x = s.astype(np.float64)
+                rows["asset_id"].append(asset_id)
+                rows["sr"].append(sr)
+                rows["n_channels"].append(nch)
+                rows["n_samples"].append(len(s))
+                rows["duration_ms"].append(len(s) * 1000 // sr)
+                rows["rms"].append(float(np.sqrt(np.mean(np.square(x)))))
+                rows["peak"].append(int(np.max(np.abs(s))))
+                rows["zero_crossings"].append(
+                    int(np.count_nonzero(np.diff(np.signbit(s)))))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def resample_audio(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Integer-factor decimation resample: decode, take every Nth
+    sample, re-encode at sr/N — a real (if basic) DSP pass producing a
+    valid, re-decodable WAV. Output keeps MEDIA_SCHEMA so resample and
+    feature passes compose."""
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            payloads = []
+            for payload in pdf["payload"]:
+                sr, _, s = _decode_wav(bytes(payload))
+                payloads.append(_encode_wav(s[::factor], sr=sr // factor))
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "modality": pdf["modality"],
+                "payload": payloads,
+                "byte_len": [len(p) for p in payloads],
+                "sha256": [hashlib.sha256(p).hexdigest() for p in payloads],
+            })
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 CHECKSUM_SCHEMA = T.StructType([
     T.StructField("asset_id", T.LongType(), False),
     T.StructField("byte_len", T.LongType(), True),

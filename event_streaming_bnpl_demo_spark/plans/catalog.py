@@ -81,7 +81,7 @@ _PRIORITY: tuple[str, ...] = (
     "llm_dedup_apply", "llm_dedup_simhash", "llm_dedup_ngram_jaccard_capped",
     "llm_dedup_embedding_banded", "llm_simsearch_ivf",
     "llm_text_quality", "llm_tfidf_top_terms",
-    "llm_pack_sequences", "llm_multimodal_meta",
+    "llm_pack_sequences", "llm_multimodal_meta", "llm_multimodal_audio",
     # UDF surface (pandas UDF + cogrouped applyInPandas)
     "udf_pandas_tokens", "udf_cogrouped_asof",
 )

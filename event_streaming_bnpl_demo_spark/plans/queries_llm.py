@@ -956,6 +956,58 @@ def llm_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_multimodal_audio",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           8000 AS sr,
+           1 AS n_channels,
+           CAST(160 + (doc_id % 64) * 16 AS BIGINT) AS n_samples,
+           CAST((160 + (doc_id % 64) * 16) // 8 AS BIGINT) AS duration_ms,
+           CAST(1000 + doc_id % 9000 AS DOUBLE) AS rms,
+           CAST(1000 + doc_id % 9000 AS INT) AS peak,
+           CAST((160 + (doc_id % 64) * 16) // 4 - 1 AS BIGINT)
+             AS zero_crossings,
+           CAST((160 + (doc_id % 64) * 16) // 2 AS BIGINT) AS rs_n_samples,
+           CAST(1000 + doc_id % 9000 AS DOUBLE) AS rs_rms
+    FROM documents
+    WHERE doc_id % 20 = 0
+    """,
+    tags=("llm", "multimodal", "audio"),
+)
+def llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec tier: synthesize a PCM16 WAV per sampled
+    document (square wave parameterized by doc_id), then decode the
+    container with stdlib ``wave``, measure the samples (RMS / peak /
+    zero-crossings / duration), decimate-resample by 2, and re-decode
+    the resampled bytes. Every reported number comes from decoding
+    actual WAV bytes; the oracle knows the closed-form values the
+    synthesis guarantees (±A square wave → RMS exactly A; period 8 →
+    n/4 - 1 sign changes; decimation halves samples, keeps RMS). The
+    image/video decode paths remain honestly stubbed — WAV is the one
+    container the standard library can truly parse.
+
+    Scale: encode/decode/resample all run as Arrow-batched mapInPandas
+    stages; payload bytes never cross to the driver, and the final
+    join is id-to-id on co-partitioned UDF outputs.
+    """
+    from ..operators.multimodal import (audio_features, resample_audio,
+                                        synth_audio_media)
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 20 == 0))
+    media = synth_audio_media(docs)
+    feats = audio_features(media)
+    rs_feats = (audio_features(resample_audio(media, factor=2))
+                .select(F.col("asset_id").alias("rs_id"),
+                        F.col("n_samples").alias("rs_n_samples"),
+                        F.col("rms").alias("rs_rms")))
+    return (feats.join(rs_feats, feats.asset_id == rs_feats.rs_id)
+            .select("asset_id", "sr", "n_channels", "n_samples",
+                    "duration_ms", "rms", "peak", "zero_crossings",
+                    "rs_n_samples", "rs_rms"))
+
+
 # --------------------------------------------------------------------------
 # dataset assembly: splits, sampling, decontamination
 # --------------------------------------------------------------------------

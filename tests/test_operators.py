@@ -114,6 +114,29 @@ def test_multimodal_frame_sampling(spark):
         assert all(0 < r["frame_len"] <= 64 for r in rows)
 
 
+def test_wav_codec_roundtrip_and_resample():
+    """The audio tier is a real codec: encode -> decode must be the
+    identity on samples and rate, a truncated container must fail to
+    parse, and decimation must halve the sample count at half the
+    rate while preserving every kept sample."""
+    import numpy as np
+    import pytest
+
+    from event_streaming_bnpl_demo_spark.operators.multimodal import (
+        _decode_wav, _encode_wav)
+
+    rng = np.random.RandomState(7)
+    samples = rng.randint(-32768, 32767, size=1000).astype(np.int16)
+    payload = _encode_wav(samples, sr=16000)
+    sr, nch, out = _decode_wav(payload)
+    assert (sr, nch) == (16000, 1)
+    assert np.array_equal(out, samples)
+    with pytest.raises(Exception):
+        _decode_wav(payload[:20])   # truncated RIFF header
+    sr2, _, dec = _decode_wav(_encode_wav(samples[::2], sr=sr // 2))
+    assert sr2 == 8000 and np.array_equal(dec, samples[::2])
+
+
 def test_change_notifier_fires_per_batch(spark, tmp_path):
     """R11 parity: a listener-driven update hook fires after micro-
     batches that moved rows (the reference's WebSocket push analog)."""

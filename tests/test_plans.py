@@ -221,6 +221,43 @@ def test_join_strategy_hints(spark):
         tune(spark)
 
 
+def test_round2_tpch_pack_plan_shapes(spark):
+    """The seven round-2 TPC-H topologies must keep their designed
+    physical shapes: every base table scanned exactly ONCE (the
+    correlated subqueries decorrelate into windows, never into
+    aggregate+self-join re-scans), semi/anti probes stay semi/anti,
+    and no join degrades to a nested-loop/cartesian plan."""
+    import re
+
+    expected = {   # name -> (scan multiset, must-contain markers)
+        "q2_min_cost_supply": (
+            ["lineitem", "nation", "part", "region", "supplier"],
+            ["Window", "BroadcastHashJoin"]),
+        "q4_priority_late_ship": (
+            ["lineitem", "orders"], ["LeftSemi"]),
+        "q9_product_type_profit": (
+            ["lineitem", "nation", "orders", "part", "supplier"],
+            ["BroadcastHashJoin"]),
+        "q11_important_parts": (
+            ["lineitem", "nation", "supplier"], ["Window"]),
+        "q12_ship_lateness": (
+            ["lineitem", "orders"], ["GreaterThanOrEqual(l_shipdate"]),
+        "q16_supplier_diversity": (
+            ["lineitem", "part", "supplier"], ["LeftAnti"]),
+        "q20_heavy_promo_suppliers": (
+            ["lineitem", "nation", "part", "supplier"], ["LeftSemi"]),
+    }
+    for name, (tables, markers) in expected.items():
+        plan = (QUERIES[name].fn(spark, SF_SMOKE)._jdf
+                .queryExecution().executedPlan().toString())
+        scans = sorted(re.findall(r"Scan parquet.*?([a-z]+)\.parquet", plan))
+        assert scans == tables, f"{name}: scans {scans} != {tables}"
+        for m in markers:
+            assert m in plan, f"{name}: missing {m}"
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 def test_window_decorrelation_stays_single_scan(spark):
     """The window-decorrelated shapes (DESIGN.md finding 5) must not
     regress to aggregate+self-join plans that re-scan their fact
