@@ -102,6 +102,8 @@ _PRIORITY2: tuple[str, ...] = (
     "subquery_exists", "join_lateral", "json_variant",
     "llm_decontaminate", "llm_sample_stratified", "llm_split_train_eval",
     "llm_simsearch_batch", "udf_pandas_cosine", "udf_grouped_demean",
+    "llm_curation_pipeline", "llm_chunk_overlap", "llm_ngram_stats",
+    "llm_prefix_boilerplate",
 )
 
 # Names with a driver-side green row in CORRECTNESS_r01.json — these
@@ -187,6 +189,7 @@ def _load() -> None:
     from . import queries_window    # noqa: F401
     from . import queries_stream    # noqa: F401
     from . import queries_llm       # noqa: F401
+    from . import queries_llm2      # noqa: F401
     from . import queries_ext       # noqa: F401
     from . import queries_ext2      # noqa: F401
     from . import queries_tpch      # noqa: F401
