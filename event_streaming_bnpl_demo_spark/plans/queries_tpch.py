@@ -160,16 +160,21 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"),
         F.col("n_name").alias("nation"))
-    cust_america = c.join(
-        F.broadcast(n1.join(F.broadcast(r), n1.n1_rkey == r.r_regionkey)),
-        c.c_nationkey == F.col("n1_key"))
+    cust_america = (
+        c.join(F.broadcast(n1.join(F.broadcast(r),
+                                   n1.n1_rkey == r.r_regionkey)),
+               c.c_nationkey == F.col("n1_key"))
+        .select("c_custkey"))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(s.join(F.broadcast(n2),
                                  s.s_nationkey == n2.n2_key)),
               li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(cust_america, o.o_custkey == F.col("c_custkey"), "left_semi")
+        # stats-gated: the region-reduced one-column customer set hashes
+        # in while small and reverts to shuffle semi-join at real scale
+        .join(maybe_broadcast(cust_america, sf_dir, "customer"),
+              o.o_custkey == F.col("c_custkey"), "left_semi")
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(F.expr(dsum_sql(_Q8_CASE, 4)).alias("nation_revenue"),
              F.expr(dsum_sql(_REV, 4)).alias("total_revenue"),
@@ -444,7 +449,12 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                   (F.col("l_shipdate")
                    > F.timestamp_add("DAY", F.lit(365), F.col("o_orderdate"))
                    ).alias("is_late")))
-    per_supp = (lo.groupBy("l_orderkey", "l_suppkey")
+    # One fact shuffle: clustering on l_orderkey alone satisfies BOTH the
+    # (l_orderkey, l_suppkey) aggregation (a subset partitioning co-locates
+    # the full key) and the per-order window below — without this hint the
+    # planner emits two fact-sized exchanges (one per key set).
+    per_supp = (lo.repartition("l_orderkey")
+                .groupBy("l_orderkey", "l_suppkey")
                 .agg(F.max("is_late").alias("supp_late"),
                      F.sum(F.when(F.col("is_late"), 1).otherwise(0))
                       .alias("n_late_rows")))

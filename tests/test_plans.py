@@ -221,6 +221,33 @@ def test_join_strategy_hints(spark):
         tune(spark)
 
 
+def test_q21_single_fact_shuffle(spark):
+    """q21's explicit orderkey clustering must serve both the
+    (orderkey, suppkey) aggregate and the per-order window: exactly
+    one fact-sized exchange (plus the tiny s_name agg), never the
+    two-exchange plan the default planner produces."""
+    import re
+
+    plan = (QUERIES["q21_waiting_suppliers"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    fact_exchanges = [e for e in re.findall(r"Exchange hashpartitioning\(([^)]*)\)",
+                                            plan) if "s_name" not in e]
+    assert len(fact_exchanges) == 1, fact_exchanges
+    assert "l_orderkey" in fact_exchanges[0]
+
+
+def test_q8_semi_join_broadcasts_reduced_customer(spark):
+    """q8's region-reduced customer key set must broadcast into the
+    orders semi-join at test scale (stats-gated hint) — no sort-merge
+    exchanges on custkey."""
+    import re
+
+    plan = (QUERIES["q8_market_share"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    ex = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert not any("custkey" in e for e in ex), ex
+
+
 def test_round2_tpch_pack_plan_shapes(spark):
     """The seven round-2 TPC-H topologies must keep their designed
     physical shapes: every base table scanned exactly ONCE (the
