@@ -104,6 +104,7 @@ _PRIORITY2: tuple[str, ...] = (
     "llm_simsearch_batch", "udf_pandas_cosine", "udf_grouped_demean",
     "llm_curation_pipeline", "llm_chunk_overlap", "llm_ngram_stats",
     "llm_prefix_boilerplate",
+    "events_funnel", "events_retention_cohorts", "events_attribution",
 )
 
 # Names with a driver-side green row in CORRECTNESS_r01.json — these
@@ -190,6 +191,7 @@ def _load() -> None:
     from . import queries_stream    # noqa: F401
     from . import queries_llm       # noqa: F401
     from . import queries_llm2      # noqa: F401
+    from . import queries_events    # noqa: F401
     from . import queries_ext       # noqa: F401
     from . import queries_ext2      # noqa: F401
     from . import queries_tpch      # noqa: F401
