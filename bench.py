@@ -54,6 +54,10 @@ HEADLINE = [
     "q19_disjunctive_join",
     "q21_waiting_suppliers",
     "q22_idle_balances",
+    # round-2 flagships: the composed curation pipeline and the
+    # window-chained funnel exercise multi-stage single-scan plans
+    "llm_curation_pipeline",
+    "events_funnel",
 ]
 
 
