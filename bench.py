@@ -45,19 +45,29 @@ HEADLINE = [
     "ref_lastwin_state",
     # TPC-H topology pack (round 2): the hardest join shapes, benched
     # so regressions in join planning are caught round-over-round
+    "q2_min_cost_supply",
+    "q4_priority_late_ship",
     "q7_nation_volume",
     "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q12_ship_lateness",
     "q13_order_distribution",
     "q15_top_supplier",
+    "q16_supplier_diversity",
     "q17_small_qty_revenue",
     "q18_large_volume",
     "q19_disjunctive_join",
+    "q20_heavy_promo_suppliers",
     "q21_waiting_suppliers",
     "q22_idle_balances",
     # round-2 flagships: the composed curation pipeline and the
-    # window-chained funnel exercise multi-stage single-scan plans
+    # window-chained funnel/retention exercise multi-stage single-scan
+    # plans; chunking pins the zero-shuffle posexplode path
     "llm_curation_pipeline",
     "events_funnel",
+    "events_retention_cohorts",
+    "llm_chunk_overlap",
 ]
 
 
@@ -144,6 +154,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "n": 3,
         "cold_sec": round(sum(cold.values()), 3),
         "stream": stream_throughput(spark, sf_dir),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -227,7 +227,7 @@ def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _verified_oracle() -> str:
     qs = all_queries()
     minhash = qs["llm_dedup_minhash"].oracle
-    jaccard = qs["llm_dedup_ngram_jaccard"].oracle
+    jaccard = qs["llm_dedup_ngram_jaccard_exact"].oracle
     return f"""
     WITH cand AS ({minhash}), jac AS ({jaccard})
     SELECT cand.doc_a AS doc_a, cand.doc_b AS doc_b, jac.jaccard AS jaccard

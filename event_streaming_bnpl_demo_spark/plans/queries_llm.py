@@ -358,19 +358,20 @@ def _jaccard_oracle(df_cap: int | None = None) -> str:
     """
 
 
-@register("llm_dedup_ngram_jaccard", oracle=_jaccard_oracle(),
-          tags=("llm", "dedup"))
-def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("llm_dedup_ngram_jaccard_exact", oracle=_jaccard_oracle(),
+          tags=("llm", "dedup", "verify"))
+def llm_dedup_ngram_jaccard_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (threshold 0.5): distinct
     3-gram shingles, candidate pairs generated *only* through shared
     shingles (an inverted-index join — pairs sharing nothing are never
     materialized), intersection counted by group, |A∪B| by
     inclusion-exclusion.
 
-    Scale: the shingle join is the blocking step; the frequency-capped
-    twin (llm_dedup_ngram_jaccard_capped) is the registered scale-safe
-    shape — this uncapped form is exact over ALL shingles and kept for
-    full-fidelity verification.
+    VERIFY TIER: this uncapped form is exact over ALL shingles and is
+    kept for full-fidelity cross-checks; the primary name
+    (llm_dedup_ngram_jaccard) carries the df-capped 100 TB shape. An
+    uncapped inverted index is O(f²) in the hottest shingle's document
+    frequency — do not run this twin corpus-wide at scale.
     """
     sh = _doc_shingles(spark, sf_dir)
     return jaccard_pairs(sh, threshold=0.5, df_cap=None)
@@ -388,13 +389,15 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_DF_CAP = 40
 
 
-@register("llm_dedup_ngram_jaccard_capped",
+@register("llm_dedup_ngram_jaccard",
           oracle=_jaccard_oracle(df_cap=_JACCARD_DF_CAP),
           tags=("llm", "dedup", "capped"))
-def llm_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+def llm_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs with the hot-shingle guard ON
     (df cap 40): shingles present in more documents than the cap are
-    dropped from the index AND the set sizes before pairing.
+    dropped from the index AND the set sizes before pairing. This is
+    the PRIMARY registered shape (the uncapped exact twin is
+    llm_dedup_ngram_jaccard_exact, verify tier only).
 
     Scale: this is the 100 TB formulation. An uncapped inverted index
     explodes on one boilerplate shingle (f docs → f²/2 candidate
@@ -410,7 +413,7 @@ def llm_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
-    "llm_dedup_embedding",
+    "llm_dedup_embedding_exact",
     oracle=f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
            ROUND({duckdb_cosine('a.embedding', 'b.embedding', DIM)}, 4) AS cos_sim
@@ -418,18 +421,18 @@ def llm_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFram
     JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE {duckdb_cosine('a.embedding', 'b.embedding', DIM)} >= 0.4
     """,
-    tags=("llm", "dedup", "vector"),
+    tags=("llm", "dedup", "vector", "verify"),
 )
-def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by label (the coarse
-    cluster id): only same-label vectors are compared, cosine computed
-    JVM-side via higher-order functions (functions.vectors), threshold
-    0.4 (observed in-label max ≈0.47).
+def llm_dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label only (the
+    coarse cluster id): only same-label vectors are compared, cosine
+    computed JVM-side via higher-order functions (functions.vectors),
+    threshold 0.4 (observed in-label max ≈0.47).
 
-    Scale: label is the blocking key — the self-join shuffles each
-    block once; within-block comparison is quadratic *per block*, which
-    is the standard ANN-free compromise. The LSH sign-bucket variant
-    (llm_simsearch_lsh) is the sub-quadratic path.
+    VERIFY TIER: label-only blocking leaves each block O(block²) — a
+    hot label degenerates quadratically. The primary name
+    (llm_dedup_embedding) carries the banded composite-key shape;
+    this twin exists for full-recall in-label cross-checks.
     """
     # norms are computed ONCE per vector (projection below), not per
     # pair — identical arithmetic to cosine_expr, 1/3 the per-pair work
@@ -507,7 +510,7 @@ _DEDUP_BAND_BITS = 2  # 4 bands/label: keeps 4/5 observed 0.4+ pairs in-band
 
 
 @register(
-    "llm_dedup_embedding_banded",
+    "llm_dedup_embedding",
     oracle=f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
            {_signbucket('a.embedding', 'duckdb', _DEDUP_BAND_BITS)} AS bucket,
@@ -522,9 +525,10 @@ _DEDUP_BAND_BITS = 2  # 4 bands/label: keeps 4/5 observed 0.4+ pairs in-band
     """,
     tags=("llm", "dedup", "vector", "lsh"),
 )
-def llm_dedup_embedding_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs with composite blocking: (label,
-    4-bit sign-bucket) — the banded twin of llm_dedup_embedding.
+    2-bit sign-bucket) — the PRIMARY registered shape (the label-only
+    exact twin is llm_dedup_embedding_exact, verify tier only).
 
     Scale: label alone leaves each block O(block²); adding the
     random-hyperplane sign-bucket splits every label into ≤16 bands,
@@ -1008,6 +1012,63 @@ def llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "rs_n_samples", "rs_rms"))
 
 
+@register(
+    "llm_multimodal_image",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(8 + (doc_id % 29) * 2 AS INT) AS width,
+           CAST(6 + (doc_id % 13) * 2 AS INT) AS height,
+           CAST((8 + (doc_id % 29) * 2) * (6 + (doc_id % 13) * 2)
+                AS BIGINT) AS n_pixels,
+           CAST(150 AS DOUBLE) AS mean_r,
+           CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+           CAST(8 + (doc_id % 29) * 2 - 1 AS DOUBLE) AS mean_b,
+           CAST(GREATEST(200, (doc_id * 7) % 256) AS INT) AS max_px,
+           CAST((8 + (doc_id % 29) * 2) // 2 AS INT) AS rs_width,
+           CAST(200 AS DOUBLE) AS rs_mean_r,
+           CAST(8 + (doc_id % 29) * 2 - 2 AS DOUBLE) AS rs_mean_b
+    FROM documents
+    WHERE doc_id % 20 = 0
+    """,
+    tags=("llm", "multimodal", "image"),
+)
+def llm_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec tier (mirrors llm_multimodal_audio): synthesize
+    a binary PPM (P6) per sampled document — checkerboard red channel,
+    solid green, horizontal blue ramp, all parameterized by doc_id —
+    then decode the container byte-for-byte, measure the pixels
+    (dimensions / per-channel means / peak), nearest-neighbor
+    downsample by 2 into a new valid PPM, and re-decode the resized
+    bytes. Every reported number comes from decoding actual PPM bytes;
+    the oracle knows the closed-form values the synthesis guarantees
+    (even-dimension checkerboard → mean exactly 150; ramp B(x)=2x →
+    mean exactly W-1; even-index NN gather keeps only HI squares →
+    resized mean exactly 200). Video remains the one honestly-stubbed
+    modality — PPM and WAV are the two containers decodable without
+    codec libraries.
+
+    Scale: encode/decode/resize all run as Arrow-batched mapInPandas
+    stages; payload bytes never cross to the driver, and the final
+    join is id-to-id on co-partitioned UDF outputs.
+    """
+    from ..operators.multimodal import (image_features, resize_image,
+                                        synth_image_media)
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 20 == 0))
+    media = synth_image_media(docs)
+    feats = image_features(media)
+    rs = (image_features(resize_image(media, factor=2))
+          .select(F.col("asset_id").alias("rs_id"),
+                  F.col("width").alias("rs_width"),
+                  F.col("mean_r").alias("rs_mean_r"),
+                  F.col("mean_b").alias("rs_mean_b")))
+    return (feats.join(rs, feats.asset_id == rs.rs_id)
+            .select("asset_id", "width", "height", "n_pixels",
+                    "mean_r", "mean_g", "mean_b", "max_px",
+                    "rs_width", "rs_mean_r", "rs_mean_b"))
+
+
 # --------------------------------------------------------------------------
 # dataset assembly: splits, sampling, decontamination
 # --------------------------------------------------------------------------
@@ -1260,9 +1321,9 @@ def llm_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_pack_sequences",
     oracle="""
     SELECT lang,
-           CAST(FLOOR((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS bin_id,
+           CAST((cum_tokens - n_tokens) // 2048 AS BIGINT) AS bin_id,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS bin_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
     FROM (
       SELECT lang, doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -1296,8 +1357,7 @@ def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("lang", "doc_id", n_tokens.alias("n_tokens"),
                  cum.alias("cum_tokens"))
         .select("lang", "n_tokens",
-                F.floor((F.col("cum_tokens") - F.col("n_tokens")) / 2048.0)
-                 .cast("bigint").alias("bin_id"))
+                F.expr("(cum_tokens - n_tokens) DIV 2048").alias("bin_id"))
         .groupBy("lang", "bin_id")
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.sum("n_tokens").alias("bin_tokens"))

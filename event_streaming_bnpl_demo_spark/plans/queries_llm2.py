@@ -199,7 +199,7 @@ def llm_prefix_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN 'train' ELSE 'eval' END AS split,
            lang,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            COUNT(DISTINCT source) AS n_sources
     FROM deduped WHERE rn = 1
     GROUP BY split, lang

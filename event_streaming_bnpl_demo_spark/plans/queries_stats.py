@@ -137,8 +137,8 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_conditional",
     oracle="""
     SELECT user_id,
-           count_if(event_type = 'purchase') AS n_purchases,
-           count_if(value > 100.0) AS n_high_value,
+           CAST(count_if(event_type = 'purchase') AS BIGINT) AS n_purchases,
+           CAST(count_if(value > 100.0) AS BIGINT) AS n_high_value,
            bool_or(event_type = 'error') AS had_error,
            bool_and(value >= 0.0) AS all_nonneg
     FROM events

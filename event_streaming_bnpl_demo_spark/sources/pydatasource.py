@@ -133,17 +133,24 @@ class _JsonlWriter(DataSourceWriter):
         return _FileCommit(path=tmp, rows=n)
 
     def commit(self, messages):
-        if self.overwrite:
-            # clear prior committed output BEFORE renaming this job's
-            # files in, so mode('overwrite') replaces instead of unions
-            for name in os.listdir(self.path):
-                if name.startswith("part-") and name.endswith(".jsonl"):
-                    os.remove(os.path.join(self.path, name))
+        committed = set()
         for m in messages:
             # rename only the basename: a parent directory containing
             # '.tmp-' must not be rewritten by a whole-path replace
             d, base = os.path.split(m.path)
-            os.rename(m.path, os.path.join(d, base.replace(".tmp-", "part-", 1)))
+            new = base.replace(".tmp-", "part-", 1)
+            os.rename(m.path, os.path.join(d, new))
+            committed.add(new)
+        if self.overwrite and os.path.isdir(self.path):
+            # remove prior committed output AFTER this job's files are
+            # in place (uuid basenames cannot collide with old parts),
+            # so a crash mid-commit never leaves the directory with the
+            # old output destroyed and nothing committed; isdir guards
+            # the zero-task job where no write() created the directory
+            for name in os.listdir(self.path):
+                if (name.startswith("part-") and name.endswith(".jsonl")
+                        and name not in committed):
+                    os.remove(os.path.join(self.path, name))
 
     def abort(self, messages):
         for m in messages:

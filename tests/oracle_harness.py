@@ -54,8 +54,93 @@ def rows_to_multiset(cols: list[str], rows) -> list[tuple]:
     return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
+def _spark_kind(dt) -> str:
+    """Spark SQL type -> coarse type kind."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "integer"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "floating"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.TimestampType):
+        return "timestamp"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{_spark_kind(dt.elementType)}>"
+    return type(dt).__name__
+
+
+def _arrow_kind(t) -> str:
+    """pyarrow type -> coarse type kind."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "integer"
+    if pa.types.is_floating(t):
+        return "floating"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_arrow_kind(t.value_type)}>"
+    return str(t)
+
+
+def type_kind_mismatches(spark_df, con, sql: str) -> list[str]:
+    """Column-level type-KIND divergences between the Spark result
+    schema and the oracle's Arrow schema.
+
+    This is the channel that exposes coercions ``fetchall`` hides:
+    DuckDB types an uncast ``SUM(BIGINT)`` as HUGEINT, which leaves
+    duckdb as decimal128 (Arrow) / float64 (pandas) while Spark emits
+    int64 — value-identical under Python ``fetchall``, but any
+    dtype-sensitive serialization on the driver's side (hashing
+    ``2054.0`` vs ``2054``) diverges. Root cause of the round-2
+    ``llm_pack_sequences`` red row: rows/schema matched, hash didn't.
+    Kind-level (not width-level) so nullable-int/NaN/date artifacts
+    that affect both engines identically don't false-positive.
+    """
+    duck_schema = con.execute(sql).fetch_arrow_table().schema
+    duck_kinds = {f.name: _arrow_kind(f.type) for f in duck_schema}
+    problems = []
+    for f in spark_df.schema.fields:
+        sk = _spark_kind(f.dataType)
+        dk = duck_kinds.get(f.name)
+        if dk is not None and sk != dk:
+            problems.append(
+                f"type-kind mismatch on {f.name!r}: spark={sk} duck={dk} "
+                f"(cast the oracle column so both engines serialize "
+                f"identically)")
+    return problems
+
+
 def compare(spark_df, con, sql: str) -> list[str]:
-    """Return a list of mismatch descriptions (empty == pass)."""
+    """Return a list of mismatch descriptions (empty == pass).
+
+    Two channels: exact value-multiset equality over ``fetchall``
+    (native Python values, no tolerances), and type-kind equality over
+    the oracle's Arrow schema (catches dtype coercions like
+    HUGEINT→decimal/float that are value-equal in Python but diverge
+    under any dtype-sensitive hash).
+    """
     problems: list[str] = []
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
@@ -76,4 +161,5 @@ def compare(spark_df, con, sql: str) -> list[str]:
         problems.append(
             f"value multiset differs; spark-only sample={diff_s} "
             f"duck-only sample={diff_d}")
+    problems.extend(type_kind_mismatches(spark_df, con, sql))
     return problems

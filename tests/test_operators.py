@@ -80,10 +80,15 @@ def test_multimodal_feature_extraction(spark):
 
 def test_multimodal_unknown_modality_stubbed(spark):
     docs = load_table(spark, SF_SMOKE, "documents").limit(5)
-    media = media_from_documents(docs).withColumn("modality", F.lit("image"))
+    media = media_from_documents(docs).withColumn("modality", F.lit("video"))
     rows = extract_features(media).collect()
-    # decode not implemented for images in this container -> flagged, not crashed
+    # video decode needs ffmpeg-class libs absent here -> flagged, not crashed
     assert all(not r["decode_ok"] and r["feature"] is None for r in rows)
+    # image decode is REAL now: text bytes are not a PPM container ->
+    # undecodable payloads are flagged, not crashed
+    bad = extract_features(
+        media.withColumn("modality", F.lit("image"))).collect()
+    assert all(not r["decode_ok"] and r["feature"] is None for r in bad)
 
 
 def test_multimodal_resize(spark):
@@ -93,9 +98,9 @@ def test_multimodal_resize(spark):
     assert len(rows) == 20
     assert all(r["resize_ok"] and r["byte_len"] == 32 for r in rows)
     assert all(len(bytes(r["payload"])) == 32 for r in rows)
-    # unknown modality flagged, not crashed
-    img = resize_media(media.withColumn("modality", F.lit("image"))).collect()
-    assert all(not r["resize_ok"] and r["payload"] is None for r in img)
+    # stubbed modality (video) flagged, not crashed
+    vid = resize_media(media.withColumn("modality", F.lit("video"))).collect()
+    assert all(not r["resize_ok"] and r["payload"] is None for r in vid)
 
 
 def test_multimodal_frame_sampling(spark):
@@ -135,6 +140,64 @@ def test_wav_codec_roundtrip_and_resample():
         _decode_wav(payload[:20])   # truncated RIFF header
     sr2, _, dec = _decode_wav(_encode_wav(samples[::2], sr=sr // 2))
     assert sr2 == 8000 and np.array_equal(dec, samples[::2])
+
+
+def test_ppm_codec_roundtrip_and_resize():
+    """The image tier is a real codec: encode -> decode must be the
+    identity on pixels and dimensions, corrupt containers must fail to
+    parse, and nearest-neighbor downsample must keep exactly the
+    even-index pixel grid."""
+    import numpy as np
+    import pytest
+
+    from event_streaming_bnpl_demo_spark.operators.multimodal import (
+        _decode_ppm, _encode_ppm, _nn_resize)
+
+    rng = np.random.RandomState(11)
+    arr = rng.randint(0, 256, size=(12, 20, 3)).astype(np.uint8)
+    payload = _encode_ppm(arr)
+    w, h, out = _decode_ppm(payload)
+    assert (w, h) == (20, 12)
+    assert np.array_equal(out, arr)
+    with pytest.raises(ValueError):
+        _decode_ppm(b"JFIF not a ppm")          # wrong magic
+    with pytest.raises(ValueError):
+        _decode_ppm(payload[:-5])               # truncated pixel data
+    # decode(encode(gather)) == direct slice, and header stays valid
+    w2, h2, small = _decode_ppm(_encode_ppm(arr[::2, ::2]))
+    assert (w2, h2) == (10, 6)
+    assert np.array_equal(small, arr[::2, ::2])
+    # arbitrary-size NN resize: index-mapped gather, no interpolation
+    up = _nn_resize(arr, 40, 24)
+    assert up.shape == (24, 40, 3)
+    assert np.array_equal(up[::2, ::2], arr)
+
+
+def test_image_feature_closed_forms(spark):
+    """Synth corpus invariants the oracle relies on: checkerboard mean
+    exactly 150, ramp mean exactly W-1, resized checkerboard mean
+    exactly 200 — verified from DECODED bytes through the full
+    mapInPandas path."""
+    from event_streaming_bnpl_demo_spark.operators.multimodal import (
+        image_features, resize_image, synth_image_media)
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40)
+    media = synth_image_media(docs)
+    feats = {r["asset_id"]: r for r in image_features(media).collect()}
+    rs = {r["asset_id"]: r
+          for r in image_features(resize_image(media, factor=2)).collect()}
+    assert len(feats) == 40
+    for aid, r in feats.items():
+        w_exp = 8 + (aid % 29) * 2
+        h_exp = 6 + (aid % 13) * 2
+        assert (r["width"], r["height"]) == (w_exp, h_exp)
+        assert r["mean_r"] == 150.0
+        assert r["mean_g"] == float((aid * 7) % 256)
+        assert r["mean_b"] == float(w_exp - 1)
+        s = rs[aid]
+        assert (s["width"], s["height"]) == (w_exp // 2, h_exp // 2)
+        assert s["mean_r"] == 200.0
+        assert s["mean_b"] == float(w_exp - 2)
 
 
 def test_change_notifier_fires_per_batch(spark, tmp_path):
