@@ -146,9 +146,10 @@ def bill_state_stream_tws(events: DataFrame) -> DataFrame:
 
     Runtime dependency: the transformWithState driver worker speaks a
     protobuf state-server protocol, so ``google.protobuf`` must be
-    installed (it is in any stock Spark 4 deployment; this container
-    lacks it, so the paired test auto-skips there and the
-    applyInPandasWithState path stays the tested default).
+    importable (it is in any stock Spark 4 deployment; in this
+    container the test suite activates a pure-Python runtime shim —
+    ``tests/_pb_shim/sitecustomize.py`` — so both stateful APIs run
+    end-to-end here too).
     """
     bills = events.filter(
         events.event_type.isin("MemberBillCreatedEvent", "PaymentCompletedEvent"))

@@ -200,7 +200,8 @@ def _has_protobuf() -> bool:
     pytest.param("transform_with_state", marks=pytest.mark.skipif(
         not _has_protobuf(),
         reason="transformWithState's driver worker imports google.protobuf "
-               "(state-server protocol), not installed in this container")),
+               "(state-server protocol); conftest's _pb_shim normally "
+               "provides it — skip only if even the shim is unavailable")),
 ])
 def test_state_machine_stream(spark, tmp_path, reorder, api):
     """Bill lifecycle over a file stream on BOTH stateful APIs
