@@ -301,3 +301,54 @@ def test_window_decorrelation_stays_single_scan(spark):
                 .queryExecution().executedPlan().toString())
         scans = plan.count("Scan parquet")
         assert scans <= budget, f"{name}: {scans} scans > {budget}"
+
+
+def test_events_pack_single_fact_exchange(spark):
+    """The event-analytics pack's design property: funnel, retention,
+    and attribution each read the events fact ONCE and cluster it by
+    user ONCE — all per-user sequencing is chained windows over that
+    single exchange (no self-joins), and every later exchange operates
+    on already-aggregated (group-level) rows."""
+    import re
+
+    for name in ("events_funnel", "events_retention_cohorts",
+                 "events_attribution"):
+        plan = (QUERIES[name].fn(spark, SF_SMOKE)._jdf
+                .queryExecution().executedPlan().toString())
+        assert plan.count("Scan parquet") == 1, name
+        ex = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        user_ex = [e for e in ex if "user_id" in e]
+        assert len(user_ex) == 1, f"{name}: fact exchanges {ex}"
+        # everything else is post-aggregation (cohort/campaign rollups)
+        assert len(ex) <= 2, f"{name}: exchange count {ex}"
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name   # no self-joins at all
+
+
+def test_llm2_pack_plan_shapes(spark):
+    """Corpus-curation pack pins: chunking is pure in-row expansion
+    (posexplode) — ZERO exchanges; n-gram stats and boilerplate-prefix
+    detection are each exactly one count shuffle; the composed
+    curation pipeline stays a single-scan DAG (scrub -> gate -> dedup
+    window -> split -> rollup) with no re-scans."""
+    import re
+
+    plan = (QUERIES["llm_chunk_overlap"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan, "chunking must not shuffle"
+
+    for name in ("llm_ngram_stats", "llm_prefix_boilerplate"):
+        plan = (QUERIES[name].fn(spark, SF_SMOKE)._jdf
+                .queryExecution().executedPlan().toString())
+        assert plan.count("Scan parquet") == 1, name
+        ex = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        assert len(ex) == 1, f"{name}: {ex}"
+
+    plan = (QUERIES["llm_curation_pipeline"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    assert plan.count("Scan parquet") == 1, "pipeline must not re-scan"
+    ex = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    # fingerprint-dedup window + (two-phase distinct-count rollup)
+    assert len(ex) <= 3, ex
+    assert "CartesianProduct" not in plan
