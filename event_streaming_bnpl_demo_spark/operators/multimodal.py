@@ -1,11 +1,13 @@
 """Multimodal column support: image/audio/video as opaque ``binary``
 payloads with typed metadata, processed through Arrow-batched
-``mapInPandas``. Audio (WAV/PCM16 via stdlib ``wave``) and image
-(binary PPM, pure bytes + numpy) are REAL codec paths — encode, decode,
-feature-extract, and resample all operate on actual container bytes.
-Only video decode remains a deterministic stub (an MP4/ffmpeg demux
-genuinely cannot be done with the libraries in this container; clearly
-marked below) behind the same tested Arrow plumbing.
+``mapInPandas``. All three binary modalities are REAL codec paths —
+audio (WAV/PCM16 via stdlib ``wave``), image (binary PPM, pure bytes +
+numpy), and video (Y4M/YUV4MPEG2, luma-plane frames demuxed from actual
+container bytes) — encode, decode, feature-extract, resample/resize,
+and frame-sample all operate on actual container bytes. An MP4/H.264
+demux genuinely cannot be done with the libraries in this container;
+Y4M is the uncompressed video container the format family (mplayer /
+ffmpeg rawvideo interchange) defines for exactly this situation.
 
 Scale notes: payloads ride in parquet as binary columns; metadata
 columns (byte_len, sha256, modality) let filters prune *without*
@@ -60,9 +62,10 @@ def _decode_payload(payload: bytes, modality: str) -> list[float]:
     """Decode dispatch. ``text`` produces a deterministic fake feature
     (first 8 sha256 bytes scaled to [0,1)) so the Arrow round-trip is
     exercised; ``image`` decodes REAL PPM bytes (see the image tier
-    below) into an 8-dim geometry/color feature; ``audio``/``video``
-    raise — video's codec libraries (ffmpeg) genuinely do not exist in
-    this container (audio has its own dedicated feature schema below).
+    below) into an 8-dim geometry/color feature; ``video`` demuxes REAL
+    Y4M bytes (see the video tier below) into a geometry/luma/motion
+    feature; ``audio`` raises here because it has its own dedicated
+    feature schema below.
     """
     if modality == "image":
         w, h, arr = _decode_ppm(payload)
@@ -70,6 +73,12 @@ def _decode_payload(payload: bytes, modality: str) -> list[float]:
                 float(arr[..., 0].mean()), float(arr[..., 1].mean()),
                 float(arr[..., 2].mean()),
                 float(arr.max()), float(arr.min())]
+    if modality == "video":
+        w, h, fps, frames = _decode_y4m(payload)
+        deltas = _frame_motion(frames)
+        return [float(w), float(h), float(len(frames)), float(fps),
+                float(frames.mean()), deltas,
+                float(frames.max()), float(frames.min())]
     if modality != "text":
         raise NotImplementedError(
             f"decode for modality {modality!r} needs codec libs not present "
@@ -100,13 +109,20 @@ def _resize_payload(payload: bytes, modality: str,
                     width: int, height: int) -> bytes:
     """Resize dispatch. ``image`` decodes REAL PPM bytes, resamples to
     (width, height) by nearest-neighbor index mapping, re-encodes a
-    valid PPM (see the image tier below). For ``text`` the
-    deterministic fake truncates/pads the byte stream to width*height
-    bytes so the Arrow round-trip and output schema are exercised;
-    ``video`` raises until an ffmpeg-class codec is available."""
+    valid PPM (see the image tier below); ``video`` demuxes REAL Y4M
+    bytes, NN-resamples every frame spatially, re-encodes a valid Y4M
+    (see the video tier below). For ``text`` the deterministic fake
+    truncates/pads the byte stream to width*height bytes so the Arrow
+    round-trip and output schema are exercised."""
     if modality == "image":
         _, _, arr = _decode_ppm(payload)
         return _encode_ppm(_nn_resize(arr, width, height))
+    if modality == "video":
+        import numpy as np
+
+        _, _, fps, frames = _decode_y4m(payload)
+        out = np.stack([_nn_resize(f, width, height) for f in frames])
+        return _encode_y4m(out, fps=fps)
     if modality != "text":
         raise NotImplementedError(
             f"resize for modality {modality!r} needs codec libs not present "
@@ -148,26 +164,38 @@ def resize_media(media: DataFrame, width: int = 16,
     return media.mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
-def sample_frames(media: DataFrame, every_n_bytes: int = 256,
+def sample_frames(media: DataFrame, every_n: int = 2,
                   max_frames: int = 8) -> DataFrame:
     """Frame sampling (video → every Nth frame) via mapInPandas, one
-    OUTPUT ROW PER FRAME — the row-expanding UDF shape. The stub
-    treats each ``every_n_bytes`` slice of a text payload as a frame;
-    a real build seeks keyframes with ffmpeg. Scale: expansion happens
-    inside the Arrow batch, and ``max_frames`` bounds the fan-out so a
-    pathological asset cannot blow up a task."""
+    OUTPUT ROW PER FRAME — the row-expanding UDF shape. ``video``
+    payloads are REALLY demuxed: the Y4M container is parsed, every
+    ``every_n``-th frame's luma plane is extracted and re-encoded as a
+    standalone, decodable PGM (P5) image — video frames become image
+    rows, the cross-modality hand-off a real pipeline needs. ``text``
+    payloads keep the deterministic byte-slice fake (every_n*256-byte
+    chunks) so the plumbing is exercised for schemaless blobs too.
+    Scale: expansion happens inside the Arrow batch, and ``max_frames``
+    bounds the fan-out so a pathological asset cannot blow up a task."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for asset_id, payload, modality in zip(
                     pdf["asset_id"], pdf["payload"], pdf["modality"]):
-                if modality != "text":   # codec absent: no frames emitted
-                    continue
                 data = bytes(payload)
-                for i in range(0, min(len(data) // every_n_bytes + 1,
-                                      max_frames)):
-                    chunk = data[i * every_n_bytes:(i + 1) * every_n_bytes]
+                if modality == "video":
+                    _, _, _, planes = _decode_y4m(data)
+                    for i in range(0, min(len(planes),
+                                          max_frames * every_n), every_n):
+                        ids.append(asset_id)
+                        idxs.append(i)
+                        frames.append(_encode_pgm(planes[i]))
+                    continue
+                if modality != "text":   # no frame notion for image/audio
+                    continue
+                step = every_n * 256
+                for i in range(0, min(len(data) // step + 1, max_frames)):
+                    chunk = data[i * step:(i + 1) * step]
                     if not chunk:
                         break
                     ids.append(asset_id)
@@ -519,6 +547,233 @@ def resize_image(media: DataFrame, factor: int = 2) -> DataFrame:
             })
 
     return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Video tier — REAL codec path (not a stub): Y4M (YUV4MPEG2) container
+# encode + demux in pure bytes + numpy, completing the WAV / PPM family.
+# Y4M is the uncompressed-video interchange format of the mplayer/ffmpeg
+# ecosystem: an ASCII stream header (`YUV4MPEG2 W.. H.. F..:.. ... Cmono`)
+# followed by `FRAME\n`-delimited raw plane bytes — a real container whose
+# byte layout needs no codec library. `Cmono` (luma-only, one H×W plane
+# per frame) is part of the Y4M spec and keeps plane math exact. An
+# MP4/H.264 demux genuinely cannot be done stdlib-only; Y4M is precisely
+# the format that family defines for raw interchange.
+# --------------------------------------------------------------------------
+
+VIDEO_FPS = 25           #: synth frame rate (F25:1 header)
+
+VIDEO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("height", T.IntegerType(), False),
+    T.StructField("n_frames", T.IntegerType(), False),
+    T.StructField("fps", T.IntegerType(), False),
+    T.StructField("duration_ms", T.LongType(), False),
+    T.StructField("mean_y", T.DoubleType(), False),
+    T.StructField("motion", T.DoubleType(), False),
+    T.StructField("max_y", T.IntegerType(), False),
+])
+
+
+def _encode_y4m(frames, fps: int = VIDEO_FPS) -> bytes:
+    """Y4M (YUV4MPEG2, Cmono) encode: stream header + per-frame
+    ``FRAME\\n`` marker + raw H×W luma plane bytes."""
+    n, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+    out = [b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 Cmono\n" % (w, h, fps)]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(frames[i].astype("uint8").tobytes())
+    return b"".join(out)
+
+
+def _decode_y4m(payload: bytes):
+    """Y4M demux -> (width, height, fps, uint8 frames [N, H, W]).
+    Real parse of the YUV4MPEG2 container — corrupt bytes raise."""
+    import numpy as np
+
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = fps = None
+    colorspace = "C420jpeg"          # Y4M default when no C tag present
+    for token in payload[:nl].split(b" ")[1:]:
+        if token.startswith(b"W"):
+            w = int(token[1:])
+        elif token.startswith(b"H"):
+            h = int(token[1:])
+        elif token.startswith(b"F"):
+            num, den = token[1:].split(b":")
+            fps = int(num) // int(den)
+        elif token.startswith(b"C"):
+            colorspace = token.decode("ascii")
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if colorspace != "Cmono":
+        raise NotImplementedError(f"only Cmono supported, got {colorspace}")
+    plane = w * h
+    frames, pos = [], nl + 1
+    while pos < len(payload):
+        marker_end = payload.find(b"\n", pos)
+        if marker_end < 0 or not payload[pos:marker_end].startswith(b"FRAME"):
+            raise ValueError("corrupt FRAME marker")
+        start = marker_end + 1
+        data = payload[start:start + plane]
+        if len(data) != plane:
+            raise ValueError(f"truncated frame: {len(data)} B != {plane}")
+        frames.append(np.frombuffer(data, dtype=np.uint8).reshape(h, w))
+        pos = start + plane
+    if not frames:
+        raise ValueError("Y4M stream with zero frames")
+    return w, h, fps, np.stack(frames)
+
+
+def _encode_pgm(plane) -> bytes:
+    """Binary PGM (P5) encode — the grayscale sibling of PPM, used to
+    hand a demuxed video frame off as a standalone decodable image."""
+    h, w = plane.shape[0], plane.shape[1]
+    return b"P5\n%d %d\n255\n" % (w, h) + plane.astype("uint8").tobytes()
+
+
+def _decode_pgm(payload: bytes):
+    """PGM (P5) decode -> (width, height, uint8 array [H, W])."""
+    import numpy as np
+
+    if not payload.startswith(b"P5"):
+        raise ValueError("not a P5 PGM payload")
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PGM header")
+        fields.append(int(payload[start:pos]))
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    pixels = payload[pos + 1:]
+    if len(pixels) != w * h:
+        raise ValueError(f"pixel payload {len(pixels)} B != {w}x{h}")
+    return w, h, np.frombuffer(pixels, dtype=np.uint8).reshape(h, w)
+
+
+def synth_video_media(docs: DataFrame) -> DataFrame:
+    """Deterministic video corpus: one Cmono Y4M per document whose
+    geometry/luma derive from ``doc_id`` alone, so every demuxed
+    statistic has a closed-form value an external oracle can compute
+    without touching the bytes:
+
+    - W = 8 + (doc_id % 17) * 2, H = 6 + (doc_id % 11) * 2
+    - n_frames = 2 + doc_id % 7, step = 4 + (doc_id % 5) * 4
+    - frame f: horizontal luma ramp Y(x) = base + f*step + x with
+      base = (doc_id * 13) % 64 — max value 63 + 7*20 + 39 = 242 < 256,
+      so no wraparound anywhere:
+      - mean_y  = base + step*(n_frames-1)/2 + (W-1)/2 exactly
+      - motion  = mean |frame_{f+1} - frame_f| = step exactly
+      - max_y   = base + step*(n_frames-1) + W - 1 exactly
+
+    Scale: encode runs inside Arrow batches (mapInPandas); payloads are
+    a few KB each and never leave the executor as Python rows.
+    """
+    import numpy as np
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 8 + (d % 17) * 2
+                h = 6 + (d % 11) * 2
+                n = 2 + d % 7
+                step = 4 + (d % 5) * 4
+                base = (d * 13) % 64
+                ramp = np.arange(w, dtype=np.int32)
+                frames = (base + step * np.arange(n, dtype=np.int32)
+                          [:, None, None]
+                          + np.broadcast_to(ramp, (h, w))[None, :, :])
+                payloads.append(_encode_y4m(frames.astype(np.uint8)))
+            yield pd.DataFrame({
+                "asset_id": pdf["doc_id"],
+                "modality": "video",
+                "payload": payloads,
+                "byte_len": [len(p) for p in payloads],
+                "sha256": [hashlib.sha256(p).hexdigest() for p in payloads],
+            })
+
+    return docs.select("doc_id").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def _frame_motion(frames) -> float:
+    """Mean absolute luma delta between consecutive frames — the
+    classic cheap motion statistic; 0.0 for single-frame streams."""
+    import numpy as np
+
+    if frames.shape[0] < 2:
+        return 0.0
+    a = frames.astype(np.int32)
+    return float(np.abs(a[1:] - a[:-1]).mean())
+
+
+def video_features(media: DataFrame) -> DataFrame:
+    """Demux Y4M payloads and measure them: geometry, duration, mean
+    luma, inter-frame motion — computed from the DEMUXED planes (the
+    container header contributes only W/H/fps; every statistic is
+    pixel math across frames)."""
+    import numpy as np
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = {k: [] for k in ("asset_id", "width", "height",
+                                    "n_frames", "fps", "duration_ms",
+                                    "mean_y", "motion", "max_y")}
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, fps, frames = _decode_y4m(bytes(payload))
+                rows["asset_id"].append(asset_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_frames"].append(frames.shape[0])
+                rows["fps"].append(fps)
+                rows["duration_ms"].append(frames.shape[0] * 1000 // fps)
+                rows["mean_y"].append(float(frames.astype(np.float64).mean()))
+                rows["motion"].append(_frame_motion(frames))
+                rows["max_y"].append(int(frames.max()))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=VIDEO_FEATURE_SCHEMA)
+
+
+FRAME_STATS_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("frame_w", T.IntegerType(), False),
+    T.StructField("frame_mean", T.DoubleType(), False),
+])
+
+
+def frame_luma_stats(frames: DataFrame) -> DataFrame:
+    """Decode sampled PGM frames (the output of :func:`sample_frames`
+    on video assets) back into per-frame statistics — proof the
+    cross-modality hand-off produced genuinely decodable images."""
+    import numpy as np
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = {k: [] for k in ("asset_id", "frame_idx", "frame_w",
+                                    "frame_mean")}
+            for asset_id, idx, frame in zip(
+                    pdf["asset_id"], pdf["frame_idx"], pdf["frame"]):
+                w, _, plane = _decode_pgm(bytes(frame))
+                rows["asset_id"].append(asset_id)
+                rows["frame_idx"].append(idx)
+                rows["frame_w"].append(w)
+                rows["frame_mean"].append(
+                    float(plane.astype(np.float64).mean()))
+            yield pd.DataFrame(rows)
+
+    return frames.mapInPandas(run, schema=FRAME_STATS_SCHEMA)
 
 
 CHECKSUM_SCHEMA = T.StructType([

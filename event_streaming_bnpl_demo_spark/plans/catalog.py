@@ -87,6 +87,7 @@ _PRIORITY: tuple[str, ...] = (
 # Second tier: the remaining never-driver-checked oracled queries, in
 # the order extra budget (or round 4) should reach them.
 _PRIORITY2: tuple[str, ...] = (
+    "llm_multimodal_video",
     "llm_dedup_ngram_jaccard_exact", "llm_dedup_embedding_exact",
     "llm_text_tokens", "llm_text_fingerprint", "llm_text_langid",
     "llm_text_repetition", "llm_text_scrub",

@@ -1069,6 +1069,70 @@ def llm_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "rs_width", "rs_mean_r", "rs_mean_b"))
 
 
+@register(
+    "llm_multimodal_video",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(8 + (doc_id % 17) * 2 AS INT) AS width,
+           CAST(6 + (doc_id % 11) * 2 AS INT) AS height,
+           CAST(2 + doc_id % 7 AS INT) AS n_frames,
+           CAST(25 AS INT) AS fps,
+           CAST((2 + doc_id % 7) * 40 AS BIGINT) AS duration_ms,
+           CAST((doc_id * 13) % 64
+                + (4 + (doc_id % 5) * 4) * (1 + doc_id % 7) / 2.0
+                + (8 + (doc_id % 17) * 2 - 1) / 2.0 AS DOUBLE) AS mean_y,
+           CAST(4 + (doc_id % 5) * 4 AS DOUBLE) AS motion,
+           CAST((doc_id * 13) % 64
+                + (4 + (doc_id % 5) * 4) * (1 + doc_id % 7)
+                + 8 + (doc_id % 17) * 2 - 1 AS INT) AS max_y,
+           CAST((3 + doc_id % 7) // 2 AS BIGINT) AS n_sampled,
+           CAST((doc_id * 13) % 64
+                + (4 + (doc_id % 5) * 4) * ((3 + doc_id % 7) // 2 - 1)
+                + (8 + (doc_id % 17) * 2 - 1) / 2.0 AS DOUBLE)
+             AS sampled_mean_y
+    FROM documents
+    WHERE doc_id % 20 = 0
+    """,
+    tags=("llm", "multimodal", "video"),
+)
+def llm_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video codec tier (completes the WAV/PPM family): synthesize
+    a Cmono Y4M (YUV4MPEG2) stream per sampled document — per-frame
+    horizontal luma ramps advancing by a per-doc step — then demux the
+    container byte-for-byte, measure the planes (geometry / duration /
+    mean luma / inter-frame motion), sample every 2nd frame out as a
+    standalone PGM image, decode THOSE bytes back, and aggregate the
+    per-frame means. Every reported number comes from demuxing actual
+    Y4M container bytes (and re-decoding the sampled PGM frames); the
+    oracle knows the closed-form values the synthesis guarantees
+    (ramp mean = base + step*(n-1)/2 + (W-1)/2 exactly; shifted-ramp
+    motion = step exactly; sampled frames 0,2,..,2(k-1) average to
+    base + step*(k-1) + (W-1)/2 exactly — no wraparound, max luma 242).
+
+    Scale: encode/demux/frame-sample all run as Arrow-batched
+    mapInPandas stages; payload bytes never cross to the driver, the
+    per-frame expansion is bounded by max_frames inside the batch, and
+    the final join is id-to-id on co-partitioned UDF outputs.
+    """
+    from ..operators.multimodal import (frame_luma_stats, sample_frames,
+                                        synth_video_media, video_features)
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 20 == 0))
+    media = synth_video_media(docs)
+    feats = video_features(media)
+    sampled = (frame_luma_stats(sample_frames(media, every_n=2,
+                                              max_frames=8))
+               .groupBy("asset_id")
+               .agg(F.count("*").cast("bigint").alias("n_sampled"),
+                    F.avg("frame_mean").alias("sampled_mean_y"))
+               .withColumnRenamed("asset_id", "s_id"))
+    return (feats.join(sampled, feats.asset_id == sampled.s_id)
+            .select("asset_id", "width", "height", "n_frames", "fps",
+                    "duration_ms", "mean_y", "motion", "max_y",
+                    "n_sampled", "sampled_mean_y"))
+
+
 # --------------------------------------------------------------------------
 # dataset assembly: splits, sampling, decontamination
 # --------------------------------------------------------------------------

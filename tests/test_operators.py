@@ -98,7 +98,7 @@ def test_multimodal_resize(spark):
     assert len(rows) == 20
     assert all(r["resize_ok"] and r["byte_len"] == 32 for r in rows)
     assert all(len(bytes(r["payload"])) == 32 for r in rows)
-    # stubbed modality (video) flagged, not crashed
+    # undecodable payload (text bytes labeled video) flagged, not crashed
     vid = resize_media(media.withColumn("modality", F.lit("video"))).collect()
     assert all(not r["resize_ok"] and r["payload"] is None for r in vid)
 
@@ -106,17 +106,17 @@ def test_multimodal_resize(spark):
 def test_multimodal_frame_sampling(spark):
     docs = load_table(spark, SF_SMOKE, "documents").limit(10)
     media = media_from_documents(docs)
-    frames = sample_frames(media, every_n_bytes=64, max_frames=3).collect()
+    frames = sample_frames(media, every_n=1, max_frames=3).collect()
     by_asset = {}
     for r in frames:
         by_asset.setdefault(r["asset_id"], []).append(r)
-    # every sampled asset emits 1..max_frames ordered frames of <=64 B
+    # every sampled asset emits 1..max_frames ordered frames of <=256 B
     assert by_asset
     for rows in by_asset.values():
         idxs = sorted(r["frame_idx"] for r in rows)
         assert idxs == list(range(len(idxs)))
         assert 1 <= len(idxs) <= 3
-        assert all(0 < r["frame_len"] <= 64 for r in rows)
+        assert all(0 < r["frame_len"] <= 256 for r in rows)
 
 
 def test_wav_codec_roundtrip_and_resample():
@@ -198,6 +198,90 @@ def test_image_feature_closed_forms(spark):
         assert (s["width"], s["height"]) == (w_exp // 2, h_exp // 2)
         assert s["mean_r"] == 200.0
         assert s["mean_b"] == float(w_exp - 2)
+
+
+def test_y4m_codec_roundtrip_and_demux():
+    """The video tier is a real codec: encode -> demux must be the
+    identity on planes/geometry/fps, corrupt containers (bad magic,
+    bad FRAME marker, truncated plane, non-mono colorspace) must fail
+    to parse, and the PGM frame hand-off must round-trip."""
+    import numpy as np
+    import pytest
+
+    from event_streaming_bnpl_demo_spark.operators.multimodal import (
+        _decode_pgm, _decode_y4m, _encode_pgm, _encode_y4m)
+
+    rng = np.random.RandomState(13)
+    frames = rng.randint(0, 256, size=(5, 12, 20)).astype(np.uint8)
+    payload = _encode_y4m(frames, fps=25)
+    w, h, fps, out = _decode_y4m(payload)
+    assert (w, h, fps) == (20, 12, 25)
+    assert np.array_equal(out, frames)
+    with pytest.raises(ValueError):
+        _decode_y4m(b"RIFF not a y4m")                    # wrong magic
+    with pytest.raises(ValueError):
+        _decode_y4m(payload[:-7])                         # truncated plane
+    with pytest.raises(ValueError):
+        # valid header, then garbage where FRAME marker must sit
+        head = payload[:payload.find(b"\n") + 1]
+        _decode_y4m(head + b"XXXXX\n" + bytes(240))
+    with pytest.raises(NotImplementedError):
+        _decode_y4m(b"YUV4MPEG2 W4 H2 F25:1 C420jpeg\n"
+                    b"FRAME\n" + bytes(12))               # chroma streams
+    # PGM sibling: encode/decode identity + corrupt rejection
+    plane = frames[0]
+    w2, h2, back = _decode_pgm(_encode_pgm(plane))
+    assert (w2, h2) == (20, 12) and np.array_equal(back, plane)
+    with pytest.raises(ValueError):
+        _decode_pgm(_encode_pgm(plane)[:-3])
+
+
+def test_video_feature_closed_forms(spark):
+    """Synth corpus invariants the oracle relies on: ramp mean exactly
+    base + step*(n-1)/2 + (W-1)/2, motion exactly step, sampled-frame
+    PGMs decode to means averaging base + step*(k-1) + (W-1)/2 — all
+    verified from DEMUXED bytes through the full mapInPandas path."""
+    from event_streaming_bnpl_demo_spark.operators.multimodal import (
+        frame_luma_stats, resize_media, sample_frames, synth_video_media,
+        video_features)
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(40)
+    media = synth_video_media(docs)
+    feats = {r["asset_id"]: r for r in video_features(media).collect()}
+    assert len(feats) == 40
+    for aid, r in feats.items():
+        w_exp = 8 + (aid % 17) * 2
+        n_exp = 2 + aid % 7
+        step = 4 + (aid % 5) * 4
+        base = (aid * 13) % 64
+        assert (r["width"], r["height"]) == (w_exp, 6 + (aid % 11) * 2)
+        assert (r["n_frames"], r["fps"]) == (n_exp, 25)
+        assert r["duration_ms"] == n_exp * 40
+        assert r["mean_y"] == base + step * (n_exp - 1) / 2 + (w_exp - 1) / 2
+        assert r["motion"] == float(step)
+        assert r["max_y"] == base + step * (n_exp - 1) + w_exp - 1
+    # every-2nd-frame sampling emits decodable PGMs with exact means
+    stats = frame_luma_stats(sample_frames(media, every_n=2,
+                                           max_frames=8)).collect()
+    by_asset: dict[int, list] = {}
+    for r in stats:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    for aid, rows in by_asset.items():
+        w_exp = 8 + (aid % 17) * 2
+        step = 4 + (aid % 5) * 4
+        base = (aid * 13) % 64
+        assert len(rows) == (2 + aid % 7 + 1) // 2
+        for r in rows:
+            assert r["frame_w"] == w_exp
+            assert r["frame_idx"] % 2 == 0
+            assert r["frame_mean"] == (base + step * r["frame_idx"]
+                                       + (w_exp - 1) / 2)
+    # spatial NN resize produces a valid, re-demuxable Y4M per asset
+    rs = resize_media(media, width=8, height=4)
+    rs_feats = {r["asset_id"]: r for r in video_features(rs).collect()}
+    for aid, r in rs_feats.items():
+        assert (r["width"], r["height"]) == (8, 4)
+        assert r["n_frames"] == 2 + aid % 7
 
 
 def test_change_notifier_fires_per_batch(spark, tmp_path):
