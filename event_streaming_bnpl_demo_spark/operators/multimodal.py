@@ -385,8 +385,8 @@ def resample_audio(media: DataFrame, factor: int = 2) -> DataFrame:
 # a complete, real-world raster container (netpbm family) whose byte
 # layout — ASCII header, then height×width×3 raw RGB bytes — needs no
 # codec library, so the image decode / feature-extract / resize
-# operators run end-to-end on real bytes. Only video remains stubbed
-# (an actual MP4/ffmpeg demux genuinely cannot be done stdlib-only).
+# operators run end-to-end on real bytes. (Video gets the same
+# treatment below via the uncompressed Y4M container.)
 # --------------------------------------------------------------------------
 
 IMAGE_FEATURE_SCHEMA = T.StructType([

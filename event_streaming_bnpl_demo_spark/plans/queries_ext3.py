@@ -41,8 +41,13 @@ def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join, no candidate blow-up.
     """
     ev = load_table(spark, sf_dir, "events")
+    # unix_timestamp, not cast("long"): the parquet ts column is
+    # tz-naive (TIMESTAMP_NTZ under Spark 4's parquet reader) and
+    # NTZ -> BIGINT casts are rejected outright. unix_timestamp accepts
+    # both timestamp flavors and the session timezone is pinned UTC, so
+    # the epoch ordering key is deterministic either way.
     w = (Window.partitionBy("user_id")
-         .orderBy(F.col("ts").cast("long"))
+         .orderBy(F.unix_timestamp(F.col("ts")))
          .rangeBetween(-3600, 0))
     return ev.select(
         "event_id", "user_id",
