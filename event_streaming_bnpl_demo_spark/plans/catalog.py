@@ -96,6 +96,11 @@ _PRIORITY2: tuple[str, ...] = (
     "agg_grouping_id", "reshape_unpivot", "agg_conditional",
     "scalar_levenshtein", "window_distribution",
     "source_xml_scan", "source_orc_scan",
+    # round-3 additions: time-series pack + training-data assembly
+    "ts_bucket_rollup", "ts_ohlc", "ts_gap_fill", "ts_sessionize",
+    "ts_top_movers", "ts_rolling_24h",
+    "llm_source_caps", "llm_token_budget_sample", "llm_global_shuffle",
+    "llm_cluster_quality_pick", "llm_length_histogram",
 )
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02.json —
@@ -210,4 +215,6 @@ def _load() -> None:
     from . import queries_ext3      # noqa: F401
     from . import queries_stats     # noqa: F401
     from . import queries_udf       # noqa: F401
+    from . import queries_ts        # noqa: F401
+    from . import queries_llm3      # noqa: F401
     _LOADED = True

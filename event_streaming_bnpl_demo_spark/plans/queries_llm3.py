@@ -1,0 +1,243 @@
+"""Training-data assembly extensions (round 3): per-source caps,
+token-budget sampling, deterministic global shuffle sharding, cluster
+canonicalization by quality, and corpus length histograms — the
+curation knobs a 100 TB pre-training pipeline turns after dedup and
+quality filtering (queries_llm / queries_llm2) have produced a corpus.
+
+Everything here is integer/string-deterministic by construction: doc
+selection orders by md5-of-id (a uniform, engine-identical shuffle key)
+with doc_id tie-breaks, and every output column is a bigint or string —
+no float channel exists for a hash compare to diverge on.
+
+Scale stance: each query is one window pass or one aggregate over a
+single exchange; the md5 ordering key is uniform by construction, so
+no partition is hot regardless of how skewed sources or languages are.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import tokens_col
+from ..sources import load_table
+from .catalog import register
+from .queries_llm import _simhash_oracle, llm_dedup_simhash
+
+#: Per-source document cap (llm_source_caps).
+_SOURCE_CAP = 40
+
+#: Per-language token budget (llm_token_budget_sample).
+_TOKEN_BUDGET = 4000
+
+#: Shard fan-out for the deterministic global shuffle.
+_N_SHARDS = 16
+
+
+def _doc_hash(dialect: str) -> str:
+    """Uniform deterministic per-doc ordering key: md5 of the decimal
+    doc_id string. Identical byte-for-byte in Spark and DuckDB."""
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"md5(CAST(doc_id AS {cast}))"
+
+
+@register(
+    "llm_source_caps",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY {_doc_hash('duckdb')}, doc_id)
+               AS rn
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN rn <= {_SOURCE_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn <= {_SOURCE_CAP} THEN n_chars ELSE 0 END)
+                AS BIGINT) AS chars_kept
+    FROM ranked
+    GROUP BY source
+    """,
+    tags=("llm", "assembly"),
+)
+def llm_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document caps: each source (the domain analog in a
+    web corpus) contributes at most N documents, selected by
+    hash-of-id order so the sample is uniform and reproducible — the
+    standard guard against one crawl domain dominating the mixture.
+
+    Scale: one window pass over a source-clustered exchange; the md5
+    ordering key makes the per-source selection deterministic without
+    any global sort. A hot source only makes its *partition's sort*
+    bigger, never a cross-partition shuffle — and the output is one
+    row per source.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.expr(_doc_hash("spark")), "doc_id")
+    kept = F.col("rn") <= _SOURCE_CAP
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_total"),
+             F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+             F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+             .alias("chars_kept"))
+    )
+
+
+@register(
+    "llm_token_budget_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             {_doc_hash('duckdb')} AS h
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(SUM(n_tokens)
+                    OVER (PARTITION BY lang ORDER BY h, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens, cum_tokens
+    FROM c
+    WHERE cum_tokens - n_tokens < {_TOKEN_BUDGET}
+    """,
+    tags=("llm", "assembly"),
+)
+def llm_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling: per language, documents are taken in
+    hash-of-id order until the running token count reaches the budget
+    (a document *starting* under budget is kept whole) — how a fixed
+    token allocation per language is filled reproducibly from an
+    arbitrarily large corpus.
+
+    Determinism: pure-integer running sum over a md5-keyed order with
+    doc_id tie-break. Scale: one language-clustered window pass; the
+    greedy prefix means downstream reads touch only budget-sized data
+    per language.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang",
+        F.size(F.expr(tokens_col("text"))).cast("bigint").alias("n_tokens"),
+        F.expr(_doc_hash("spark")).alias("h"))
+    w = (Window.partitionBy("lang").orderBy("h", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        c.filter(F.col("cum_tokens") - F.col("n_tokens") < _TOKEN_BUDGET)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+    )
+
+
+@register(
+    "llm_global_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(instr('0123456789abcdef',
+                      substring({_doc_hash('duckdb')}, 1, 1)) - 1
+                AS BIGINT) AS shard,
+           row_number() OVER (
+             PARTITION BY instr('0123456789abcdef',
+                                substring({_doc_hash('duckdb')}, 1, 1))
+             ORDER BY {_doc_hash('duckdb')}, doc_id) AS pos
+    FROM documents
+    """,
+    tags=("llm", "assembly"),
+)
+def llm_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: each document gets
+    a shard (first md5 hex nibble → 16 shards) and a position within
+    its shard (md5 order) — a reproducible random permutation of the
+    corpus that never materializes a single global sort. Reading
+    shards round-robin replays the exact shuffled order on any
+    cluster size.
+
+    Scale: the md5 key is uniform, so all 16 shards are balanced by
+    construction; position assignment is a per-shard window sort —
+    16 independent sorts instead of one global one. This is the
+    shuffle-shard pattern training loaders expect (shards ≪
+    partitions is fine: each shard's sort still distributes across
+    the cluster's range-partitioned sort machinery).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = F.expr(_doc_hash("spark"))
+    shard = (F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1)
+    w = Window.partitionBy(shard).orderBy(h, F.col("doc_id"))
+    return d.select(
+        "doc_id",
+        shard.cast("bigint").alias("shard"),
+        F.row_number().over(w).alias("pos"))
+
+
+@register(
+    "llm_cluster_quality_pick",
+    oracle=f"""
+    WITH sig AS ({_simhash_oracle()})
+    SELECT d.doc_id, sig.simhash, d.n_chars, sig.bucket_size
+    FROM documents d JOIN sig ON d.doc_id = sig.doc_id
+    QUALIFY row_number() OVER (PARTITION BY sig.simhash
+                               ORDER BY d.n_chars DESC, d.doc_id) = 1
+    """,
+    tags=("llm", "dedup", "assembly"),
+)
+def llm_cluster_quality_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster canonicalization: within each simhash
+    near-dup bucket, keep the *longest* document (tie-break doc_id)
+    instead of the arbitrary minimum id — the curation-grade variant
+    of llm_dedup_apply, where the survivor is chosen by a quality
+    signal rather than by key order.
+
+    Scale: the signature relation is one explode+aggregate
+    (llm_dedup_simhash, no pairwise work); the pick is a row_number
+    window on the signature-clustered exchange. Swapping n_chars for
+    a model-scored quality column changes nothing structurally.
+    """
+    sig = llm_dedup_simhash(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    j = d.select("doc_id", "n_chars").join(sig, "doc_id")
+    w = Window.partitionBy("simhash").orderBy(
+        F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "simhash", "n_chars", "bucket_size")
+    )
+
+
+@register(
+    "llm_length_histogram",
+    oracle="""
+    SELECT lang,
+           n_chars // 50 AS bucket,
+           COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang, bucket
+    """,
+    tags=("llm", "stats"),
+)
+def llm_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length histogram: document counts per (language,
+    50-char-wide length bucket) — the distribution check run before
+    choosing truncation/packing lengths, and the fastest way to spot
+    a scraped-boilerplate spike (a single overfull bucket).
+
+    Scale: pure integer bucketing folded into one partial-aggregated
+    shuffle; output is languages × occupied buckets.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", F.expr("n_chars DIV 50").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("n_chars").alias("min_chars"),
+             F.max("n_chars").alias("max_chars"))
+    )

@@ -352,3 +352,52 @@ def test_llm2_pack_plan_shapes(spark):
     # fingerprint-dedup window + (two-phase distinct-count rollup)
     assert len(ex) <= 3, ex
     assert "CartesianProduct" not in plan
+
+
+def test_ts_pack_plan_shapes(spark):
+    """Time-series pack pins: every query reduces the raw log in ONE
+    rollup shuffle (plus at most one post-rollup re-key), and
+    sessionization — the only per-event window — clusters the fact by
+    user exactly once with the per-session aggregate riding that same
+    exchange. No self-joins anywhere in the pack."""
+    import re
+
+    # (name, max parquet scans, max hash exchanges)
+    budgets = {
+        "ts_bucket_rollup": (1, 1),
+        "ts_ohlc": (1, 2),          # shared (day,type) window sort + agg re-key
+        "ts_gap_fill": (2, 1),      # rollup + pruned scaffold-meta pass
+        "ts_sessionize": (1, 1),    # THE design property: one user exchange
+        "ts_top_movers": (1, 2),    # rollup + post-rollup lag re-key
+        "ts_rolling_24h": (1, 2),   # rollup + post-rollup window re-key
+    }
+    for name, (max_scans, max_ex) in budgets.items():
+        plan = (QUERIES[name].fn(spark, SF_SMOKE)._jdf
+                .queryExecution().executedPlan().toString())
+        scans = plan.count("Scan parquet")
+        assert scans <= max_scans, f"{name}: {scans} scans"
+        ex = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        assert len(ex) <= max_ex, f"{name}: exchanges {ex}"
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+    # top-k rides TakeOrdered, not a global sort
+    plan = (QUERIES["ts_top_movers"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_llm3_pack_plan_shapes(spark):
+    """Training-data assembly pins: caps/budget/shuffle/histogram are
+    each ONE scan + ONE clustered exchange (window or aggregate riding
+    it); the md5 ordering key never introduces an extra shuffle."""
+    import re
+
+    for name in ("llm_source_caps", "llm_token_budget_sample",
+                 "llm_global_shuffle", "llm_length_histogram"):
+        plan = (QUERIES[name].fn(spark, SF_SMOKE)._jdf
+                .queryExecution().executedPlan().toString())
+        assert plan.count("Scan parquet") == 1, name
+        ex = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        assert len(ex) == 1, f"{name}: {ex}"
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name
