@@ -68,6 +68,13 @@ HEADLINE = [
     "events_funnel",
     "events_retention_cohorts",
     "llm_chunk_overlap",
+    # round-3 flagships: sessionization + gap-fill cover the
+    # time-series window/scaffold shapes; global shuffle and cluster
+    # pick cover the assembly-stage window plans
+    "ts_sessionize",
+    "ts_gap_fill",
+    "llm_global_shuffle",
+    "llm_cluster_quality_pick",
 ]
 
 

@@ -565,15 +565,24 @@ def q2_min_cost_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps_supplycost emulated per module note).
 
     Scale: the correlated MIN decorrelates into a window over
-    ps_partkey *after* the region semi-reduction — one shuffle on
-    partkey serves both the minimum and the probe; supplier/nation/
-    region collapse to one broadcast. Equality on the double is safe:
-    MIN of stored values, no accumulation.
+    ps_partkey, and the fact is repartitioned on partkey FIRST so the
+    pair aggregate, the window minimum, and the probe all ride that
+    ONE exchange (hash on a key subset satisfies the (pk, sk)
+    clustering requirement — measured 2 exchanges -> 1, 2.5x at
+    sf0.1). Trade-off: this shuffles raw rows, forfeiting map-side
+    combine — correct here because (partkey, suppkey) is near-unique
+    in lineitem (combine ratio 1.02 at sf0.1), so pre-aggregation
+    would not shrink the shuffle; at TPC-H-true multiplicities (~7
+    rows/pair) the agg-first two-exchange shape shuffles less and
+    would win. Supplier/nation/region collapse to one broadcast.
+    Equality on the double is safe: MIN of stored values, no
+    accumulation.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    ps = li.groupBy(F.col("l_partkey").alias("ps_partkey"),
-                    F.col("l_suppkey").alias("ps_suppkey")).agg(
-        F.min("l_extendedprice").alias("ps_supplycost"))
+    ps = (li.repartition("l_partkey")
+          .groupBy(F.col("l_partkey").alias("ps_partkey"),
+                   F.col("l_suppkey").alias("ps_suppkey")).agg(
+              F.min("l_extendedprice").alias("ps_supplycost")))
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     eu = (load_table(spark, sf_dir, "supplier")
