@@ -392,3 +392,87 @@ def ts_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour_total",
         F.expr(rolling_sum).alias("rolling_total"),
         F.expr(rolling_n).alias("rolling_n"))
+
+
+@register(
+    "stream_ts_rollup",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '{_HOUR_FMT_DUCK}') AS bucket,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS total_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("ts", "stream", "agg"),
+)
+def stream_ts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained continuous aggregate: the event log is
+    drained as FOUR micro-batches (``maxFilesPerTrigger=1`` over a
+    4-file reshard), and ``foreachBatch`` appends each batch's partial
+    hourly aggregate — count, DECIMAL value sum, min, max — to a
+    rollup state table; the final result folds the partials. This is
+    the refresh loop behind a hypertable continuous aggregate, and it
+    is EXACTLY equal to the one-shot batch rollup because every
+    partial is associative (decimal sums commute; count/min/max
+    trivially). The oracle is the plain batch SQL — the strongest
+    possible check that incremental == recompute.
+
+    Idempotence: each micro-batch overwrites its own
+    ``batch=<id>`` subdirectory, so a retried batch replaces (never
+    duplicates) its partials — the same two-phase discipline as the
+    BNPL pipeline's foreachBatch upsert (streaming/pipeline.py).
+
+    Scale: per micro-batch work is one partial aggregate of that
+    batch's events (map-side combine applies); state grows as
+    batches × buckets, compacted by the terminal fold — at 100 TB the
+    fold target would be a partitioned table with periodic compaction
+    instead of a scratch directory.
+    """
+    import uuid as _uuid
+
+    from .queries_ext import _scratch
+
+    ev = load_table(spark, sf_dir, "events")
+    work = _scratch(f"tsroll_{_uuid.uuid4().hex[:8]}")
+    in_dir = f"{work}/in"
+    state_dir = f"{work}/state"
+    # reshard to 4 parquet files == 4 micro-batches (binary-exact
+    # doubles; no text round-trip)
+    (ev.select("event_id", "ts", "event_type", "value")
+     .repartition(4).write.mode("overwrite").parquet(in_dir))
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        (batch.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+         .agg(F.count(F.lit(1)).alias("pn"),
+              F.sum(F.col("value").cast("decimal(30,2)")).alias("psum"),
+              F.min("value").alias("pmin"),
+              F.max("value").alias("pmax"))
+         .write.mode("overwrite").parquet(f"{state_dir}/batch={batch_id}"))
+
+    q = (spark.readStream
+         .schema("event_id long, ts timestamp_ntz, event_type string, "
+                 "value double")
+         .option("maxFilesPerTrigger", "1")
+         .parquet(in_dir)
+         .writeStream.foreachBatch(fold_batch)
+         .option("checkpointLocation", f"{work}/ck")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    partials = spark.read.option("basePath", state_dir).parquet(
+        f"{state_dir}/batch=*")
+    return (
+        partials.groupBy("h", "event_type")
+        .agg(F.sum("pn").alias("n_events"),
+             F.sum("psum").alias("dsum"),
+             F.min("pmin").alias("min_value"),
+             F.max("pmax").alias("max_value"))
+        .select(
+            F.date_format("h", _HOUR_FMT_SPARK).alias("bucket"),
+            "event_type", "n_events",
+            F.col("dsum").cast("string").cast("double").alias("total_value"),
+            "min_value", "max_value")
+    )
