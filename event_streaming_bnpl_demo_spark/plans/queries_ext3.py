@@ -400,3 +400,54 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_SQL)
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+    SELECT COALESCE(CASE WHEN event_id % 2 = 1 THEN event_type END,
+                    '(legacy)') AS channel,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST((value) AS DECIMAL(30,2))) AS STRING)
+                AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("source", "schema"),
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: the event log is materialized as two
+    parquet generations — an old layout (event_id, value) and a new
+    one that added a ``channel`` column — and read back as ONE dataset
+    with ``mergeSchema=true``; legacy rows surface NULL channel,
+    reported under '(legacy)'. The append-only schema-drift situation
+    every long-lived 100 TB table hits, handled at the scan (no
+    backfill rewrite of old files).
+
+    Scale: mergeSchema unions footers at planning time; the scan
+    itself stays one pass with pushdown intact, and missing columns
+    materialize as nulls per row-group — no per-file branching in the
+    query plan.
+    """
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    ev = load_table(spark, sf_dir, "events")
+    base = os.path.join(tempfile.gettempdir(),
+                        f"spark_graft_evo_{_uuid.uuid4().hex[:8]}")
+    (ev.filter(F.col("event_id") % 2 == 0)
+     .select("event_id", "value")
+     .write.mode("overwrite").parquet(os.path.join(base, "gen=1")))
+    (ev.filter(F.col("event_id") % 2 == 1)
+     .select("event_id", "value", F.col("event_type").alias("channel"))
+     .write.mode("overwrite").parquet(os.path.join(base, "gen=2")))
+    merged = (spark.read.option("mergeSchema", "true")
+              .option("basePath", base)
+              .parquet(os.path.join(base, "gen=*")))
+    return (
+        merged.groupBy(F.coalesce("channel", F.lit("(legacy)"))
+                       .alias("channel"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.expr(dsum_sql("value")).alias("total_value"))
+    )

@@ -395,6 +395,62 @@ def ts_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_scd2_states",
+    oracle=f"""
+    WITH changes AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), changed AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM changes
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id,
+           event_type AS state,
+           strftime(ts, '{_HOUR_FMT_DUCK}') AS valid_from,
+           COALESCE(strftime(lead(ts) OVER w, '{_HOUR_FMT_DUCK}'),
+                    '9999-12-31 00:00:00') AS valid_to,
+           CAST(lead(ts) OVER w IS NULL AS BOOLEAN) AS is_current
+    FROM changed
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("ts", "window", "scd"),
+)
+def ts_scd2_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build: each user's event
+    stream becomes a validity-interval history — consecutive repeats
+    of the same state collapse, each surviving row is valid from its
+    own timestamp until the next *change* (open intervals get the
+    9999 sentinel and is_current=true). The temporal-table shape every
+    warehouse derives from a mutation log, and the batch analog of the
+    reference's last-event-wins upsert (R10) keeping FULL history
+    instead of only the latest row.
+
+    Scale: two windows (change-detect lag, interval lead) over the
+    SAME user-clustered exchange — one shuffle of the log, no
+    self-join, output proportional to state *changes*, not events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull()
+                | (F.col("event_type") != F.col("prev_type")))
+    )
+    # new window over the filtered set: the NEXT change, not next event
+    lead_ts = F.lead("ts").over(w)
+    return changed.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.date_format("ts", _HOUR_FMT_SPARK).alias("valid_from"),
+        F.coalesce(F.date_format(lead_ts, _HOUR_FMT_SPARK),
+                   F.lit("9999-12-31 00:00:00")).alias("valid_to"),
+        lead_ts.isNull().alias("is_current"))
+
+
+@register(
     "stream_ts_rollup",
     oracle=f"""
     SELECT strftime(date_trunc('hour', ts), '{_HOUR_FMT_DUCK}') AS bucket,
