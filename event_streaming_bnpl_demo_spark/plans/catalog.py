@@ -99,7 +99,7 @@ _PRIORITY2: tuple[str, ...] = (
     # round-3 additions: time-series pack + training-data assembly
     "ts_bucket_rollup", "ts_ohlc", "ts_gap_fill", "ts_sessionize",
     "ts_top_movers", "ts_rolling_24h", "stream_ts_rollup",
-    "ts_scd2_states", "source_schema_evolution",
+    "ts_scd2_states", "source_schema_evolution", "udf_python_udtf",
     "llm_source_caps", "llm_token_budget_sample", "llm_global_shuffle",
     "llm_cluster_quality_pick", "llm_length_histogram",
 )

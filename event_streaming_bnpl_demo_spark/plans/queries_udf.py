@@ -1,5 +1,6 @@
-"""UDF surface (SURVEY §2.2 'UDF surface'): the three Python extension
-points Spark exposes, each demonstrated on a real operator with a SQL
+"""UDF surface (SURVEY §2.2 'UDF surface'): the Python extension
+points Spark exposes — scalar, vectorized, grouped-map, and (Spark 4)
+table-valued — each demonstrated on a real operator with a SQL
 oracle. The reference has no UDF stack at all — every custom behavior
 is a hard-coded Go branch (consumer/consumer.go:122-181); here custom
 logic plugs into the engine without touching it.
@@ -263,3 +264,52 @@ def udf_pandas_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", "label", F.round("cos_raw", 4).alias("cos_sim"))
     )
+
+
+@register(
+    "udf_python_udtf",
+    oracle="""
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           substring(text, CAST(i AS INT) * 200 + 1, 200) AS chunk_text,
+           CAST(length(substring(text, CAST(i AS INT) * 200 + 1, 200))
+                AS BIGINT) AS chunk_len
+    FROM documents,
+         UNNEST(generate_series(0, (length(text) - 1) // 200)) AS t(i)
+    """,
+    tags=("udf", "udtf", "llm"),
+)
+def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function, Spark 4): one input row expands to
+    many output rows inside the engine — here, fixed-width 200-char
+    document chunking via ``LATERAL chunk_doc(doc_id, text)``. The
+    fourth Python extension point after scalar/pandas/grouped-map:
+    custom *table-valued* logic plugs into the FROM clause and
+    composes with ordinary SQL around it.
+
+    Determinism: pure string slicing and integer arithmetic. Scale:
+    UDTFs run partition-parallel with no shuffle of their own (the
+    lateral join is row-local); the Python-side cost profile matches a
+    pandas_udf's per-batch dispatch, and the builtin-expression twin
+    (llm_chunk_overlap's posexplode) remains the hot-path choice —
+    this entry exists because user-defined table semantics can't
+    always be expressed as builtins.
+    """
+    from pyspark.sql.functions import udtf
+
+    from ..sources import register_views
+
+    @udtf(returnType=("doc_id bigint, chunk_idx bigint, "
+                      "chunk_text string, chunk_len bigint"))
+    class ChunkDoc:
+        def eval(self, doc_id, text):  # noqa: ANN001 - UDTF contract
+            width = 200
+            for i in range(0, len(text), width):
+                piece = text[i:i + width]
+                yield doc_id, i // width, piece, len(piece)
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT c.doc_id, c.chunk_idx, c.chunk_text, c.chunk_len "
+        "FROM documents d, LATERAL chunk_doc(d.doc_id, d.text) AS c")
