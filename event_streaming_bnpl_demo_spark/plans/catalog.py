@@ -100,6 +100,7 @@ _PRIORITY2: tuple[str, ...] = (
     "ts_bucket_rollup", "ts_ohlc", "ts_gap_fill", "ts_sessionize",
     "ts_top_movers", "ts_rolling_24h", "stream_ts_rollup",
     "ts_scd2_states", "source_schema_evolution", "udf_python_udtf",
+    "graph_degree_stats", "graph_pagerank",
     "llm_source_caps", "llm_token_budget_sample", "llm_global_shuffle",
     "llm_cluster_quality_pick", "llm_length_histogram",
 )
@@ -218,4 +219,5 @@ def _load() -> None:
     from . import queries_udf       # noqa: F401
     from . import queries_ts        # noqa: F401
     from . import queries_llm3      # noqa: F401
+    from . import queries_graph     # noqa: F401
     _LOADED = True

@@ -1,0 +1,166 @@
+"""Graph analytics over relational facts: the customer↔supplier
+co-purchase graph (distinct (o_custkey, l_suppkey) pairs from the
+order/lineitem facts, symmetrized) analyzed with degree statistics and
+fixed-point PageRank.
+
+Complements the LLM pack's connected components
+(operators/components.py): components answers "which nodes belong
+together", PageRank ranks them — the two iterative-algorithm shapes a
+relational engine is usually asked for beyond joins.
+
+Cross-engine determinism for an ITERATIVE float algorithm is the trick
+here: classic PageRank accumulates doubles in data-dependent order, so
+two engines (or two partitionings!) drift in the last bits. This
+implementation runs entirely in 64-bit integer fixed-point
+(micro-rank units, truncating integer division) — every iteration is
+bit-exact on both engines AND independent of Spark's partition-level
+summation order, so the driver can hash-match an iterative algorithm
+exactly. The oracle unrolls the same five iterations as chained CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .catalog import register
+
+#: Fixed-point scale: 1.0 of rank == 1_000_000 micro-units.
+_SCALE = 1_000_000
+
+#: Damping factor 0.85 expressed as integer per-mille arithmetic.
+_DAMP_NUM, _DAMP_DEN = 850, 1000
+
+_N_ITER = 5
+
+_EDGE_SQL = """
+    SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                    's' || CAST(l_suppkey AS VARCHAR) AS dst
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized co-purchase edges with string node ids ('c<key>',
+    's<key>') so the two key spaces cannot collide."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = (o.join(li, o.o_orderkey == li.l_orderkey)
+           .select(F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+                   .alias("src"),
+                   F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+                   .alias("dst"))
+           .distinct())
+    return fwd.union(fwd.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+
+
+@register(
+    "graph_degree_stats",
+    oracle=f"""
+    WITH fwd AS ({_EDGE_SQL}),
+    sym AS (SELECT src, dst FROM fwd
+            UNION ALL SELECT dst, src FROM fwd),
+    deg AS (SELECT src AS node, COUNT(*) AS degree FROM sym GROUP BY src)
+    SELECT substring(node, 1, 1) AS node_kind,
+           degree,
+           COUNT(*) AS n_nodes
+    FROM deg
+    GROUP BY 1, 2
+    """,
+    tags=("graph", "agg"),
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph, split by node
+    kind (customer vs supplier) — the first thing to look at before
+    running anything iterative: skew here predicts hot keys there.
+
+    Scale: edge build is the fact join both ends already need; the
+    distribution is two cheap aggregates on (node) then (kind,
+    degree).
+    """
+    sym = _copurchase_edges(spark, sf_dir)
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy(F.substring("node", 1, 1).alias("node_kind"), "degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+
+
+def _pagerank_oracle() -> str:
+    """Five PageRank iterations unrolled as chained CTEs, in the same
+    integer fixed-point arithmetic as the Spark loop."""
+    base = _SCALE * 15 // 100
+    parts = [f"""
+    fwd AS ({_EDGE_SQL}),
+    sym AS (SELECT src, dst FROM fwd
+            UNION ALL SELECT dst, src FROM fwd),
+    outdeg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM sym),
+    pr0 AS (SELECT node, CAST({_SCALE} AS BIGINT) AS rank FROM nodes)"""]
+    for k in range(_N_ITER):
+        parts.append(f"""
+    pr{k + 1} AS (
+      SELECT n.node,
+             CAST({base} + {_DAMP_NUM} *
+                  COALESCE(SUM(p.rank // d.deg), 0) // {_DAMP_DEN}
+                  AS BIGINT) AS rank
+      FROM nodes n
+      LEFT JOIN sym e ON e.dst = n.node
+      LEFT JOIN pr{k} p ON p.node = e.src
+      LEFT JOIN outdeg d ON d.node = e.src
+      GROUP BY n.node)""")
+    return ("WITH " + ",".join(parts) + f"""
+    SELECT node, rank AS rank_micro
+    FROM pr{_N_ITER}
+    ORDER BY rank DESC, node
+    LIMIT 20
+    """)
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle(),
+          tags=("graph", "iterative"))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 fixed iterations, damping 0.85) over the
+    co-purchase graph; returns the top-20 nodes by rank. The
+    iterative-refinement shape (like operators/components.py) with
+    the extra constraint components doesn't have: per-iteration
+    SUMS. Run in integer micro-rank fixed-point — contribution is
+    ``rank DIV degree``, update is ``150000 + 850·Σcontrib DIV
+    1000`` — so every iteration is bit-exact across engines and
+    partition orders, which is what lets an iterative aggregate pass
+    a value-hash oracle at all.
+
+    Scale: each iteration is one join of the edge list against the
+    current ranks plus one aggregate on dst — the same O(edges)
+    shuffle pattern as label propagation; ranks and the symmetrized
+    edge list are localCheckpoint-ed so lineage stays flat over
+    iterations. Degree-skewed hubs are visible in graph_degree_stats
+    first; AQE's skew-join split handles them at scale.
+    """
+    sym = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    outdeg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg"))
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    ranks = nodes.select("node", F.lit(_SCALE).cast("bigint").alias("rank"))
+    base = _SCALE * 15 // 100
+    # pre-join degree once: contribution source is (node, rank, deg)
+    for _ in range(_N_ITER):
+        contrib = (
+            sym.join(ranks.join(outdeg, "node"),
+                     sym.src == F.col("node"))
+            .select(F.col("dst").alias("node"),
+                    F.expr("rank DIV deg").alias("c"))
+            .groupBy("node").agg(F.sum("c").alias("s")))
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base)
+                 + F.expr(f"{_DAMP_NUM} * COALESCE(s, 0) DIV {_DAMP_DEN}"))
+                .cast("bigint").alias("rank"))
+            .localCheckpoint(eager=True))
+    return (ranks.orderBy(F.desc("rank"), "node").limit(20)
+            .select("node", F.col("rank").alias("rank_micro")))
