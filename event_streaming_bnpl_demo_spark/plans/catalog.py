@@ -101,6 +101,7 @@ _PRIORITY2: tuple[str, ...] = (
     "ts_top_movers", "ts_rolling_24h", "stream_ts_rollup",
     "ts_scd2_states", "source_schema_evolution", "udf_python_udtf",
     "graph_degree_stats", "graph_pagerank",
+    "dq_referential_orphans", "dq_null_profile", "dq_key_uniqueness",
     "llm_source_caps", "llm_token_budget_sample", "llm_global_shuffle",
     "llm_cluster_quality_pick", "llm_length_histogram",
 )
@@ -220,4 +221,5 @@ def _load() -> None:
     from . import queries_ts        # noqa: F401
     from . import queries_llm3      # noqa: F401
     from . import queries_graph     # noqa: F401
+    from . import queries_dq        # noqa: F401
     _LOADED = True
