@@ -210,3 +210,138 @@ def source_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     src.write.mode("overwrite").orc(out)
     return (spark.read.orc(out)
             .filter(F.col("o_orderstatus") == "F"))
+
+
+def _pct_pick(p_num: int, p_den: int, dialect: str = "spark") -> str:
+    """Discrete-percentile row index: ceil(p*n) in pure integer
+    arithmetic. Integer division spells DIV in Spark, // in DuckDB —
+    the only token that differs."""
+    div = "DIV" if dialect == "spark" else "//"
+    return f"(({p_num} * grp_n + {p_den} - 1) {div} {p_den})"
+
+
+@register(
+    "agg_percentiles_disc",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS grp_n
+      FROM events
+    )
+    SELECT event_type,
+           CAST(grp_n AS BIGINT) AS n,
+           MAX(CASE WHEN rn = {_pct_pick(1, 2, 'duckdb')} THEN value END)
+             AS p50,
+           MAX(CASE WHEN rn = {_pct_pick(9, 10, 'duckdb')} THEN value END)
+             AS p90,
+           MAX(CASE WHEN rn = {_pct_pick(99, 100, 'duckdb')} THEN value END)
+             AS p99
+    FROM ranked
+    GROUP BY event_type, grp_n
+    """,
+    tags=("agg", "stats"),
+)
+def agg_percentiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISCRETE percentiles (p50/p90/p99 of event value per
+    type): the value at row ceil(p·n) of the sorted group — an actual
+    stored element, never an interpolated float, so the result is
+    hash-safe for arbitrary doubles (the caveat agg_median_exact's
+    docstring raises is closed by picking instead of interpolating).
+
+    Scale: one sort within the type-clustered exchange; the selecting
+    aggregate rides the same clustering (no second shuffle). Exact
+    percentiles buffer the partition at 100 TB — prefer the
+    approx_percentile sketch (rows-only twin) unless exactness is
+    contractual; this shape is also what a range-partitioned global
+    percentile reduces to per partition.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wp = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("grp_n"))
+    pick = lambda num, den: F.max(  # noqa: E731 - local one-liner
+        F.when(F.col("rn") == F.expr(_pct_pick(num, den)), F.col("value")))
+    return (
+        ranked.groupBy("event_type", "grp_n")
+        .agg(pick(1, 2).alias("p50"),
+             pick(9, 10).alias("p90"),
+             pick(99, 100).alias("p99"))
+        .select("event_type", F.col("grp_n").cast("bigint").alias("n"),
+                "p50", "p90", "p99")
+    )
+
+
+def _zscore_parts() -> tuple[str, str]:
+    """(mean, var) closed forms from windowed decimal power sums —
+    identical SQL text for both engines."""
+    from .sqlcompat import dsum_over_sql
+
+    s1 = dsum_over_sql("value", "event_type", 4)
+    s2 = dsum_over_sql("value * value", "event_type", 4)
+    n = "CAST(COUNT(value) OVER (PARTITION BY event_type) AS DOUBLE)"
+    mean = f"(({s1}) / {n})"
+    var = f"((({s2}) - ({s1}) * ({s1}) / {n}) / ({n} - 1.0))"
+    return mean, var
+
+
+def _outlier_oracle() -> str:
+    mean, var = _zscore_parts()
+    return f"""
+    WITH flagged AS (
+      SELECT event_type, value,
+             {mean} AS mu,
+             {var} AS var
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_outliers,
+           MIN(value) AS min_outlier,
+           MAX(value) AS max_outlier
+    FROM flagged
+    WHERE (value - mu) * (value - mu) > 9 * var
+    GROUP BY event_type
+    """
+
+
+@register(
+    "agg_outlier_zscore",
+    oracle=_outlier_oracle(),
+    tags=("agg", "stats", "window"),
+)
+def agg_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma outlier detection per event type: per-row mean and
+    variance come from windowed decimal power sums (exact,
+    order-independent), the outlier predicate is the SAME closed-form
+    text on both engines — (value-mean)² > 9·var — so which rows
+    qualify is bit-deterministic, the property float anomaly gates
+    usually lack across engines. Output: per-type outlier counts and
+    extremes.
+
+    Scale: ONE type-clustered exchange carries the power-sum windows,
+    the filter, and the final rollup; nothing materializes except the
+    outliers' aggregate. (At 100 TB the same expressions run as a
+    two-pass agg+broadcast-join if the per-type row sets exceed memory
+    — the window form is the single-shuffle variant.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mean, var = _zscore_parts()
+    flagged = ev.select(
+        "event_type", "value",
+        F.expr(mean).alias("mu"),
+        F.expr(var).alias("var"))
+    return (
+        flagged.filter(F.expr("(value - mu) * (value - mu) > 9 * var"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"),
+             F.min("value").alias("min_outlier"),
+             F.max("value").alias("max_outlier"))
+    )
+
+
