@@ -386,6 +386,29 @@ def test_ts_pack_plan_shapes(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_round3_tail_plan_shapes(spark):
+    """Stats/dq/scd pins: the single-exchange window-and-rollup
+    queries stay single-exchange; the referential audit stays pure
+    broadcast anti-joins (ZERO hash exchanges — violations are
+    counted, never shuffled)."""
+    import re
+
+    for name in ("agg_percentiles_disc", "agg_outlier_zscore",
+                 "dq_null_profile", "ts_scd2_states"):
+        plan = (QUERIES[name].fn(spark, SF_SMOKE)._jdf
+                .queryExecution().executedPlan().toString())
+        assert plan.count("Scan parquet") == 1, name
+        ex = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        assert len(ex) == 1, f"{name}: {ex}"
+        assert "SortMergeJoin" not in plan, name
+
+    plan = (QUERIES["dq_referential_orphans"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    assert "Exchange hashpartitioning" not in plan, \
+        "orphan checks must stay broadcast anti-joins"
+    assert "CartesianProduct" not in plan
+
+
 def test_llm3_pack_plan_shapes(spark):
     """Training-data assembly pins: caps/budget/shuffle/histogram are
     each ONE scan + ONE clustered exchange (window or aggregate riding
