@@ -23,14 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.pagerank import (DAMP_DEN as _DAMP_DEN,
+                                  DAMP_NUM as _DAMP_NUM,
+                                  SCALE as _SCALE,
+                                  pagerank_fixedpoint)
 from ..sources import load_table
 from .catalog import register
-
-#: Fixed-point scale: 1.0 of rank == 1_000_000 micro-units.
-_SCALE = 1_000_000
-
-#: Damping factor 0.85 expressed as integer per-mille arithmetic.
-_DAMP_NUM, _DAMP_DEN = 850, 1000
 
 _N_ITER = 5
 
@@ -135,32 +133,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each iteration is one join of the edge list against the
     current ranks plus one aggregate on dst — the same O(edges)
-    shuffle pattern as label propagation; ranks and the symmetrized
-    edge list are localCheckpoint-ed so lineage stays flat over
-    iterations. Degree-skewed hubs are visible in graph_degree_stats
-    first; AQE's skew-join split handles them at scale.
+    shuffle pattern as label propagation (see operators/pagerank.py);
+    degree-skewed hubs are visible in graph_degree_stats first; AQE's
+    skew-join split handles them at scale.
     """
-    sym = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
-    outdeg = sym.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg"))
-    nodes = sym.select(F.col("src").alias("node")).distinct()
-    ranks = nodes.select("node", F.lit(_SCALE).cast("bigint").alias("rank"))
-    base = _SCALE * 15 // 100
-    # pre-join degree once: contribution source is (node, rank, deg)
-    for _ in range(_N_ITER):
-        contrib = (
-            sym.join(ranks.join(outdeg, "node"),
-                     sym.src == F.col("node"))
-            .select(F.col("dst").alias("node"),
-                    F.expr("rank DIV deg").alias("c"))
-            .groupBy("node").agg(F.sum("c").alias("s")))
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (F.lit(base)
-                 + F.expr(f"{_DAMP_NUM} * COALESCE(s, 0) DIV {_DAMP_DEN}"))
-                .cast("bigint").alias("rank"))
-            .localCheckpoint(eager=True))
+    ranks = pagerank_fixedpoint(_copurchase_edges(spark, sf_dir),
+                                n_iter=_N_ITER)
     return (ranks.orderBy(F.desc("rank"), "node").limit(20)
             .select("node", F.col("rank").alias("rank_micro")))

@@ -401,3 +401,37 @@ def test_jaccard_df_cap_bounds_hot_shingle_pairs(spark):
     got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped.collect()}
     assert set(got) == {(100, 101)}     # only the rare-shingle pair
     assert abs(got[(100, 101)] - 0.6) < 1e-9  # 3 shared / 5 union
+
+
+def test_pagerank_fixedpoint_matches_reference(spark):
+    """The Spark PageRank loop must equal an independent pure-Python
+    fixed-point reference EXACTLY (integer arithmetic, so no
+    tolerance), on a small asymmetric graph: a triangle a-b-c plus a
+    pendant d attached to c, symmetrized."""
+    from event_streaming_bnpl_demo_spark.operators.pagerank import (
+        DAMP_DEN, DAMP_NUM, SCALE, pagerank_fixedpoint)
+
+    und = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    edges = und + [(d, s) for s, d in und]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+
+    got = {r["node"]: r["rank"]
+           for r in pagerank_fixedpoint(df, n_iter=5).collect()}
+
+    # independent reference: same integer recurrence, plain dicts
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    deg = {n: len(v) for n, v in out.items()}
+    rank = {n: SCALE for n in out}
+    base = SCALE * 15 // 100
+    for _ in range(5):
+        incoming = {n: 0 for n in out}
+        for s, ds in out.items():
+            c = rank[s] // deg[s]
+            for d in ds:
+                incoming[d] += c
+        rank = {n: base + DAMP_NUM * incoming[n] // DAMP_DEN for n in out}
+    assert got == rank
+    # the pendant's only neighbor is the hub, so the hub outranks it
+    assert got["c"] > got["d"]
