@@ -25,14 +25,27 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
               left_ts: str, right_ts: str,
               right_cols: list[str] | None = None,
               allow_exact_matches: bool = True,
-              tolerance: Column | None = None) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right_ts <= left_ts`` (or ``<`` when ``allow_exact_matches=False``)
-    within the same key group.
+              tolerance: Column | None = None,
+              direction: str = "backward") -> DataFrame:
+    """For each left row, attach the nearest right row in the same key
+    group: ``direction="backward"`` (default) takes the latest right
+    row with ``right_ts <= left_ts``; ``direction="forward"`` the
+    earliest with ``right_ts >= left_ts`` (strict inequalities when
+    ``allow_exact_matches=False``) — pandas merge_asof semantics, same
+    ONE-shuffle sort-merge plan either way (forward just flips the
+    window frame to [current, unbounded following] and carries the
+    first following right row backward).
 
-    tolerance: optional max lookback (an INTERVAL Column); matches older
-    than ``left_ts - tolerance`` are nulled out, as in pandas merge_asof.
+    tolerance: optional max lookback/lookahead (an INTERVAL Column);
+    matches further than that from ``left_ts`` are nulled out, as in
+    pandas merge_asof.
+
+    Tie-break among equal-timestamp right rows is deterministic:
+    backward keeps the field-wise MAX struct, forward the field-wise
+    MIN (the row the in-frame sort meets first in each case).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     right_cols = right_cols or [c for c in right.columns
                                 if c not in keys + [right_ts]]
@@ -56,23 +69,32 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
         ).alias("_l"),
         F.struct(*right_cols, F.col(right_ts).alias("_rts")).alias("_r"),
     )
-    # right rows sort before left rows at equal timestamps iff exact
-    # matches are allowed; the trailing struct comparison makes the
-    # winner among equal-timestamp right rows deterministic (field-wise
-    # max) instead of partition-order-dependent
-    tie = F.col("_is_left") if allow_exact_matches else -F.col("_is_left")
-    w = (Window.partitionBy(*keys).orderBy(F.col("_ts"), tie, F.col("_r"))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # Tie order places right rows inside the frame at equal timestamps
+    # iff exact matches are allowed — backward frames end at the
+    # current row (right must sort BEFORE left to be visible), forward
+    # frames start at it (right must sort AFTER left). The trailing
+    # struct comparison makes the winner among equal-timestamp right
+    # rows deterministic instead of partition-order-dependent.
+    if direction == "backward":
+        tie = F.col("_is_left") if allow_exact_matches else -F.col("_is_left")
+        w = (Window.partitionBy(*keys).orderBy(F.col("_ts"), tie, F.col("_r"))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        picked = F.last("_r", ignorenulls=True).over(w)
+        in_tol = (lambda c: F.col(f"{c}._rts") >= F.col("_ts") - tolerance)
+    else:
+        tie = -F.col("_is_left") if allow_exact_matches else F.col("_is_left")
+        w = (Window.partitionBy(*keys).orderBy(F.col("_ts"), tie, F.col("_r"))
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        picked = F.first("_r", ignorenulls=True).over(w)
+        in_tol = (lambda c: F.col(f"{c}._rts") <= F.col("_ts") + tolerance)
     merged = (
         lhs.unionByName(rhs)
-        .withColumn("_last_r", F.last("_r", ignorenulls=True).over(w))
+        .withColumn("_last_r", picked)
         .filter(F.col("_is_left") == 1)
     )
     if tolerance is not None:
         merged = merged.withColumn(
-            "_last_r",
-            F.when(F.col("_last_r._rts") >= F.col("_ts") - tolerance,
-                   F.col("_last_r")))
+            "_last_r", F.when(in_tol("_last_r"), F.col("_last_r")))
     out = merged.select("_l.*", *[
         F.col(f"_last_r.{c}").alias(c) for c in right_cols])
     return out

@@ -102,7 +102,7 @@ _PRIORITY2: tuple[str, ...] = (
     "ts_scd2_states", "source_schema_evolution", "udf_python_udtf",
     "graph_degree_stats", "graph_pagerank",
     "dq_referential_orphans", "dq_null_profile", "dq_key_uniqueness",
-    "agg_percentiles_disc", "agg_outlier_zscore",
+    "agg_percentiles_disc", "agg_outlier_zscore", "join_asof_forward",
     "llm_source_caps", "llm_token_budget_sample", "llm_global_shuffle",
     "llm_cluster_quality_pick", "llm_length_histogram",
 )

@@ -446,6 +446,61 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_asof_forward",
+    oracle="""
+    WITH cand AS (
+      SELECT v.event_id AS view_id, v.user_id AS user_id, v.ts AS v_ts,
+             p.event_id AS purchase_id, p.ts AS p_ts,
+             ROW_NUMBER() OVER (PARTITION BY v.event_id
+                                ORDER BY p.ts ASC, p.event_id ASC) AS rn
+      FROM events v
+      JOIN events p ON p.user_id = v.user_id
+                   AND p.event_type = 'purchase' AND p.ts >= v.ts
+      WHERE v.event_type = 'view'
+    )
+    SELECT view_id, user_id, purchase_id,
+           CAST(date_diff('second', v_ts, p_ts) AS BIGINT)
+             AS seconds_to_purchase
+    FROM cand WHERE rn = 1
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each view matched to the nearest FOLLOWING
+    purchase by the same user (time-to-convert) — the mirror of
+    join_asof via ``direction="forward"``: the same union + single
+    user-clustered window pass, with the frame flipped to
+    [current row, unbounded following] and the first following
+    purchase carried backward. Equal-timestamp ties keep the minimum
+    (purchase_id, ts) struct, matching the oracle's ASC tie-break.
+
+    Scale: identical profile to the backward plan — ONE shuffle on
+    user_id + per-partition sort, no candidate materialization (the
+    oracle's candidate join is the quadratic check-only shape).
+    """
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id",
+        F.col("ts").alias("v_ts"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"))
+    merged = asof_join(v, p, on="user_id", left_ts="v_ts", right_ts="p_ts",
+                       right_cols=["purchase_id", "p_ts"],
+                       direction="forward")
+    return (
+        merged.filter(F.col("purchase_id").isNotNull())
+        .select(
+            "view_id", "user_id", "purchase_id",
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts"))
+            .cast("bigint").alias("seconds_to_purchase"),
+        )
+    )
+
+
 def join_asof_candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-join as-of formulation (range join + row_number()=1):
     O(prior views × purchases) per user before the pick. Kept OFF the
