@@ -532,3 +532,104 @@ def stream_ts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dsum").cast("string").cast("double").alias("total_value"),
             "min_value", "max_value")
     )
+
+
+@register(
+    "ts_time_weighted_avg",
+    oracle=f"""
+    WITH spans AS (
+      SELECT user_id, value,
+             date_diff('second', ts,
+                       lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)) AS dur_s
+      FROM events
+    )
+    SELECT user_id,
+           CAST(CAST(SUM(CAST(value * dur_s AS DECIMAL(30,2))) AS STRING)
+                AS DOUBLE)
+             / CAST(SUM(dur_s) AS DOUBLE) AS twap,
+           CAST(SUM(dur_s) AS BIGINT) AS observed_s,
+           COUNT(*) AS n_spans
+    FROM spans
+    WHERE dur_s IS NOT NULL AND dur_s > 0
+    GROUP BY user_id
+    """,
+    tags=("ts", "window", "agg"),
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each observed value is weighted by
+    how long it was current — the duration until the user's next event
+    — then averaged per user. THE aggregation for irregularly-sampled
+    state (a value held for 6 h must outweigh one held for 6 s), and
+    the canonical hypertable query plain AVG silently gets wrong.
+
+    Determinism: weights are integer seconds, the weighted sum
+    accumulates in decimal, and the closing division is one double op
+    on bit-equal inputs. Scale: lead() and the per-user aggregate ride
+    ONE user-clustered exchange; zero-duration spans (same-timestamp
+    bursts) drop out of both engines identically.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    spans = ev.select(
+        "user_id", "value",
+        (F.unix_timestamp(F.lead("ts").over(w))
+         - F.unix_timestamp("ts")).alias("dur_s"))
+    return (
+        spans.filter(F.col("dur_s").isNotNull() & (F.col("dur_s") > 0))
+        .groupBy("user_id")
+        .agg(
+            (F.expr("CAST(CAST(SUM(CAST(value * dur_s AS DECIMAL(30,2)))"
+                    " AS STRING) AS DOUBLE)")
+             / F.sum("dur_s").cast("double")).alias("twap"),
+            F.sum("dur_s").cast("bigint").alias("observed_s"),
+            F.count(F.lit(1)).alias("n_spans"))
+    )
+
+
+@register(
+    "events_type_transitions",
+    oracle="""
+    WITH pairs AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    )
+    SELECT from_type, to_type,
+           COUNT(*) AS n_transitions,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER (PARTITION BY from_type) AS DOUBLE)
+             AS p_transition
+    FROM pairs
+    WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+    tags=("events", "window", "agg"),
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix: for every consecutive
+    pair in a user's timeline, count (from → to) and normalize per
+    from-type — the empirical Markov chain behind next-action
+    prediction and funnel-shape discovery.
+
+    Determinism: counts are integers; each probability is ONE double
+    division of bit-equal integers. Scale: the lead() pairing rides
+    the user-clustered exchange, the matrix aggregate is types², and
+    the per-row normalization is a window over that tiny result — no
+    second pass over the log.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"))
+    counted = (pairs.filter(F.col("to_type").isNotNull())
+               .groupBy("from_type", "to_type")
+               .agg(F.count(F.lit(1)).alias("n_transitions")))
+    wnorm = Window.partitionBy("from_type")
+    return counted.select(
+        "from_type", "to_type", "n_transitions",
+        (F.col("n_transitions").cast("double")
+         / F.sum("n_transitions").over(wnorm).cast("double"))
+        .alias("p_transition"))
