@@ -103,7 +103,7 @@ _PRIORITY2: tuple[str, ...] = (
     "graph_degree_stats", "graph_pagerank",
     "dq_referential_orphans", "dq_null_profile", "dq_key_uniqueness",
     "agg_percentiles_disc", "agg_outlier_zscore", "join_asof_forward",
-    "ts_time_weighted_avg", "events_type_transitions",
+    "ts_time_weighted_avg", "events_type_transitions", "agg_mode_exact",
     "llm_source_caps", "llm_token_budget_sample", "llm_global_shuffle",
     "llm_cluster_quality_pick", "llm_length_histogram",
 )

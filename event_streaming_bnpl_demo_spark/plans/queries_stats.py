@@ -345,3 +345,49 @@ def agg_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "agg_mode_exact",
+    oracle="""
+    WITH counted AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY COUNT(*) DESC, c_mktsegment)
+               AS rn
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey,
+           c_mktsegment AS mode_segment,
+           n AS mode_count
+    FROM counted WHERE rn = 1
+    """,
+    tags=("agg", "stats"),
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MODE (most frequent value) per group — the aggregate SQL
+    engines expose as mode() but with engine-specific tie behavior;
+    here the tie is pinned explicitly (highest count, then smallest
+    value), so the result is deterministic and cross-engine
+    hash-safe. Implemented as count-then-pick, the only MODE shape
+    that distributes: count per (group, value), then a row_number
+    window on the already-aggregated counts.
+
+    Scale: the expensive pass is the (group, value) count — map-side
+    combined, one shuffle; the pick window runs on group × distinct
+    values rows. A sketch alternative (approx_top_k) would replace
+    the exact count at 100 TB if the value domain were unbounded.
+    """
+    from pyspark.sql.window import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    counted = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("n"), F.asc("c_mktsegment"))
+    return (counted.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("c_nationkey",
+                    F.col("c_mktsegment").alias("mode_segment"),
+                    F.col("n").alias("mode_count")))

@@ -171,3 +171,63 @@ def test_connected_components_matches_union_find(spark, edges):
     got = {r["id"]: r["component"]
            for r in connected_components(ndf, edf).collect()}
     assert got == want
+
+
+def test_scd2_intervals_partition_each_user_timeline(spark):
+    """Semantic invariants of the SCD-type-2 build, independent of the
+    oracle: per user, exactly one open (is_current) row; intervals
+    chain with no gaps or overlaps (each row's valid_to equals the
+    next row's valid_from); and consecutive rows never repeat a state
+    (repeats must have collapsed)."""
+    from event_streaming_bnpl_demo_spark.plans import all_queries
+
+    from .conftest import SF_SMOKE
+
+    rows = (all_queries()["ts_scd2_states"]
+            .fn(spark, SF_SMOKE).collect())
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for user, urows in by_user.items():
+        urows.sort(key=lambda r: r["valid_from"])
+        assert sum(r["is_current"] for r in urows) == 1, user
+        assert urows[-1]["is_current"] and \
+            urows[-1]["valid_to"] == "9999-12-31 00:00:00", user
+        for a, b in zip(urows, urows[1:]):
+            assert a["valid_to"] == b["valid_from"], (user, a, b)
+            assert a["state"] != b["state"], (user, a, b)
+
+
+def test_sessionize_session_count_matches_gap_count(spark):
+    """The number of sessions per user must equal 1 + the number of
+    inter-event gaps exceeding the threshold — computed here directly
+    from the raw log, independently of the windowed formulation. Also:
+    session event counts must sum back to the user's event count."""
+    from event_streaming_bnpl_demo_spark.plans import all_queries
+    from event_streaming_bnpl_demo_spark.plans.queries_ts import \
+        _SESSION_GAP_S
+    from event_streaming_bnpl_demo_spark.sources import load_table
+
+    from .conftest import SF_SMOKE
+
+    sessions = (all_queries()["ts_sessionize"]
+                .fn(spark, SF_SMOKE).collect())
+    raw = (load_table(spark, SF_SMOKE, "events")
+           .select("user_id", "ts", "event_id").collect())
+    timeline: dict = {}
+    for r in raw:
+        timeline.setdefault(r["user_id"], []).append((r["ts"], r["event_id"]))
+    got_sessions: dict = {}
+    got_events: dict = {}
+    for s in sessions:
+        got_sessions[s["user_id"]] = got_sessions.get(s["user_id"], 0) + 1
+        got_events[s["user_id"]] = (got_events.get(s["user_id"], 0)
+                                    + s["n_events"])
+    for user, evs in timeline.items():
+        evs.sort()
+        gaps = sum(
+            1 for a, b in zip(evs, evs[1:])
+            if (b[0] - a[0]).total_seconds() > _SESSION_GAP_S)
+        assert got_sessions[user] == 1 + gaps, user
+        assert got_events[user] == len(evs), user
