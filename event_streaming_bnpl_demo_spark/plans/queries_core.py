@@ -395,9 +395,11 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "join_asof",
-    oracle="""
+#: Inner backward as-of oracle (nearest prior view per purchase) —
+#: shared by join_asof and the streaming stateful twin
+#: (queries_stream.stream_asof_join), which must converge to the same
+#: relation.
+ASOF_ORACLE = """
     WITH cand AS (
       SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS p_ts,
              v.event_id AS view_id, v.ts AS v_ts,
@@ -411,7 +413,12 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT purchase_id, user_id, view_id,
            CAST(date_diff('second', v_ts, p_ts) AS BIGINT) AS seconds_since_view
     FROM cand WHERE rn = 1
-    """,
+    """
+
+
+@register(
+    "join_asof",
+    oracle=ASOF_ORACLE,
     tags=("join", "asof"),
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:

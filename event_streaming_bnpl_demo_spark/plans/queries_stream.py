@@ -250,3 +250,75 @@ def stream_static_join_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns."""
     return _run_stream_static(spark, sf_dir).select(
         "tier", "n_purchases", "n_users_approx")
+
+
+from .queries_core import ASOF_ORACLE  # noqa: E402 - after registrations
+
+
+@register(
+    "stream_asof_join",
+    oracle=ASOF_ORACLE,
+    tags=("stream", "join", "asof", "stateful"),
+)
+def stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING as-of join (custom stateful operator): purchases
+    matched to their nearest prior view while events arrive as four
+    unordered micro-batches — a view can land batches AFTER its
+    purchase and the match is still right, because the per-user state
+    processor (streaming/asof_state.py) re-emits corrected matches in
+    update mode and the reader keeps each purchase's highest-version
+    row. The oracle is the BATCH as-of SQL (queries_core.ASOF_ORACLE):
+    the strongest possible check that the streaming fixpoint equals
+    the batch join regardless of how arrival order scrambled the log.
+
+    Scale: one state-store shuffle on user_id per micro-batch;
+    vectorized Arrow hop; per-user rematch is a bisect over that
+    user's views. Production bounds state with watermark TTL (module
+    docstring); availableNow + unbounded retention makes this run
+    exact.
+    """
+    import uuid as _uuid
+
+    from pyspark.sql.window import Window
+
+    from ..streaming.asof_state import (ASOF_OUTPUT_SCHEMA,
+                                        ASOF_STATE_SCHEMA, NO_TIMEOUT,
+                                        asof_update)
+    from .queries_ext import _scratch
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase"))
+    work = _scratch(f"sasof_{_uuid.uuid4().hex[:8]}")
+    in_dir = f"{work}/in"
+    name = f"sasof_{_uuid.uuid4().hex[:8]}"
+    # reshard to 4 parquet files == 4 micro-batches; repartition(4) on
+    # no key scrambles event-time order across batches, which is the
+    # point: arrival order must not matter
+    (ev.select("user_id", "event_id", "event_type",
+               F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+     .repartition(4).write.mode("overwrite").parquet(in_dir))
+    stream = (spark.readStream
+              .schema("user_id long, event_id long, event_type string, "
+                      "ts_us long")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(in_dir))
+    matched = (stream.groupBy("user_id")
+               .applyInPandasWithState(
+                   asof_update,
+                   outputStructType=ASOF_OUTPUT_SCHEMA,
+                   stateStructType=ASOF_STATE_SCHEMA,
+                   outputMode="update",
+                   timeoutConf=NO_TIMEOUT))
+    q = (matched.writeStream.format("memory").queryName(name)
+         .outputMode("update")
+         .option("checkpointLocation", f"{work}/ck")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    emitted = spark.table(name)
+    w = Window.partitionBy("purchase_id").orderBy(F.desc("version"))
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & F.col("view_id").isNotNull())
+        .select("purchase_id", "user_id", "view_id", "seconds_since_view")
+    )
+

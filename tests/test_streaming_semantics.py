@@ -409,3 +409,66 @@ def test_two_hop_streaming_dag(spark, tmp_path):
     got2 = {r["event_type"]: r["n"]
             for r in spark.sql("select * from hop_b2").collect()}
     assert got2 == {"view": 4, "purchase": 2, "refund": 1}
+
+
+def test_stream_asof_corrects_out_of_order_arrival(spark, tmp_path):
+    """The stateful as-of operator's defining property: a view arriving
+    a micro-batch AFTER its purchase retroactively upgrades the match.
+    Batch 1 delivers the purchase (and an older view); batch 2
+    delivers a better (later, still-prior) view; the fixpoint must
+    match the batch-2 view."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from event_streaming_bnpl_demo_spark.streaming.asof_state import (
+        ASOF_OUTPUT_SCHEMA, ASOF_STATE_SCHEMA, NO_TIMEOUT, asof_update)
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    os.makedirs(in_dir)
+    cols = ["user_id", "event_id", "event_type", "ts_us"]
+    b1 = [(1, 100, "purchase", 1_000_000_000),
+          (1, 10, "view", 100_000_000)]
+    b2 = [(1, 20, "view", 900_000_000),    # later prior view -> must win
+          (1, 30, "view", 2_000_000_000)]  # AFTER the purchase -> ignored
+    spark.createDataFrame(b1, cols).coalesce(1).write.parquet(in_dir + "/f1")
+    spark.createDataFrame(b2, cols).coalesce(1).write.parquet(in_dir + "/f2")
+    # file-source batches order by modification time: force f1 first
+    now = time.time()
+    for sub, mt in (("f1", now - 60), ("f2", now)):
+        d = os.path.join(in_dir, sub)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (mt, mt))
+
+    stream = (spark.readStream
+              .schema("user_id long, event_id long, event_type string, "
+                      "ts_us long")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(in_dir + "/f*"))
+    q = (stream.groupBy("user_id")
+         .applyInPandasWithState(
+             asof_update, outputStructType=ASOF_OUTPUT_SCHEMA,
+             stateStructType=ASOF_STATE_SCHEMA, outputMode="update",
+             timeoutConf=NO_TIMEOUT)
+         .writeStream.format("memory").queryName("sasof_ooo")
+         .outputMode("update").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    emitted = spark.table("sasof_ooo")
+    assert emitted.count() >= 2, "expected one emission per batch"
+    w = Window.partitionBy("purchase_id").orderBy(F.desc("version"))
+    final = (emitted.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1).collect())
+    assert len(final) == 1
+    assert final[0]["purchase_id"] == 100
+    assert final[0]["view_id"] == 20          # upgraded by batch 2
+    assert final[0]["seconds_since_view"] == 100   # 1000 s - 900 s
+    # and the batch-1 emission really did carry the stale match
+    first = (emitted.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("purchase_id").orderBy(F.asc("version"))))
+        .filter(F.col("rn") == 1).collect())
+    assert first[0]["view_id"] == 10
