@@ -36,6 +36,8 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor, StatefulProcessorHandle)
 from pyspark.sql.types import (ArrayType, LongType, StructField, StructType)
 
 ASOF_STATE_SCHEMA = StructType([
@@ -95,3 +97,59 @@ def asof_update(key: tuple, pdfs: Iterator[pd.DataFrame],
 
 #: re-export for callers wiring the stream
 NO_TIMEOUT = GroupStateTimeout.NoTimeout
+
+
+_EVENT_ROW_SCHEMA = StructType([
+    StructField("ts_us", LongType()),
+    StructField("event_id", LongType()),
+])
+
+_VERSION_SCHEMA = StructType([StructField("version", LongType())])
+
+
+class AsofProcessor(StatefulProcessor):
+    """The same streaming as-of fold on the Spark 4
+    ``transformWithStateInPandas`` API — and a better fit than the
+    opaque GroupState row: the view/purchase buffers are ListState
+    (append-only, no read-modify-write of one big array row) and the
+    version counter is its own ValueState. Semantically identical to
+    :func:`asof_update`; a test pins the two APIs equal on the same
+    input.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._views = handle.getListState("views", _EVENT_ROW_SCHEMA)
+        self._purchases = handle.getListState("purchases", _EVENT_ROW_SCHEMA)
+        self._version = handle.getValueState("version", _VERSION_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues
+                        ) -> Iterator[pd.DataFrame]:
+        new_v, new_p = [], []
+        for pdf in rows:
+            for r in pdf.itertuples(index=False):
+                (new_v if r.event_type == "view" else new_p).append(
+                    (int(r.ts_us), int(r.event_id)))
+        if new_v:
+            self._views.appendList(new_v)
+        if new_p:
+            self._purchases.appendList(new_p)
+        ver = self._version.get()
+        version = (ver[0] if ver else 0) + 1
+        self._version.update((version,))
+
+        views = sorted(tuple(t) for t in self._views.get())
+        user = key[0]
+        rows_out = []
+        for pts, pid in (tuple(t) for t in self._purchases.get()):
+            i = bisect_right(views, (pts, float("inf")))
+            if i:
+                vt, vi = views[i - 1]
+                rows_out.append((user, pid, vi,
+                                 pts // 1_000_000 - vt // 1_000_000,
+                                 version))
+            else:
+                rows_out.append((user, pid, None, None, version))
+        yield pd.DataFrame(rows_out, columns=_OUT_COLS)
+
+    def close(self) -> None:
+        pass

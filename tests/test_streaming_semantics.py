@@ -411,12 +411,25 @@ def test_two_hop_streaming_dag(spark, tmp_path):
     assert got2 == {"view": 4, "purchase": 2, "refund": 1}
 
 
-def test_stream_asof_corrects_out_of_order_arrival(spark, tmp_path):
-    """The stateful as-of operator's defining property: a view arriving
-    a micro-batch AFTER its purchase retroactively upgrades the match.
+import pytest
+
+
+@pytest.mark.parametrize("api", [
+    "group_state",
+    pytest.param("transform_with_state", marks=pytest.mark.skipif(
+        __import__("tests.test_bnpl_pipeline", fromlist=["_has_protobuf"])
+        ._has_protobuf() is False,
+        reason="transformWithState needs google.protobuf (or the shim)")),
+])
+def test_stream_asof_corrects_out_of_order_arrival(spark, tmp_path, api):
+    """The stateful as-of operator's defining property, on BOTH
+    stateful APIs (applyInPandasWithState and Spark 4
+    transformWithStateInPandas/ListState): a view arriving a
+    micro-batch AFTER its purchase retroactively upgrades the match.
     Batch 1 delivers the purchase (and an older view); batch 2
     delivers a better (later, still-prior) view; the fixpoint must
     match the batch-2 view."""
+    import contextlib
     import os
     import time
 
@@ -424,7 +437,10 @@ def test_stream_asof_corrects_out_of_order_arrival(spark, tmp_path):
     from pyspark.sql.window import Window
 
     from event_streaming_bnpl_demo_spark.streaming.asof_state import (
-        ASOF_OUTPUT_SCHEMA, ASOF_STATE_SCHEMA, NO_TIMEOUT, asof_update)
+        ASOF_OUTPUT_SCHEMA, ASOF_STATE_SCHEMA, NO_TIMEOUT, AsofProcessor,
+        asof_update)
+    from event_streaming_bnpl_demo_spark.streaming.state import \
+        rocksdb_state_store
 
     in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
     os.makedirs(in_dir)
@@ -447,17 +463,26 @@ def test_stream_asof_corrects_out_of_order_arrival(spark, tmp_path):
                       "ts_us long")
               .option("maxFilesPerTrigger", "1")
               .parquet(in_dir + "/f*"))
-    q = (stream.groupBy("user_id")
-         .applyInPandasWithState(
-             asof_update, outputStructType=ASOF_OUTPUT_SCHEMA,
-             stateStructType=ASOF_STATE_SCHEMA, outputMode="update",
-             timeoutConf=NO_TIMEOUT)
-         .writeStream.format("memory").queryName("sasof_ooo")
-         .outputMode("update").option("checkpointLocation", ckpt)
-         .trigger(availableNow=True).start())
+    grouped = stream.groupBy("user_id")
+    if api == "group_state":
+        matched = grouped.applyInPandasWithState(
+            asof_update, outputStructType=ASOF_OUTPUT_SCHEMA,
+            stateStructType=ASOF_STATE_SCHEMA, outputMode="update",
+            timeoutConf=NO_TIMEOUT)
+        provider = contextlib.nullcontext()
+    else:
+        matched = grouped.transformWithStateInPandas(
+            AsofProcessor(), outputStructType=ASOF_OUTPUT_SCHEMA,
+            outputMode="update", timeMode="none")
+        provider = rocksdb_state_store(spark)
+    with provider:
+        q = (matched
+             .writeStream.format("memory").queryName(f"sasof_ooo_{api}")
+             .outputMode("update").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
     q.awaitTermination()
 
-    emitted = spark.table("sasof_ooo")
+    emitted = spark.table(f"sasof_ooo_{api}")
     assert emitted.count() >= 2, "expected one emission per batch"
     w = Window.partitionBy("purchase_id").orderBy(F.desc("version"))
     final = (emitted.withColumn("rn", F.row_number().over(w))
