@@ -104,7 +104,7 @@ _PRIORITY2: tuple[str, ...] = (
     "dq_referential_orphans", "dq_null_profile", "dq_key_uniqueness",
     "agg_percentiles_disc", "agg_outlier_zscore", "join_asof_forward",
     "ts_time_weighted_avg", "events_type_transitions", "agg_mode_exact",
-    "stream_asof_join",
+    "stream_asof_join", "source_partitioned_scan",
     "llm_source_caps", "llm_token_budget_sample", "llm_global_shuffle",
     "llm_cluster_quality_pick", "llm_length_histogram",
 )

@@ -451,3 +451,38 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.expr(dsum_sql("value")).alias("total_value"))
     )
+
+
+@register(
+    "source_partitioned_scan",
+    oracle="""
+    SELECT event_type, user_id, COUNT(*) AS n_events
+    FROM events
+    WHERE event_type IN ('purchase', 'view')
+    GROUP BY event_type, user_id
+    """,
+    tags=("source", "partition"),
+)
+def source_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan: the event log written out hive-partitioned
+    by event_type, then read back with an IN filter that must prune at
+    PLANNING time — only the two matching directories are listed and
+    scanned, the others never produce I/O. The layout every 100 TB
+    event lake uses (partition by type/date), with the pruning pinned
+    by test_plans so it cannot silently regress to a full scan.
+    """
+    import os
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_part_{os.path.basename(sf_dir.rstrip('/'))}")
+    (ev.select("event_id", "user_id", "value", "event_type")
+     .write.mode("overwrite").partitionBy("event_type").parquet(out))
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

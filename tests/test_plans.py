@@ -408,6 +408,14 @@ def test_round3_tail_plan_shapes(spark):
         "orphan checks must stay broadcast anti-joins"
     assert "CartesianProduct" not in plan
 
+    # the hive-partitioned read must prune at planning time
+    import re as _re
+    plan = (QUERIES["source_partitioned_scan"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), \
+        "IN filter must become a partition filter, not a row filter"
+
 
 def test_llm3_pack_plan_shapes(spark):
     """Training-data assembly pins: caps/budget/shuffle/histogram are
