@@ -164,3 +164,61 @@ def dq_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (check("events.event_id", ev, "event_id")
             .union(check("orders.o_orderkey", o, "o_orderkey"))
             .union(check("documents.doc_id", d, "doc_id")))
+
+
+@register(
+    "dq_order_reconciliation",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                AS DECIMAL(30,4))) AS STRING) AS DOUBLE)
+               AS line_total
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderstatus AS status,
+           COUNT(*) AS n_orders,
+           CAST(COUNT(*) FILTER (
+             WHERE abs(o.o_totalprice - li.line_total) / o.o_totalprice
+                   < 0.01) AS BIGINT) AS n_reconciled,
+           CAST(COUNT(*) FILTER (
+             WHERE abs(o.o_totalprice - li.line_total) / o.o_totalprice
+                   >= 0.01) AS BIGINT) AS n_drifted
+    FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    tags=("dq", "join", "agg"),
+)
+def dq_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact reconciliation: each order's header total compared
+    to the exact-decimal sum of its line items, counted as reconciled
+    (within 1%) or drifted, per order status — the cross-table
+    consistency audit every warehouse runs between an aggregate table
+    and its detail. (In THIS synthetic dataset header totals are
+    generated independently of the lines, so the audit correctly
+    reports near-total drift — the check's value is that it measures,
+    not that it passes.)
+
+    Determinism: line sums are decimal-exact, the 1% ratio test is
+    identical double arithmetic on bit-equal inputs. Scale: one
+    per-orderkey aggregate (map-side combined) + one co-keyed join +
+    a per-status fold; at deploy the join is co-bucketed.
+    """
+    from .sqlcompat import dsum_sql
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    line = li.groupBy("l_orderkey").agg(
+        F.expr(dsum_sql("l_extendedprice * (1 - l_discount)", 4))
+        .alias("line_total"))
+    drift = F.abs(F.col("o_totalprice") - F.col("line_total")) \
+        / F.col("o_totalprice")
+    return (
+        o.join(line, o.o_orderkey == line.l_orderkey)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum(F.when(drift < 0.01, 1).otherwise(0))
+             .alias("n_reconciled"),
+             F.sum(F.when(drift >= 0.01, 1).otherwise(0))
+             .alias("n_drifted"))
+    )

@@ -633,3 +633,42 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_transitions").cast("double")
          / F.sum("n_transitions").over(wnorm).cast("double"))
         .alias("p_transition"))
+
+
+@register(
+    "events_time_to_convert_hist",
+    oracle="""
+    WITH cand AS (
+      SELECT v.event_id AS view_id, v.ts AS v_ts, p.ts AS p_ts,
+             row_number() OVER (PARTITION BY v.event_id
+                                ORDER BY p.ts ASC, p.event_id ASC) AS rn
+      FROM events v
+      JOIN events p ON p.user_id = v.user_id
+                   AND p.event_type = 'purchase' AND p.ts >= v.ts
+      WHERE v.event_type = 'view'
+    )
+    SELECT CAST(date_diff('second', v_ts, p_ts) // 3600 AS BIGINT)
+             AS hours_bucket,
+           COUNT(*) AS n_views
+    FROM cand WHERE rn = 1
+    GROUP BY 1
+    """,
+    tags=("events", "asof", "agg"),
+)
+def events_time_to_convert_hist(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Time-to-convert distribution: the forward as-of join's output
+    (each view to its next purchase) bucketed into hour-wide latency
+    bins — operator COMPOSITION: the linear sort-merge as-of feeds a
+    plain rollup, staying one user-clustered exchange end-to-end
+    while the oracle re-derives it from the quadratic candidate join.
+    """
+    from .queries_core import join_asof_forward
+
+    matched = join_asof_forward(spark, sf_dir)
+    return (
+        matched.select(
+            F.expr("seconds_to_purchase DIV 3600").alias("hours_bucket"))
+        .groupBy("hours_bucket")
+        .agg(F.count(F.lit(1)).alias("n_views"))
+    )
