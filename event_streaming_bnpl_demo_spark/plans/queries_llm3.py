@@ -241,3 +241,57 @@ def llm_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("n_chars").alias("min_chars"),
              F.max("n_chars").alias("max_chars"))
     )
+
+
+def _recall_oracle() -> str:
+    """Compose the registered brute-force and LSH oracles into one
+    recall measurement — both SQL texts are reused verbatim, so this
+    stays consistent with the queries it evaluates."""
+    from .catalog import _REGISTRY
+
+    brute = _REGISTRY["llm_simsearch_topk"].oracle
+    lsh = _REGISTRY["llm_simsearch_lsh"].oracle
+    return f"""
+    WITH brute AS ({brute}),
+    approx AS ({lsh})
+    SELECT CAST((SELECT COUNT(*) FROM brute) AS BIGINT) AS k_brute,
+           CAST((SELECT COUNT(*) FROM approx) AS BIGINT) AS k_approx,
+           CAST((SELECT COUNT(*) FROM brute b
+                 JOIN approx a ON b.vec_id = a.vec_id) AS BIGINT)
+             AS n_overlap,
+           CAST((SELECT COUNT(*) FROM brute b
+                 JOIN approx a ON b.vec_id = a.vec_id) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM brute) AS DOUBLE) AS recall_at_k
+    """
+
+
+@register("llm_ann_recall_eval", oracle=_recall_oracle(),
+          tags=("llm", "simsearch", "eval"))
+def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@k of the LSH-bucketed similarity
+    search against the brute-force ground truth — the measurement a
+    production vector pipeline runs before trusting an approximate
+    index, AS a catalog query (the eval harness is itself relational:
+    two top-k relations and a key-overlap join).
+
+    Determinism: counts are integers; recall is one double division.
+    Scale: both inputs are top-k relations (k rows each), so the
+    overlap join and the three single-row aggregates are trivially
+    broadcast — the whole eval stays declarative (no driver-side
+    counts); the expensive parts are the searches themselves, already
+    analyzed at their own entries.
+    """
+    from .queries_llm import llm_simsearch_lsh, llm_simsearch_topk
+
+    brute = llm_simsearch_topk(spark, sf_dir).select("vec_id")
+    approx = llm_simsearch_lsh(spark, sf_dir).select("vec_id")
+    nb = brute.agg(F.count(F.lit(1)).alias("k_brute"))
+    na = approx.agg(F.count(F.lit(1)).alias("k_approx"))
+    ov = (brute.join(approx, "vec_id")
+          .agg(F.count(F.lit(1)).alias("n_overlap")))
+    return (
+        nb.crossJoin(F.broadcast(na)).crossJoin(F.broadcast(ov))
+        .select("k_brute", "k_approx", "n_overlap",
+                (F.col("n_overlap").cast("double")
+                 / F.col("k_brute").cast("double")).alias("recall_at_k"))
+    )
