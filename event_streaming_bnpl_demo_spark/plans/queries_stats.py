@@ -391,3 +391,36 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("c_nationkey",
                     F.col("c_mktsegment").alias("mode_segment"),
                     F.col("n").alias("mode_count")))
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT n_regionkey,
+           list(n_name ORDER BY n_name) AS members,
+           string_agg(n_name, ',' ORDER BY n_name) AS members_csv,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    tags=("agg", "collect"),
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered collection aggregates: array_agg and listagg
+    (string_agg) per group — nondeterministic by default under
+    partition-parallel collection, made deterministic the only
+    portable way: collect then sort INSIDE the aggregate expression
+    (sort_array / ORDER BY in the aggregate), so output order is a
+    property of the data, not the partitioning.
+
+    Scale: collect_list buffers its group — fine for bounded groups
+    (dimension rollups like this); for unbounded groups prefer top-k
+    truncation (slice(sort_array(...), 1, k)) or the explode-join
+    shape. One partial-aggregated shuffle either way.
+    """
+    n = load_table(spark, sf_dir, "nation")
+    members = F.sort_array(F.collect_list("n_name"))
+    return n.groupBy("n_regionkey").agg(
+        members.alias("members"),
+        F.concat_ws(",", members).alias("members_csv"),
+        F.count(F.lit(1)).alias("n_members"))
