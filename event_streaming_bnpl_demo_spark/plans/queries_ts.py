@@ -672,3 +672,114 @@ def events_time_to_convert_hist(spark: SparkSession, sf_dir: str
         .groupBy("hours_bucket")
         .agg(F.count(F.lit(1)).alias("n_views"))
     )
+
+
+@register(
+    "ts_gap_fill_interp",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             COUNT(*) AS n_events,
+             {dsum_sql('value')} AS total_value
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT min(date_trunc('hour', ts)) AS mn,
+             max(date_trunc('hour', ts)) AS mx
+      FROM events
+    ), grid AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+                  FROM bounds) g
+    ), joined AS (
+      SELECT grid.h, grid.event_type,
+             hourly.total_value AS known,
+             last_value(hourly.total_value IGNORE NULLS)
+               OVER wb AS prev_val,
+             last_value(CASE WHEN hourly.total_value IS NOT NULL
+                             THEN grid.h END IGNORE NULLS)
+               OVER wb AS prev_h,
+             first_value(hourly.total_value IGNORE NULLS)
+               OVER wf AS next_val,
+             first_value(CASE WHEN hourly.total_value IS NOT NULL
+                              THEN grid.h END IGNORE NULLS)
+               OVER wf AS next_h
+      FROM grid LEFT JOIN hourly
+        ON grid.h = hourly.h AND grid.event_type = hourly.event_type
+      WINDOW wb AS (PARTITION BY grid.event_type ORDER BY grid.h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY grid.event_type ORDER BY grid.h
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT strftime(h, '{_HOUR_FMT_DUCK}') AS bucket, event_type,
+           CASE
+             WHEN known IS NOT NULL THEN known
+             WHEN prev_val IS NULL THEN next_val
+             WHEN next_val IS NULL THEN prev_val
+             ELSE prev_val + (next_val - prev_val)
+                  * (CAST(date_diff('second', prev_h, h) AS DOUBLE)
+                     / CAST(date_diff('second', prev_h, next_h) AS DOUBLE))
+           END AS filled_interp
+    FROM joined
+    """,
+    tags=("ts", "window", "gapfill"),
+)
+def ts_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill by LINEAR INTERPOLATION: empty (type, hour) cells get
+    a value interpolated between the nearest known totals before and
+    after them, proportional to time distance — the `interpolate()`
+    twin of ts_gap_fill's LOCF, for series where holding the last
+    value misstates a trend. Edge cells with only one known neighbor
+    extend it.
+
+    Determinism: the interpolation weight is a ratio of integer
+    second-differences and the closing arithmetic is identical text
+    on both engines over exact-decimal-derived inputs. Scale: same
+    profile as ts_gap_fill — one rollup shuffle + one pruned
+    scaffold-meta pass, with two window directions riding the one
+    scaffold-sized exchange.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.expr(dsum_sql("value")).alias("total_value"))
+    )
+    meta = ev.agg(
+        F.min(F.date_trunc("hour", "ts")).alias("mn"),
+        F.max(F.date_trunc("hour", "ts")).alias("mx"),
+        F.collect_set("event_type").alias("tys"))
+    grid = (
+        meta.select(F.explode("tys").alias("event_type"), "mn", "mx")
+        .select("event_type",
+                F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR")))
+                .alias("h"))
+    )
+    wb = (Window.partitionBy("event_type").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy("event_type").orderBy("h")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    known = F.col("total_value")
+    known_h = F.when(known.isNotNull(), F.col("h"))
+    joined = (
+        grid.join(hourly, ["h", "event_type"], "left")
+        .select(
+            "h", "event_type", known.alias("known"),
+            F.last(known, ignorenulls=True).over(wb).alias("prev_val"),
+            F.last(known_h, ignorenulls=True).over(wb).alias("prev_h"),
+            F.first(known, ignorenulls=True).over(wf).alias("next_val"),
+            F.first(known_h, ignorenulls=True).over(wf).alias("next_h"))
+    )
+    frac = (
+        (F.unix_timestamp("h") - F.unix_timestamp("prev_h")).cast("double")
+        / (F.unix_timestamp("next_h") - F.unix_timestamp("prev_h"))
+        .cast("double"))
+    return joined.select(
+        F.date_format("h", _HOUR_FMT_SPARK).alias("bucket"),
+        "event_type",
+        F.when(F.col("known").isNotNull(), F.col("known"))
+         .when(F.col("prev_val").isNull(), F.col("next_val"))
+         .when(F.col("next_val").isNull(), F.col("prev_val"))
+         .otherwise(F.col("prev_val")
+                    + (F.col("next_val") - F.col("prev_val")) * frac)
+         .alias("filled_interp"))
