@@ -486,3 +486,39 @@ def source_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@register(
+    "scalar_bitwise",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS low_byte,
+           event_id | 4096 AS with_flag,
+           xor(event_id, 1365) AS toggled,
+           event_id << 2 AS shifted_up,
+           event_id >> 3 AS shifted_down,
+           CAST(bit_count(event_id) AS BIGINT) AS popcount
+    FROM events
+    WHERE event_id % 97 = 0
+    """,
+    tags=("scalar",),
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar pack: AND/OR/XOR masks, shifts, and population
+    count over 64-bit keys — the bit-twiddling surface flag fields
+    and bloom/bitmap indexes are built from. Pure integer ops,
+    codegen-friendly, bit-identical across engines by definition.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_id") % 97 == 0)
+        .select(
+            "event_id",
+            F.expr("event_id & 255").alias("low_byte"),
+            F.expr("event_id | 4096").alias("with_flag"),
+            F.expr("event_id ^ 1365").alias("toggled"),
+            F.expr("shiftleft(event_id, 2)").alias("shifted_up"),
+            F.expr("shiftright(event_id, 3)").alias("shifted_down"),
+            F.expr("CAST(bit_count(event_id) AS BIGINT)").alias("popcount"),
+        )
+    )

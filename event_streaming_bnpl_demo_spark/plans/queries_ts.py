@@ -783,3 +783,35 @@ def ts_gap_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise(F.col("prev_val")
                     + (F.col("next_val") - F.col("prev_val")) * frac)
          .alias("filled_interp"))
+
+
+@register(
+    "ts_calendar_heatmap",
+    oracle=f"""
+    SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hod,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("ts", "agg"),
+)
+def ts_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar heatmap: activity bucketed by (day-of-week,
+    hour-of-day) — the seasonality fingerprint behind staffing and
+    anomaly baselines; 7×24 output cells regardless of data size.
+
+    Cross-engine care: Spark's dayofweek and DuckDB's dayofweek
+    number days differently (Sunday=1 vs Sunday=0), so the Spark side
+    emits DuckDB's numbering explicitly via (dayofweek(ts) - 1) —
+    the one date-part whose convention is not portable.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hod"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.expr(dsum_sql("value")).alias("total_value"))
+    )
