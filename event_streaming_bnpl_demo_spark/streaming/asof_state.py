@@ -98,6 +98,83 @@ def asof_update(key: tuple, pdfs: Iterator[pd.DataFrame],
 #: re-export for callers wiring the stream
 NO_TIMEOUT = GroupStateTimeout.NoTimeout
 
+EVENT_TIME_TIMEOUT = GroupStateTimeout.EventTimeTimeout
+
+
+def asof_update_ttl(ttl_s: int):
+    """Bounded-state variant of :func:`asof_update`: the production
+    path the module docstring promises. Requires the input stream to
+    carry a ``withWatermark``'d ``ts`` column; each update arms an
+    event-time timeout at (user's max event time + ttl); when the
+    watermark passes it, the user's buffers are dropped.
+
+    The trade is explicit and testable: a view arriving after its
+    user's state was evicted (or behind the watermark, which drops it
+    before the operator) can no longer upgrade an old purchase's
+    match — retroactive-correction depth is bounded by the TTL in
+    exchange for bounded state. See
+    test_stream_asof_ttl_bounds_correction.
+    """
+    ttl_us = ttl_s * 1_000_000
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=_OUT_COLS)
+            return
+        if state.exists:
+            v_ts, v_id, p_ts, p_id, version = state.get
+            v_ts, v_id, p_ts, p_id = (list(v_ts), list(v_id),
+                                      list(p_ts), list(p_id))
+        else:
+            v_ts, v_id, p_ts, p_id, version = [], [], [], [], 0
+        # flatMapGroupsWithState delivers late rows unfiltered — the
+        # bounded operator drops them itself (the same discipline the
+        # built-in stateful operators apply): a row behind the
+        # watermark is outside the correction window by definition.
+        wm_ms = state.getCurrentWatermarkMs()
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                if int(r.ts_us) // 1000 < wm_ms:
+                    continue
+                if r.event_type == "view":
+                    v_ts.append(int(r.ts_us)); v_id.append(int(r.event_id))
+                else:
+                    p_ts.append(int(r.ts_us)); p_id.append(int(r.event_id))
+        if not (v_ts or p_ts):
+            state.remove()
+            yield pd.DataFrame([], columns=_OUT_COLS)
+            return
+        version += 1
+        # flatMapGroupsWithState does NOT pre-filter late rows, so the
+        # TTL has to self-enforce: if this user's freshest event is
+        # already older than watermark - ttl, the state is born expired
+        # — drop it now instead of arming an un-armable timeout (Spark
+        # rejects timeout timestamps behind the watermark).
+        latest_us = max(v_ts + p_ts)
+        expiry_ms = (latest_us + ttl_us) // 1000
+        if expiry_ms <= state.getCurrentWatermarkMs():
+            state.remove()
+        else:
+            state.update((v_ts, v_id, p_ts, p_id, version))
+            state.setTimeoutTimestamp(expiry_ms)
+
+        views = sorted(zip(v_ts, v_id))
+        user = key[0]
+        rows = []
+        for pts, pid in zip(p_ts, p_id):
+            i = bisect_right(views, (pts, float("inf")))
+            if i:
+                vt, vi = views[i - 1]
+                rows.append((user, pid, vi,
+                             pts // 1_000_000 - vt // 1_000_000, version))
+            else:
+                rows.append((user, pid, None, None, version))
+        yield pd.DataFrame(rows, columns=_OUT_COLS)
+
+    return update
+
 
 _EVENT_ROW_SCHEMA = StructType([
     StructField("ts_us", LongType()),

@@ -497,3 +497,69 @@ def test_stream_asof_corrects_out_of_order_arrival(spark, tmp_path, api):
             Window.partitionBy("purchase_id").orderBy(F.asc("version"))))
         .filter(F.col("rn") == 1).collect())
     assert first[0]["view_id"] == 10
+
+
+def test_stream_asof_ttl_bounds_correction(spark, tmp_path):
+    """The bounded-state trade-off, demonstrated: with a watermark +
+    event-time TTL, a view arriving after other traffic has pushed the
+    watermark far past the purchase can no longer upgrade the match —
+    the purchase keeps its stale (null) match, while the unbounded
+    variant (test above) would have corrected it. State eviction is
+    the price of bounded memory, and it is OBSERVABLE, not silent."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from event_streaming_bnpl_demo_spark.streaming.asof_state import (
+        ASOF_OUTPUT_SCHEMA, ASOF_STATE_SCHEMA, EVENT_TIME_TIMEOUT,
+        asof_update_ttl)
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    os.makedirs(in_dir)
+    cols = ["user_id", "event_id", "event_type", "ts_us"]
+    hour_us = 3_600_000_000
+    # b1: user 1's purchase at t=1h (no view yet)
+    b1 = [(1, 100, "purchase", 1 * hour_us)]
+    # b2: user 2 traffic two days later -> watermark passes 1h + TTL
+    b2 = [(2, 200, "view", 48 * hour_us)]
+    # b3: user 1's view from t=0.5h arrives late -> state already
+    # evicted AND the row is behind the watermark: no correction
+    b3 = [(1, 10, "view", hour_us // 2)]
+    for i, rows in enumerate([b1, b2, b3], 1):
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(
+            f"{in_dir}/f{i}")
+    now = time.time()
+    for i in (1, 2, 3):
+        d = f"{in_dir}/f{i}"
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (now - 60 + i, now - 60 + i))
+
+    stream = (spark.readStream
+              .schema("user_id long, event_id long, event_type string, "
+                      "ts_us long")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(in_dir + "/f*")
+              .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+              .withWatermark("ts", "1 hour"))
+    q = (stream.groupBy("user_id")
+         .applyInPandasWithState(
+             asof_update_ttl(ttl_s=3600),
+             outputStructType=ASOF_OUTPUT_SCHEMA,
+             stateStructType=ASOF_STATE_SCHEMA, outputMode="update",
+             timeoutConf=EVENT_TIME_TIMEOUT)
+         .writeStream.format("memory").queryName("sasof_ttl")
+         .outputMode("update").option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    emitted = spark.table("sasof_ttl")
+    w = Window.partitionBy("purchase_id").orderBy(F.desc("version"))
+    final = {r["purchase_id"]: r for r in
+             (emitted.filter(F.col("purchase_id").isNotNull())
+              .withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1).collect())}
+    # the purchase exists but its match was NEVER corrected
+    assert 100 in final
+    assert final[100]["view_id"] is None
