@@ -815,3 +815,36 @@ def ts_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.expr(dsum_sql("value")).alias("total_value"))
     )
+
+
+@register(
+    "window_running_distinct",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(len(list_distinct(list(event_type)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)))
+                AS INT) AS types_seen
+    FROM events
+    """,
+    tags=("window", "distinct"),
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct count: how many distinct event types each user
+    has produced up to each event — the engagement-breadth curve.
+    Neither engine supports DISTINCT aggregates as window functions,
+    so both sides express it the portable way: collect the running
+    list, dedup, measure — identical semantics by construction.
+
+    Scale: one user-clustered window pass; the running collect is
+    bounded by the type domain (small) even though the frame grows —
+    for unbounded domains the sketchable twin is approx_count_distinct
+    per prefix via the two-pass bucketed shape.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return ev.select(
+        "event_id", "user_id",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w)))
+        .alias("types_seen"))
