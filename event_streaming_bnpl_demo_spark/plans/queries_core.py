@@ -844,3 +844,54 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(toks, lambda t: F.length(t) > 5)).cast("bigint")
          .alias("n_long_tokens"),
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH cand AS (
+      SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS p_ts,
+             v.event_id AS view_id, v.ts AS v_ts,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY v.ts DESC, v.event_id DESC) AS rn
+      FROM events p
+      JOIN events v ON v.user_id = p.user_id
+                   AND v.event_type = 'view'
+                   AND v.ts <= p.ts
+                   AND v.ts >= p.ts - INTERVAL 1 DAY
+      WHERE p.event_type = 'purchase'
+    )
+    SELECT purchase_id, user_id, view_id,
+           CAST(date_diff('second', v_ts, p_ts) AS BIGINT)
+             AS seconds_since_view
+    FROM cand WHERE rn = 1
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a lookback tolerance (pandas merge_asof's
+    ``tolerance``): a purchase only matches a view from the last 24 h —
+    stale context is worse than none for attribution. Same linear
+    sort-merge plan as join_asof; the tolerance is applied as a
+    post-pick null-out, so no extra shuffle or candidate work.
+    """
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("p_ts"))
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"))
+    merged = asof_join(p, v, on="user_id", left_ts="p_ts", right_ts="v_ts",
+                       right_cols=["view_id", "v_ts"],
+                       tolerance=F.expr("INTERVAL 1 DAY"))
+    return (
+        merged.filter(F.col("view_id").isNotNull())
+        .select(
+            "purchase_id", "user_id", "view_id",
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts"))
+            .cast("bigint").alias("seconds_since_view"),
+        )
+    )
