@@ -848,3 +848,63 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id",
         F.size(F.array_distinct(F.collect_list("event_type").over(w)))
         .alias("types_seen"))
+
+
+@register(
+    "events_activity_gini",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT n,
+             row_number() OVER (ORDER BY n, user_id) AS i,
+             COUNT(*) OVER () AS nu,
+             CAST(SUM(n) OVER () AS BIGINT) AS total
+      FROM per_user
+    )
+    SELECT CAST(MAX(nu) AS BIGINT) AS n_users,
+           MAX(total) AS total_events,
+           (2.0 * CAST(SUM(i * n) AS DOUBLE))
+             / (CAST(MAX(nu) AS DOUBLE) * CAST(MAX(total) AS DOUBLE))
+             - (CAST(MAX(nu) + 1 AS DOUBLE) / CAST(MAX(nu) AS DOUBLE))
+             AS gini,
+           CAST(SUM(CASE WHEN i > nu - 10 THEN n ELSE 0 END)
+                AS DOUBLE) / CAST(MAX(total) AS DOUBLE) AS top10_share
+    FROM ranked
+    """,
+    tags=("events", "stats", "agg"),
+)
+def events_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity concentration: the Gini coefficient of per-user event
+    counts plus the share held by the 10 most active users — the
+    inequality fingerprint behind rate-limiting, abuse, and
+    power-user dashboards (gini 0 = uniform, →1 = one user is the
+    corpus).
+
+    Determinism: the Gini closed form runs on integer rank-weighted
+    sums with identical double arithmetic both sides. Scale: the
+    heavy pass is the per-user count (one shuffle, map-combined); the
+    rank window then runs over users-sized data — the global
+    row_number is the small-relation shape; at billions of users the
+    same formula runs on range-partitioned prefix sums.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    wi = Window.orderBy("n", "user_id")
+    wall = Window.partitionBy()
+    ranked = per_user.select(
+        "n",
+        F.row_number().over(wi).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("nu"),
+        F.sum("n").over(wall).cast("bigint").alias("total"))
+    nu = F.max("nu")
+    total = F.max("total")
+    return ranked.agg(
+        nu.cast("bigint").alias("n_users"),
+        total.alias("total_events"),
+        ((F.lit(2.0) * F.sum(F.col("i") * F.col("n")).cast("double"))
+         / (nu.cast("double") * total.cast("double"))
+         - ((nu + 1).cast("double") / nu.cast("double"))).alias("gini"),
+        (F.sum(F.when(F.col("i") > F.col("nu") - 10, F.col("n"))
+               .otherwise(0))
+         .cast("double") / total.cast("double")).alias("top10_share"))
