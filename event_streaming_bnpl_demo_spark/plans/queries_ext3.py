@@ -522,3 +522,53 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(bit_count(event_id) AS BIGINT)").alias("popcount"),
         )
     )
+
+
+@register(
+    "array_higher_order",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id,
+             generate_series(1, 1 + CAST(doc_id % 6 AS INT)) AS arr
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_aggregate(arr, 'sum') AS BIGINT) AS folded,
+           CAST(len(list_filter(arr, x -> x > 2)) AS INT) AS n_big,
+           len(list_filter(arr, x -> x = 5)) > 0 AS has_five,
+           len(list_filter(arr, x -> x > 0)) = len(arr) AS all_pos,
+           CAST(list_aggregate(
+             list_transform(generate_series(1, len(arr)),
+                            i -> arr[i] * arr[i]), 'sum')
+             AS BIGINT) AS dot_self
+    FROM src
+    """,
+    tags=("array", "higher-order"),
+)
+def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function pack: fold (aggregate), predicate
+    filter, exists, forall, and an index-zipped elementwise product —
+    the lambda surface that keeps per-row collection logic inside
+    whole-stage codegen instead of a Python UDF. Arrays are built
+    deterministically from doc_id so both engines compute over
+    identical inputs.
+
+    Scale: all expressions are row-local (zero shuffle beyond the
+    scan); this is the idiom the similarity-search dot products and
+    the shingle pipelines build on.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    src = d.select(
+        "doc_id",
+        F.expr("sequence(1L, 1L + doc_id % 6)").alias("arr"))
+    return src.select(
+        "doc_id",
+        F.expr("aggregate(arr, CAST(0 AS BIGINT), (a, x) -> a + x)")
+        .alias("folded"),
+        F.expr("size(filter(arr, x -> x > 2))").alias("n_big"),
+        F.expr("exists(arr, x -> x = 5)").alias("has_five"),
+        F.expr("forall(arr, x -> x > 0)").alias("all_pos"),
+        F.expr("aggregate(transform(sequence(1, size(arr)), "
+               "i -> element_at(arr, i) * element_at(arr, i)), "
+               "CAST(0 AS BIGINT), (a, x) -> a + x)").alias("dot_self"),
+    )

@@ -908,3 +908,68 @@ def events_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.when(F.col("i") > F.col("nu") - 10, F.col("n"))
                .otherwise(0))
          .cast("double") / total.cast("double")).alias("top10_share"))
+
+
+@register(
+    "ts_hourweek_anomaly",
+    oracle="""
+    WITH cells AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(dayofweek(ts) AS BIGINT) AS dow,
+             CAST(hour(ts) AS BIGINT) AS hod,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ), baseline AS (
+      SELECT dow, hod,
+             CAST(SUM(n) AS BIGINT) AS total_n,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM cells GROUP BY dow, hod
+    )
+    SELECT c.day, c.dow, c.hod, c.n,
+           CAST(b.total_n AS DOUBLE) / CAST(b.n_days AS DOUBLE)
+             AS baseline_n,
+           CAST(c.n AS DOUBLE)
+             / (CAST(b.total_n AS DOUBLE) / CAST(b.n_days AS DOUBLE))
+             AS lift
+    FROM cells c JOIN baseline b ON c.dow = b.dow AND c.hod = b.hod
+    ORDER BY CAST(c.n AS DOUBLE)
+             / (CAST(b.total_n AS DOUBLE) / CAST(b.n_days AS DOUBLE))
+             DESC, c.day, c.hod
+    LIMIT 20
+    """,
+    tags=("ts", "agg", "anomaly"),
+)
+def ts_hourweek_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week anomaly surfacing: each (day, hour) cell's event
+    count compared against the average for that (day-of-week, hour)
+    slot across all weeks — the seasonal-baseline lift that separates
+    "busy because it's Monday 9am" from "busy because something
+    happened". Top 20 cells by lift.
+
+    Determinism: baselines are exact integer ratios; the lift and its
+    ordering are identical double arithmetic, with (day, hod)
+    tie-breaks. Scale: raw log reduces once to (day, dow, hod) cells;
+    baseline is a second tiny aggregate over cells; join and top-k
+    run on cell-sized data (days × 24).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+            .alias("day"),
+            (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hod"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    baseline = (cells.groupBy("dow", "hod")
+                .agg(F.sum("n").cast("bigint").alias("total_n"),
+                     F.count(F.lit(1)).cast("bigint").alias("n_days")))
+    base = F.col("total_n").cast("double") / F.col("n_days").cast("double")
+    lift = F.col("n").cast("double") / base
+    return (
+        cells.join(baseline, ["dow", "hod"])
+        .select("day", "dow", "hod", "n",
+                base.alias("baseline_n"), lift.alias("lift"))
+        .orderBy(F.desc("lift"), "day", "hod")
+        .limit(20)
+    )
