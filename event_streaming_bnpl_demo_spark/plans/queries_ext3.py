@@ -572,3 +572,39 @@ def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                "i -> element_at(arr, i) * element_at(arr, i)), "
                "CAST(0 AS BIGINT), (a, x) -> a + x)").alias("dot_self"),
     )
+
+
+@register(
+    "q_backlog_aging",
+    oracle="""
+    WITH anchor AS (SELECT max(o_orderdate) AS mx FROM orders)
+    SELECT date_diff('day', o_orderdate, anchor.mx) // 30 AS age_bucket,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS STRING)
+                AS DOUBLE) AS backlog_value
+    FROM orders CROSS JOIN anchor
+    WHERE o_orderstatus = 'O'
+    GROUP BY 1
+    """,
+    tags=("agg", "subquery", "report"),
+)
+def q_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backlog aging report: open orders bucketed by how many 30-day
+    periods they have been open, anchored at the newest order date —
+    the receivables-aging shape every operations dashboard carries.
+
+    Scale: the anchor is a single-row aggregate broadcast into the
+    scan (no driver collect); the status filter pushes to parquet;
+    one bucketed aggregate with map-side combine.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("mx"))
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(anchor))
+        .groupBy(F.expr("datediff(mx, o_orderdate) DIV 30")
+                 .alias("age_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.expr("CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2)))"
+                    " AS STRING) AS DOUBLE)").alias("backlog_value"))
+    )
