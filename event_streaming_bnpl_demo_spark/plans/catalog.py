@@ -108,7 +108,7 @@ _PRIORITY2: tuple[str, ...] = (
     "dq_order_reconciliation", "events_time_to_convert_hist",
     "llm_ann_recall_eval", "agg_collect_sorted", "ts_gap_fill_interp",
     "ts_calendar_heatmap", "scalar_bitwise", "window_running_distinct", "join_asof_tolerance",
-    "events_activity_gini", "ts_hourweek_anomaly", "array_higher_order", "q_backlog_aging",
+    "events_activity_gini", "ts_hourweek_anomaly", "array_higher_order", "q_backlog_aging", "llm_ngram_novelty",
     "llm_source_caps", "llm_token_budget_sample", "llm_global_shuffle",
     "llm_cluster_quality_pick", "llm_length_histogram",
 )

@@ -295,3 +295,66 @@ def llm_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("n_overlap").cast("double")
                  / F.col("k_brute").cast("double")).alias("recall_at_k"))
     )
+
+
+@register(
+    "llm_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(
+               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+               ELSE list_transform(generate_series(1, len(t) - 2),
+                      i -> concat_ws(' ', t[i], t[i + 1], t[i + 2])) END))
+               AS s
+      FROM toks
+    ), firsts AS (
+      SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN firsts.first_doc = sh.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN firsts.first_doc = sh.doc_id
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM sh JOIN firsts ON sh.s = firsts.s
+    GROUP BY sh.doc_id
+    """,
+    tags=("llm", "text", "dedup"),
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document novelty: the fraction of a document's distinct word
+    3-gram shingles that no earlier document (by id — ingestion order)
+    already contained. The incremental-curation signal: near-zero
+    novelty means the document only restates the corpus so far, and —
+    unlike pairwise dedup — it composes over arbitrarily many partial
+    overlaps.
+
+    Determinism: pure integer counts over a MIN-per-shingle relation,
+    one double division. Scale: the shingle inverted index is the
+    same one-shuffle relation the jaccard pipeline builds; novelty
+    reuses it with a MIN aggregate instead of pair expansion — no
+    quadratic anything, hot shingles cost one combine each.
+    """
+    from ..functions.text import shingles_col, tokens_col
+    from ..sources import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = d.select("doc_id", F.expr(tokens_col("text")).alias("t"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            F.expr(shingles_col("t", "spark")))).alias("s"))
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        sh.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"),
+             F.sum(novel).alias("n_novel"),
+             (F.sum(novel).cast("double")
+              / F.count(F.lit(1)).cast("double")).alias("novelty"))
+    )
