@@ -608,3 +608,81 @@ def q_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.expr("CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2)))"
                     " AS STRING) AS DOUBLE)").alias("backlog_value"))
     )
+
+
+@register(
+    "set_symmetric_diff",
+    oracle="""
+    WITH viewers AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+    ), buyers AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, 'viewed_never_bought' AS segment
+    FROM (SELECT user_id FROM viewers EXCEPT SELECT user_id FROM buyers)
+    UNION ALL
+    SELECT user_id, 'bought_never_viewed'
+    FROM (SELECT user_id FROM buyers EXCEPT SELECT user_id FROM viewers)
+    """,
+    tags=("set",),
+)
+def set_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference as audience segmentation: users who viewed
+    but never purchased, and users who purchased without a recorded
+    view (the attribution-gap segment) — EXCEPT composed in both
+    directions with a segment label.
+
+    Scale: each side is a distinct-projection of the same scan;
+    EXCEPT plans as a hash anti-join on already-deduped keys.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    viewers = (ev.filter(F.col("event_type") == "view")
+               .select("user_id").distinct())
+    buyers = (ev.filter(F.col("event_type") == "purchase")
+              .select("user_id").distinct())
+    return (
+        viewers.exceptAll(buyers)
+        .select("user_id", F.lit("viewed_never_bought").alias("segment"))
+        .unionAll(
+            buyers.exceptAll(viewers)
+            .select("user_id", F.lit("bought_never_viewed").alias("segment")))
+    )
+
+
+@register(
+    "window_value_share",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(30,4)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS STRING) AS DOUBLE)
+             / CAST(CAST(SUM(CAST(value AS DECIMAL(30,4)))
+                      OVER (PARTITION BY user_id)
+                    AS STRING) AS DOUBLE) AS cum_share
+    FROM events
+    """,
+    tags=("window",),
+)
+def window_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running share of total: each event's cumulative value as a
+    fraction of its user's lifetime total — the Pareto-curve
+    coordinate (x% of events carry y% of value). Both the running
+    numerator and the total denominator accumulate in decimal inside
+    their window frames, so the ratio is bit-deterministic at any
+    partitioning.
+
+    Scale: two window functions over ONE user-clustered exchange
+    (running frame + whole-partition frame share the sort).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    running = ("CAST(CAST(SUM(CAST(value AS DECIMAL(30,4)))"
+               " OVER (PARTITION BY user_id ORDER BY ts, event_id"
+               " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+               " AS STRING) AS DOUBLE)")
+    total = ("CAST(CAST(SUM(CAST(value AS DECIMAL(30,4)))"
+             " OVER (PARTITION BY user_id)"
+             " AS STRING) AS DOUBLE)")
+    return ev.select(
+        "event_id", "user_id",
+        (F.expr(running) / F.expr(total)).alias("cum_share"))
