@@ -109,7 +109,7 @@ _PRIORITY2: tuple[str, ...] = (
     "llm_ann_recall_eval", "agg_collect_sorted", "ts_gap_fill_interp",
     "ts_calendar_heatmap", "scalar_bitwise", "window_running_distinct", "join_asof_tolerance",
     "events_activity_gini", "ts_hourweek_anomaly", "array_higher_order", "q_backlog_aging", "llm_ngram_novelty",
-    "set_symmetric_diff", "window_value_share",
+    "set_symmetric_diff", "window_value_share", "dq_freshness",
     "llm_source_caps", "llm_token_budget_sample", "llm_global_shuffle",
     "llm_cluster_quality_pick", "llm_length_histogram",
 )

@@ -222,3 +222,38 @@ def dq_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.when(drift >= 0.01, 1).otherwise(0))
              .alias("n_drifted"))
     )
+
+
+@register(
+    "dq_freshness",
+    oracle="""
+    SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS oldest_event,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS newest_event,
+           CAST(date_diff('day', MIN(ts), MAX(ts)) AS BIGINT) AS span_days,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(*) / (date_diff('day', MIN(ts), MAX(ts)) + 1)
+                AS BIGINT) AS rows_per_day
+    FROM events
+    """,
+    tags=("dq", "agg"),
+)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness audit: the event log's time bounds, span, and
+    average daily volume in one scan — the first panel of every
+    ingest-health dashboard (a stale newest_event means the pipeline
+    stopped; a rows_per_day collapse means it is dropping data).
+
+    Scale: a single partial-aggregated pass; MIN/MAX/COUNT ship one
+    accumulator triple per task.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    span = F.datediff(F.max("ts"), F.min("ts"))
+    return ev.agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss")
+        .alias("oldest_event"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss")
+        .alias("newest_event"),
+        span.cast("bigint").alias("span_days"),
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) / (span + 1)).cast("bigint")
+        .alias("rows_per_day"))
