@@ -32,9 +32,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
     row with ``right_ts <= left_ts``; ``direction="forward"`` the
     earliest with ``right_ts >= left_ts`` (strict inequalities when
     ``allow_exact_matches=False``) — pandas merge_asof semantics, same
-    ONE-shuffle sort-merge plan either way (forward just flips the
-    window frame to [current, unbounded following] and carries the
-    first following right row backward).
+    ONE-shuffle sort-merge plan either way. Forward sorts the union by
+    DESCENDING time and keeps the identical linear running frame
+    ([unboundedPreceding, currentRow] + ``last(..., ignorenulls)``),
+    so both directions execute O(n) per key partition — a
+    [currentRow, unboundedFollowing] frame would make Spark recompute
+    the aggregate from scratch per row (O(n^2) on hot keys).
 
     tolerance: optional max lookback/lookahead (an INTERVAL Column);
     matches further than that from ``left_ts`` are nulled out, as in
@@ -82,10 +85,19 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
         picked = F.last("_r", ignorenulls=True).over(w)
         in_tol = (lambda c: F.col(f"{c}._rts") >= F.col("_ts") - tolerance)
     else:
-        tie = -F.col("_is_left") if allow_exact_matches else F.col("_is_left")
-        w = (Window.partitionBy(*keys).orderBy(F.col("_ts"), tie, F.col("_r"))
-             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
-        picked = F.first("_r", ignorenulls=True).over(w)
+        # Descending time + the SAME running frame as backward: the
+        # earliest following right row is the last non-null _r met in
+        # reverse-time order, computed by the linear
+        # RunningWindowFunctionFrame instead of the per-row-recomputed
+        # UnboundedFollowing frame. At equal _ts the tie places right
+        # before left (visible) iff exact matches are allowed, and
+        # _r DESC makes `last` land on the field-wise MIN struct —
+        # identical semantics to the ascending/first formulation.
+        tie = F.col("_is_left") if allow_exact_matches else -F.col("_is_left")
+        w = (Window.partitionBy(*keys)
+             .orderBy(F.col("_ts").desc(), tie, F.col("_r").desc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        picked = F.last("_r", ignorenulls=True).over(w)
         in_tol = (lambda c: F.col(f"{c}._rts") <= F.col("_ts") + tolerance)
     merged = (
         lhs.unionByName(rhs)

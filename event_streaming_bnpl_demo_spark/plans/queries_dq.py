@@ -231,7 +231,7 @@ def dq_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS newest_event,
            CAST(date_diff('day', MIN(ts), MAX(ts)) AS BIGINT) AS span_days,
            COUNT(*) AS n_rows,
-           CAST(COUNT(*) / (date_diff('day', MIN(ts), MAX(ts)) + 1)
+           CAST(COUNT(*) // (date_diff('day', MIN(ts), MAX(ts)) + 1)
                 AS BIGINT) AS rows_per_day
     FROM events
     """,
@@ -255,5 +255,11 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("newest_event"),
         span.cast("bigint").alias("span_days"),
         F.count(F.lit(1)).alias("n_rows"),
-        (F.count(F.lit(1)) / (span + 1)).cast("bigint")
+        # Integer (floor) division on BOTH sides: DuckDB's
+        # CAST(double AS BIGINT) rounds-to-nearest while Spark's
+        # truncates, so a plain double ratio would be a latent
+        # hash-mismatch whenever the fraction is >= .5. `//` in the
+        # oracle and floor() here truncate identically (both operands
+        # non-negative).
+        F.floor(F.count(F.lit(1)) / (span + 1)).cast("bigint")
         .alias("rows_per_day"))
