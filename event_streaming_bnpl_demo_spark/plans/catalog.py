@@ -39,87 +39,64 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # Catalog iteration order. The driver's correctness harness budgets ~50
-# queries per round, taken in dict order (r1 and r2 each checked exactly
-# 50). Round-3 tier 1 therefore holds the 50 highest-value names that
-# have NO cumulative driver-side green row yet: the re-fixed
-# llm_pack_sequences first, then the 18 never-checked TPC-H topologies,
-# the events/curation/stats/assembly/UDF packs, and the two dedup
-# primary names whose plans changed in the scale-safe rename (their old
-# green rows describe the twin plan, so they need fresh rows).
+# queries per round, taken in dict order (r1–r3 each checked exactly
+# 50; cumulative green = 123 distinct names after r3, zero red).
+# Round-4 tier 1 therefore holds the 50 highest-value names that have
+# NO driver-side green row yet — led by the operators a user hits
+# first: the custom stateful streaming as-of flagship, the
+# partitioned/schema-evolution scans, the dq/ts/graph packs, the
+# forward/tolerance as-of variants, and the llm3 assembly pack.
 _PRIORITY: tuple[str, ...] = (
-    # the one red row from r2, integer-division fix applied — verify first
-    "llm_pack_sequences",
-    # TPC-H topologies never driver-checked (18 of 22) + snowflake star
-    "q2_min_cost_supply", "q3_shipping_priority", "q4_priority_late_ship",
-    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
-    "q9_product_type_profit", "q10_returned_items", "q11_important_parts",
-    "q12_ship_lateness", "q13_order_distribution", "q14_promo_share",
-    "q15_top_supplier", "q16_supplier_diversity", "q18_large_volume",
-    "q19_disjunctive_join", "q20_heavy_promo_suppliers", "q22_idle_balances",
-    "join_snowflake_dims",
-    # event-analytics pack
-    "events_funnel", "events_retention_cohorts", "events_attribution",
-    # corpus-curation (llm2) pack
-    "llm_curation_pipeline", "llm_chunk_overlap", "llm_ngram_stats",
-    "llm_prefix_boilerplate",
-    # stats aggregates
-    "agg_median_exact", "agg_minmax_by", "agg_stats_corr",
-    # subquery / lateral / variant
-    "subquery_exists", "join_lateral", "json_variant",
-    # LLM dataset assembly
-    "llm_decontaminate", "llm_sample_stratified", "llm_split_train_eval",
-    "llm_sample_hash",
-    # similarity + UDF surface tails
-    "llm_simsearch_batch", "udf_pandas_cosine", "udf_grouped_demean",
-    "udf_python_scalar",
-    # dedup primary names post-rename (capped/banded plans now live
-    # under the unsuffixed names — prior green rows belong to the twins)
-    "llm_dedup_ngram_jaccard", "llm_dedup_embedding",
-    # multimodal image (new this round: real PPM codec)
-    "llm_multimodal_image",
-    # composed dedup pipeline + corpus stats
-    "llm_dedup_verified", "llm_corpus_stats",
-    # predicate/pivot/window/source tails
-    "filter_predicates", "agg_pivot", "window_fill_forward",
-    "source_csv_scan",
-)
-
-# Second tier: the remaining never-driver-checked oracled queries, in
-# the order extra budget (or round 4) should reach them.
-_PRIORITY2: tuple[str, ...] = (
-    "llm_multimodal_video",
-    "llm_dedup_ngram_jaccard_exact", "llm_dedup_embedding_exact",
-    "llm_text_tokens", "llm_text_fingerprint", "llm_text_langid",
-    "llm_text_repetition", "llm_text_scrub",
-    "scalar_string2", "scalar_math2", "scalar_date2",
-    "array_posexplode", "array_explode_outer", "set_union_byname",
-    "agg_grouping_id", "reshape_unpivot", "agg_conditional",
-    "scalar_levenshtein", "window_distribution",
-    "source_xml_scan", "source_orc_scan",
-    # round-3 additions: time-series pack + training-data assembly
-    "ts_bucket_rollup", "ts_ohlc", "ts_gap_fill", "ts_sessionize",
-    "ts_top_movers", "ts_rolling_24h", "stream_ts_rollup",
-    "ts_scd2_states", "source_schema_evolution", "udf_python_udtf",
-    "graph_degree_stats", "graph_pagerank",
+    # custom stateful streaming flagship + scan surfaces
+    "stream_asof_join", "source_partitioned_scan", "source_schema_evolution",
+    # data-quality audit pack (the gates a 100 TB lake runs continuously)
     "dq_referential_orphans", "dq_null_profile", "dq_key_uniqueness",
-    "agg_percentiles_disc", "agg_outlier_zscore", "join_asof_forward",
-    "ts_time_weighted_avg", "events_type_transitions", "agg_mode_exact",
-    "stream_asof_join", "source_partitioned_scan",
-    "dq_order_reconciliation", "events_time_to_convert_hist",
-    "llm_ann_recall_eval", "agg_collect_sorted", "ts_gap_fill_interp",
-    "ts_calendar_heatmap", "scalar_bitwise", "window_running_distinct", "join_asof_tolerance",
-    "events_activity_gini", "ts_hourweek_anomaly", "array_higher_order", "q_backlog_aging", "llm_ngram_novelty",
-    "set_symmetric_diff", "window_value_share", "dq_freshness",
+    "dq_order_reconciliation", "dq_freshness",
+    # time-series / hypertable pack
+    "ts_bucket_rollup", "ts_ohlc", "ts_gap_fill", "ts_gap_fill_interp",
+    "ts_sessionize", "ts_top_movers", "ts_rolling_24h", "stream_ts_rollup",
+    "ts_scd2_states", "ts_time_weighted_avg", "ts_calendar_heatmap",
+    "ts_hourweek_anomaly",
+    # graph pack
+    "graph_degree_stats", "graph_pagerank",
+    # as-of variants + UDTF + video tier
+    "join_asof_forward", "join_asof_tolerance", "udf_python_udtf",
+    "llm_multimodal_video",
+    # round-3 LLM dataset-assembly (llm3) pack
     "llm_source_caps", "llm_token_budget_sample", "llm_global_shuffle",
     "llm_cluster_quality_pick", "llm_length_histogram",
+    "llm_ann_recall_eval", "llm_ngram_novelty",
+    # event-analytics tails
+    "events_type_transitions", "events_time_to_convert_hist",
+    "events_activity_gini",
+    # text-analysis tails
+    "llm_text_tokens", "llm_text_fingerprint", "llm_text_langid",
+    "llm_text_repetition", "llm_text_scrub",
+    # stats-aggregate tails
+    "agg_percentiles_disc", "agg_outlier_zscore", "agg_mode_exact",
+    "agg_collect_sorted",
+    # ops/reporting + set/window tails
+    "q_backlog_aging", "set_symmetric_diff", "window_value_share",
+    # bonus source formats
+    "source_xml_scan", "source_orc_scan",
 )
 
-# Names with a driver-side green row in CORRECTNESS_r01/r02.json —
-# cumulative. These yield the tail of the iteration order to queries the
-# driver has never checked, so leftover budget extends coverage instead
-# of repeating it. (llm_dedup_ngram_jaccard / llm_dedup_embedding are
-# deliberately ABSENT despite r1 green rows: the scale-safe rename moved
-# different plans under those names, invalidating the old rows.)
+# Second tier: the 16 remaining never-driver-checked oracled queries —
+# round 5's closure set (cumulative 187/187 after it), ahead of any
+# round-4 additions (which follow as `fresh` in registration order).
+_PRIORITY2: tuple[str, ...] = (
+    "llm_dedup_ngram_jaccard_exact", "llm_dedup_embedding_exact",
+    "scalar_string2", "scalar_math2", "scalar_date2",
+    "array_posexplode", "array_explode_outer", "array_higher_order",
+    "set_union_byname", "agg_grouping_id", "reshape_unpivot",
+    "agg_conditional", "scalar_levenshtein", "window_distribution",
+    "scalar_bitwise", "window_running_distinct",
+)
+
+# Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —
+# cumulative (123 distinct, zero red). These yield the tail of the
+# iteration order to queries the driver has never checked, so leftover
+# budget extends coverage instead of repeating it.
 _DRIVER_CHECKED: frozenset[str] = frozenset({
     # round 1
     "q1_pricing_summary", "agg_group_basic", "agg_distinct", "agg_rollup",
@@ -148,6 +125,28 @@ _DRIVER_CHECKED: frozenset[str] = frozenset({
     "llm_simsearch_ivf", "llm_text_quality", "llm_tfidf_top_terms",
     "llm_multimodal_meta", "llm_multimodal_audio",
     "udf_pandas_tokens", "udf_cogrouped_asof",
+    # round 3 additions (CORRECTNESS_r03.json: 50/50 green)
+    "llm_pack_sequences",
+    "q2_min_cost_supply", "q3_shipping_priority", "q4_priority_late_ship",
+    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+    "q9_product_type_profit", "q10_returned_items", "q11_important_parts",
+    "q12_ship_lateness", "q13_order_distribution", "q14_promo_share",
+    "q15_top_supplier", "q16_supplier_diversity", "q18_large_volume",
+    "q19_disjunctive_join", "q20_heavy_promo_suppliers", "q22_idle_balances",
+    "join_snowflake_dims",
+    "events_funnel", "events_retention_cohorts", "events_attribution",
+    "llm_curation_pipeline", "llm_chunk_overlap", "llm_ngram_stats",
+    "llm_prefix_boilerplate",
+    "agg_median_exact", "agg_minmax_by", "agg_stats_corr",
+    "subquery_exists", "join_lateral", "json_variant",
+    "llm_decontaminate", "llm_sample_stratified", "llm_split_train_eval",
+    "llm_sample_hash",
+    "llm_simsearch_batch", "udf_pandas_cosine", "udf_grouped_demean",
+    "udf_python_scalar",
+    "llm_dedup_ngram_jaccard", "llm_dedup_embedding",
+    "llm_multimodal_image", "llm_dedup_verified", "llm_corpus_stats",
+    "filter_predicates", "agg_pivot", "window_fill_forward",
+    "source_csv_scan",
 })
 
 
