@@ -239,11 +239,10 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Audio tier — REAL codec path (not a stub): WAV/PCM encode + decode via
-# the stdlib ``wave`` module, sample math via numpy. Image/video decode
-# remains stubbed above (their codec libraries genuinely do not exist in
-# this container); audio is the modality whose container format the
-# standard library can parse, so its decode / feature-extract / resample
-# operators run end-to-end on real bytes.
+# the stdlib ``wave`` module, sample math via numpy. Image (PPM, below)
+# and video (Y4M, below) have their own real codec tiers too; only
+# formats whose codec libraries genuinely do not exist in this container
+# (JPEG/MP4/...) raise NotImplementedError honestly.
 # --------------------------------------------------------------------------
 
 AUDIO_SR = 8000          #: synth sample rate (Hz)

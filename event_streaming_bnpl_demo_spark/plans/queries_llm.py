@@ -6,8 +6,9 @@ quality, token counting, fingerprinting, tf-idf), multimodal metadata.
 Design stance for 100 TB:
 
 - everything is built from JVM-side SQL expressions (no Python in the
-  hot path); Pandas-UDF variants exist only behind the multimodal
-  decode stubs (operators.multimodal);
+  hot path); Pandas-UDFs appear only in the multimodal codec tiers
+  (operators.multimodal — real WAV/PPM/Y4M encode+decode) and the
+  labeled UDF-surface exhibits;
 - every pairwise operation is *blocked* before it is compared — LSH
   bands for minhash, hash buckets for simhash, shared shingles for
   jaccard, label/sign-buckets for embeddings — so the candidate set
@@ -947,8 +948,9 @@ def llm_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     with typed metadata (byte length, content digest) — the schema
     pattern for image/audio/video blobs riding next to scalars. The
     digest/length math runs on the binary payload JVM-side; the decode /
-    feature-extract path (which needs codec libs) is the Pandas-UDF
-    stub in operators.multimodal, exercised by pytest."""
+    feature-extract paths are the real Arrow-batched codecs in
+    operators.multimodal (WAV / PPM / Y4M), each driver- or
+    pytest-verified."""
     d = load_table(spark, sf_dir, "documents")
     payload = F.encode("text", "UTF-8")
     sha = F.sha2(payload, 256)
@@ -987,9 +989,10 @@ def llm_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     the resampled bytes. Every reported number comes from decoding
     actual WAV bytes; the oracle knows the closed-form values the
     synthesis guarantees (±A square wave → RMS exactly A; period 8 →
-    n/4 - 1 sign changes; decimation halves samples, keeps RMS). The
-    image/video decode paths remain honestly stubbed — WAV is the one
-    container the standard library can truly parse.
+    n/4 - 1 sign changes; decimation halves samples, keeps RMS). Image
+    and video have their own real codec tiers (PPM / Y4M, see
+    llm_multimodal_image / llm_multimodal_video) — no modality is
+    stubbed.
 
     Scale: encode/decode/resample all run as Arrow-batched mapInPandas
     stages; payload bytes never cross to the driver, and the final
@@ -1043,9 +1046,9 @@ def llm_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle knows the closed-form values the synthesis guarantees
     (even-dimension checkerboard → mean exactly 150; ramp B(x)=2x →
     mean exactly W-1; even-index NN gather keeps only HI squares →
-    resized mean exactly 200). Video remains the one honestly-stubbed
-    modality — PPM and WAV are the two containers decodable without
-    codec libraries.
+    resized mean exactly 200). Video has its own real codec tier too
+    (uncompressed Y4M, llm_multimodal_video) — no modality is
+    stubbed.
 
     Scale: encode/decode/resize all run as Arrow-batched mapInPandas
     stages; payload bytes never cross to the driver, and the final
