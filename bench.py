@@ -75,6 +75,15 @@ HEADLINE = [
     "ts_gap_fill",
     "llm_global_shuffle",
     "llm_cluster_quality_pick",
+    # round-4 additions: the stateful streaming as-of flagship, the
+    # continuously-run dq reconciliation, iterative pagerank, the
+    # rolling/SCD2 window shapes, and the real-image-codec UDF tier
+    "stream_asof_join",
+    "dq_order_reconciliation",
+    "graph_pagerank",
+    "ts_rolling_24h",
+    "ts_scd2_states",
+    "llm_multimodal_image",
 ]
 
 
@@ -137,11 +146,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    t_init0 = time.perf_counter()
     spark = build_session(cpus)
+    t_init = time.perf_counter() - t_init0
     catalog = all_queries()
 
     # warmup: JVM/codegen/session startup stays out of per-query numbers
+    t_warm0 = time.perf_counter()
     catalog["q1_pricing_summary"].fn(spark, sf_dir).count()
+    t_warm = time.perf_counter() - t_warm0
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -163,6 +176,17 @@ def main() -> None:
         "queries": timings,
         "n": 3,
         "cold_sec": round(sum(cold.values()), 3),
+        # cold_sec is the sum of FIRST runs and scales with suite size
+        # (one whole-stage-codegen compile per plan); the breakdown
+        # separates the fixed session costs from the per-plan compile
+        # cost so round-over-round cold_sec drift is attributable.
+        "cold_breakdown": {
+            "session_init_sec": round(t_init, 3),
+            "warmup_first_query_sec": round(t_warm, 3),
+            "first_runs_sec": round(sum(cold.values()), 3),
+            "n_queries": len(HEADLINE),
+            "first_run_avg_sec": round(sum(cold.values()) / len(HEADLINE), 3),
+        },
         "stream": stream_throughput(spark, sf_dir),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))

@@ -255,6 +255,30 @@ def stream_static_join_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .queries_core import ASOF_ORACLE  # noqa: E402 - after registrations
 
 
+def build_asof_stream(spark: SparkSession, in_dir: str) -> DataFrame:
+    """The streaming as-of topology, unstarted: one-file-per-trigger
+    parquet stream -> groupBy(user_id) -> applyInPandasWithState in
+    UPDATE mode. Factored out so tests/test_plans.py can pin the
+    state-store shape (exactly one hashpartitioning(user_id) exchange
+    feeding FlatMapGroupsInPandasWithState) without running the query."""
+    from ..streaming.asof_state import (ASOF_OUTPUT_SCHEMA,
+                                        ASOF_STATE_SCHEMA, NO_TIMEOUT,
+                                        asof_update)
+
+    stream = (spark.readStream
+              .schema("user_id long, event_id long, event_type string, "
+                      "ts_us long")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(in_dir))
+    return (stream.groupBy("user_id")
+            .applyInPandasWithState(
+                asof_update,
+                outputStructType=ASOF_OUTPUT_SCHEMA,
+                stateStructType=ASOF_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=NO_TIMEOUT))
+
+
 @register(
     "stream_asof_join",
     oracle=ASOF_ORACLE,
@@ -281,9 +305,6 @@ def stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.window import Window
 
-    from ..streaming.asof_state import (ASOF_OUTPUT_SCHEMA,
-                                        ASOF_STATE_SCHEMA, NO_TIMEOUT,
-                                        asof_update)
     from .queries_ext import _scratch
 
     ev = load_table(spark, sf_dir, "events").filter(
@@ -297,18 +318,7 @@ def stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ev.select("user_id", "event_id", "event_type",
                F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
      .repartition(4).write.mode("overwrite").parquet(in_dir))
-    stream = (spark.readStream
-              .schema("user_id long, event_id long, event_type string, "
-                      "ts_us long")
-              .option("maxFilesPerTrigger", "1")
-              .parquet(in_dir))
-    matched = (stream.groupBy("user_id")
-               .applyInPandasWithState(
-                   asof_update,
-                   outputStructType=ASOF_OUTPUT_SCHEMA,
-                   stateStructType=ASOF_STATE_SCHEMA,
-                   outputMode="update",
-                   timeoutConf=NO_TIMEOUT))
+    matched = build_asof_stream(spark, in_dir)
     q = (matched.writeStream.format("memory").queryName(name)
          .outputMode("update")
          .option("checkpointLocation", f"{work}/ck")

@@ -432,3 +432,67 @@ def test_llm3_pack_plan_shapes(spark):
         assert len(ex) == 1, f"{name}: {ex}"
         assert "CartesianProduct" not in plan, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_dq_pack_plan_shapes(spark):
+    """Data-quality pack pins (the queries a 100 TB lake runs
+    continuously): freshness is ONE scan with no hash exchange (pure
+    partial->final fold), key-uniqueness is one scan + one count-per-key
+    exchange per audited table, and the order reconciliation is the
+    irreducible two-fact shape — 2 scans, the per-orderkey rollup
+    exchange plus the co-keyed join/status-fold re-keys, never a
+    sort-merge explosion or product."""
+    import re
+
+    plan = (QUERIES["dq_freshness"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange hashpartitioning" not in plan, \
+        "freshness must stay a single partial-aggregated pass"
+
+    plan = (QUERIES["dq_key_uniqueness"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    assert plan.count("Scan parquet") == 3  # events, orders, documents
+    ex = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(ex) <= 3, f"one count-per-key exchange per table: {ex}"
+    assert "CartesianProduct" not in plan
+
+    plan = (QUERIES["dq_order_reconciliation"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    assert plan.count("Scan parquet") == 2  # orders + lineitem, once each
+    ex = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(ex) <= 3, f"rollup + join re-key + status fold only: {ex}"
+    assert "CartesianProduct" not in plan
+
+
+def test_stream_asof_state_store_shape(spark, tmp_path):
+    """The streaming as-of flagship's state topology is pinned: the
+    micro-batch plan must be exactly one hashpartitioning(user_id)
+    exchange feeding the Arrow-batched FlatMapGroupsInPandasWithState
+    operator in UPDATE mode — a second exchange or a repartition of the
+    emitted rows would double the per-batch shuffle at scale."""
+    from pyspark.sql import functions as F
+
+    from event_streaming_bnpl_demo_spark.plans.queries_stream import \
+        build_asof_stream
+    from event_streaming_bnpl_demo_spark.sources import load_table
+
+    in_dir = str(tmp_path / "in")
+    (load_table(spark, SF_SMOKE, "events")
+     .filter(F.col("event_type").isin("view", "purchase"))
+     .select("user_id", "event_id", "event_type",
+             F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"))
+     .limit(1000).coalesce(1).write.mode("overwrite").parquet(in_dir))
+
+    matched = build_asof_stream(spark, in_dir)
+    q = (matched.writeStream.format("memory")
+         .queryName("pin_sasof").outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    # the executed micro-batch physical plan of the last trigger
+    plan = q._jsq.explainInternal(False)
+    assert "FlatMapGroupsInPandasWithState" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "user_id" in plan.split("Exchange hashpartitioning", 1)[1][:80]
+    q.stop()

@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Generate a larger-scale replica of the driver testdata for scaling
+measurements (DESIGN.md "Measured scaling").
+
+Replicates every table of a source sf directory K times with per-replica
+key offsets, so key cardinalities, join fan-ins, and group counts all
+grow ~K-fold — the same shape TPC-H itself scales — instead of K-fold
+duplicating the same keys (which would skew group sizes, not group
+counts). Document text gets a per-replica suffix token and embeddings a
+per-replica last-component epsilon so the near-dup operators see K times
+the corpus, not K exact copies of it (exact copies would make every LSH
+bucket K times hotter and the in-bucket pair expansion K^2 — a
+distribution no real 10x corpus growth has).
+
+Output is written OUTSIDE the repo (default /tmp/sfscale/sf1) and is a
+measurement artifact only — correctness always runs against the
+driver-provided /root/testdata.
+
+Usage: python tools/make_scaled_testdata.py [--src /root/testdata/sf0.1]
+           [--dst /tmp/sfscale/sf1] [--k 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import duckdb
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dst", default="/tmp/sfscale/sf1")
+    ap.add_argument("--k", type=int, default=10)
+    args = ap.parse_args()
+    os.makedirs(args.dst, exist_ok=True)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{args.src}/{t}.parquet')")
+    # Per-replica key offsets: one past the max key so replica key
+    # ranges never collide.
+    off = {k: con.execute(s).fetchone()[0] + 1 for k, s in {
+        "cust": "SELECT MAX(c_custkey) FROM customer",
+        "supp": "SELECT MAX(s_suppkey) FROM supplier",
+        "part": "SELECT MAX(p_partkey) FROM part",
+        "order": "SELECT MAX(o_orderkey) FROM orders",
+        "event": "SELECT MAX(event_id) FROM events",
+        "user": "SELECT MAX(user_id) FROM events",
+        "doc": "SELECT MAX(doc_id) FROM documents",
+        "vec": "SELECT MAX(vec_id) FROM embeddings",
+    }.items()}
+    rep = f"(SELECT UNNEST(range({args.k})) AS r)"
+
+    def write(t: str, select: str) -> None:
+        con.execute(f"COPY ({select}) TO '{args.dst}/{t}.parquet' "
+                    f"(FORMAT PARQUET)")
+        n = con.execute(f"SELECT COUNT(*) FROM "
+                        f"read_parquet('{args.dst}/{t}.parquet')").fetchone()[0]
+        print(f"{t}: {n} rows")
+
+    # Fixed dims stay fixed (TPC-H keeps region/nation constant with sf).
+    write("region", "SELECT * FROM region")
+    write("nation", "SELECT * FROM nation")
+    write("customer", f"""
+        SELECT c_custkey + r * {off['cust']} AS c_custkey, c_name,
+               c_nationkey, c_acctbal, c_mktsegment
+        FROM customer CROSS JOIN {rep}""")
+    write("supplier", f"""
+        SELECT s_suppkey + r * {off['supp']} AS s_suppkey, s_name,
+               s_nationkey, s_acctbal
+        FROM supplier CROSS JOIN {rep}""")
+    write("part", f"""
+        SELECT p_partkey + r * {off['part']} AS p_partkey, p_name, p_brand,
+               p_type, p_size, p_retailprice
+        FROM part CROSS JOIN {rep}""")
+    write("orders", f"""
+        SELECT o_orderkey + r * {off['order']} AS o_orderkey,
+               o_custkey + r * {off['cust']} AS o_custkey,
+               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM orders CROSS JOIN {rep}""")
+    write("lineitem", f"""
+        SELECT l_orderkey + r * {off['order']} AS l_orderkey,
+               l_partkey + r * {off['part']} AS l_partkey,
+               l_suppkey + r * {off['supp']} AS l_suppkey,
+               l_linenumber, l_quantity, l_extendedprice, l_discount,
+               l_tax, l_returnflag, l_linestatus, l_shipdate
+        FROM lineitem CROSS JOIN {rep}""")
+    write("events", f"""
+        SELECT event_id + r * {off['event']} AS event_id, ts,
+               user_id + r * {off['user']} AS user_id,
+               event_type, value, props
+        FROM events CROSS JOIN {rep}""")
+    write("documents", f"""
+        SELECT doc_id + r * {off['doc']} AS doc_id,
+               CASE WHEN r = 0 THEN text
+                    ELSE text || ' rep' || CAST(r AS VARCHAR) END AS text,
+               lang, source,
+               CAST(length(CASE WHEN r = 0 THEN text
+                    ELSE text || ' rep' || CAST(r AS VARCHAR) END)
+                    AS BIGINT) AS n_chars
+        FROM documents CROSS JOIN {rep}""")
+    write("embeddings", f"""
+        SELECT vec_id + r * {off['vec']} AS vec_id,
+               CASE WHEN r = 0 THEN embedding
+                    ELSE list_transform(embedding, x ->
+                        CAST(x + 0.0001 * r AS FLOAT)) END AS embedding,
+               label
+        FROM embeddings CROSS JOIN {rep}""")
+
+
+if __name__ == "__main__":
+    main()
