@@ -25,39 +25,56 @@ SCALE = 1_000_000
 DAMP_NUM, DAMP_DEN = 850, 1000
 
 
-def pagerank_fixedpoint(edges: DataFrame, n_iter: int = 5) -> DataFrame:
+def pagerank_fixedpoint(edges: DataFrame, n_iter: int = 5,
+                        checkpoint_every: int = 4,
+                        broadcast_max_nodes: int = 5_000_000) -> DataFrame:
     """Rank every node of a directed edge list ``(src, dst)``.
 
     Nodes are the distinct ``src`` values (pass a symmetrized edge
     list for undirected graphs — then every node has out-degree ≥ 1
     and no rank mass is lost to dangling sinks). Returns
     ``(node, rank)`` with rank in integer micro-units; initial rank is
-    1.0 (= SCALE) per node.
+     1.0 (= SCALE) per node.
 
-    Scale: each iteration is one join of the edge list against the
-    current ranks plus one aggregate on dst — O(edges) shuffle per
-    round, same as label propagation (components.py); ranks are
-    localCheckpoint-ed per round so lineage stays flat.
+    Scale: the edge list is materialized ONCE (localCheckpoint) and
+    never re-shuffled — each iteration folds ranks and degrees into a
+    per-SOURCE contribution relation of |nodes| rows first, joins that
+    against the edges, and aggregates on dst. The contribution side is
+    broadcast while the measured node count stays under
+    ``broadcast_max_nodes`` (the stats-gated pattern of
+    sources.maybe_broadcast, decided with a real count instead of a
+    Catalyst guess), so small-to-medium graphs pay only the ONE
+    O(edges) groupBy exchange per round; past the gate the join
+    degrades to the shuffled path and stays scale-correct unchanged.
+    Lineage is flattened with a checkpoint every ``checkpoint_every``
+    rounds — per-round eager checkpoints cost ~1 materialization each
+    and measured slower than letting the engine execute a few rounds
+    as one DAG.
     """
     edges = edges.select("src", "dst").localCheckpoint(eager=True)
-    outdeg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg"))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    outdeg = (edges.groupBy(F.col("src").alias("node"))
+              .agg(F.count(F.lit(1)).alias("deg"))
+              .localCheckpoint(eager=True))
+    n_nodes = outdeg.count()
+    nodes = outdeg.select("node")
     ranks = nodes.select("node", F.lit(SCALE).cast("bigint").alias("rank"))
     base = SCALE * 15 // 100
-    for _ in range(n_iter):
-        contrib = (
-            edges.join(ranks.join(outdeg, "node"),
-                       edges.src == F.col("node"))
-            .select(F.col("dst").alias("node"),
-                    F.expr("rank DIV deg").alias("c"))
-            .groupBy("node").agg(F.sum("c").alias("s")))
+    for i in range(n_iter):
+        contrib = (ranks.join(outdeg, "node")
+                   .select(F.col("node").alias("src"),
+                           F.expr("rank DIV deg").alias("c")))
+        if n_nodes <= broadcast_max_nodes:
+            contrib = F.broadcast(contrib)
+        agg = (edges.join(contrib, "src")
+               .groupBy(F.col("dst").alias("node"))
+               .agg(F.sum("c").alias("s")))
         ranks = (
-            nodes.join(contrib, "node", "left")
+            nodes.join(agg, "node", "left")
             .select(
                 "node",
                 (F.lit(base)
                  + F.expr(f"{DAMP_NUM} * COALESCE(s, 0) DIV {DAMP_DEN}"))
-                .cast("bigint").alias("rank"))
-            .localCheckpoint(eager=True))
+                .cast("bigint").alias("rank")))
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -229,4 +229,5 @@ def _load() -> None:
     from . import queries_llm3      # noqa: F401
     from . import queries_graph     # noqa: F401
     from . import queries_dq        # noqa: F401
+    from . import queries_ext4      # noqa: F401
     _LOADED = True

@@ -496,3 +496,31 @@ def test_stream_asof_state_store_shape(spark, tmp_path):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "user_id" in plan.split("Exchange hashpartitioning", 1)[1][:80]
     q.stop()
+
+
+def test_ext4_pack_plan_shapes(spark):
+    """Round-4 pack pins: interval coverage rides ONE
+    hashpartitioning(user_id) exchange end-to-end (both windows and
+    both aggregates reuse the clustering), the null-safe join stays a
+    broadcast hash join (null-safety must not force a shuffled or
+    nested-loop plan), and priority sampling is TakeOrdered, never a
+    global sort."""
+    import re
+
+    plan = (QUERIES["ts_interval_coverage"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    assert plan.count("Scan parquet") == 1
+    ex = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(ex) == 1, f"coverage must reuse the user_id exchange: {ex}"
+    assert "user_id" in ex[0]
+
+    plan = (QUERIES["join_null_safe"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    plan = (QUERIES["llm_priority_sample"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan

@@ -21,7 +21,10 @@ import argparse
 import json
 import math
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DEFAULT_QUERIES = [
     # the 6 most expensive headline queries in BENCH_r03.json
