@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 
 
 def connected_components(nodes: DataFrame, edges: DataFrame,
-                         max_rounds: int = 25) -> DataFrame:
+                         max_rounds: int = 25,
+                         broadcast_max_nodes: int = 5_000_000) -> DataFrame:
     """Label every node with the minimum node id reachable from it.
 
     ``nodes``: one column ``id`` (every vertex, including isolated
@@ -42,9 +43,17 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
            .union(edges.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst")))
            .localCheckpoint(eager=True))
+    # Stats-gated broadcast of the label table (same pattern as
+    # operators.pagerank): a checkpointed RDD input gives AQE no
+    # pre-shuffle stats to convert the join itself, so gate on a real
+    # node count — small-to-medium graphs never re-shuffle the edge
+    # list; past the gate the join degrades to the shuffled path.
+    n_nodes = nodes.count()
+    bcast = n_nodes <= broadcast_max_nodes
     labels = nodes.select("id", F.col("id").alias("component"))
     for _ in range(max_rounds):
-        nbr = (sym.join(labels, sym.src == labels.id)
+        lab = F.broadcast(labels) if bcast else labels
+        nbr = (sym.join(lab, sym.src == lab.id)
                .groupBy(F.col("dst").alias("id"))
                .agg(F.min("component").alias("nbr_min")))
         joined = (labels.join(nbr, "id", "left")
