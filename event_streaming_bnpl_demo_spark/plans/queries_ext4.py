@@ -220,3 +220,301 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     return (spark.table(name).groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_unique")))
+
+
+# ---------------------------------------------------------------------------
+# Round-4b: distinct analytics capabilities — sketches, CDC merge,
+# feature normalization, path analysis, co-occurrence, RFM segmentation.
+# ---------------------------------------------------------------------------
+
+_CM_D, _CM_W = 4, 256  # count-min sketch: 4 hash rows x 256 buckets
+
+
+def _cm_bucket_sql(key: str, i: str, dialect: str) -> str:
+    """Bucket of ``key`` under hash row ``i``: first 16 bits of
+    md5(key ':' i) mod width — same arithmetic, both dialects."""
+    if dialect == "spark":
+        return (f"CAST(conv(substring(md5(concat(CAST({key} AS STRING), "
+                f"':', CAST({i} AS STRING))), 1, 4), 16, 10) AS BIGINT) "
+                f"% {_CM_W}")
+    return (f"CAST(('0x' || substr(md5(CAST({key} AS VARCHAR) || ':' || "
+            f"CAST({i} AS VARCHAR)), 1, 4)) AS BIGINT) % {_CM_W}")
+
+
+@register(
+    "sketch_count_min_topk",
+    oracle=f"""
+    WITH hr AS (SELECT UNNEST(range({_CM_D})) AS i),
+    b AS (
+      SELECT i.i AS i, {_cm_bucket_sql('e.user_id', 'i.i', 'duckdb')} AS bucket
+      FROM events e CROSS JOIN hr i
+    ),
+    sketch AS (SELECT i, bucket, COUNT(*) AS cnt FROM b GROUP BY i, bucket),
+    keys AS (SELECT user_id, COUNT(*) AS true_count FROM events
+             GROUP BY user_id),
+    kb AS (
+      SELECT k.user_id, k.true_count, i.i AS i,
+             {_cm_bucket_sql('k.user_id', 'i.i', 'duckdb')} AS bucket
+      FROM keys k CROSS JOIN hr i
+    ),
+    est AS (
+      SELECT kb.user_id, kb.true_count, MIN(s.cnt) AS cm_estimate
+      FROM kb JOIN sketch s ON s.i = kb.i AND s.bucket = kb.bucket
+      GROUP BY kb.user_id, kb.true_count
+    )
+    SELECT user_id, true_count, cm_estimate
+    FROM est ORDER BY cm_estimate DESC, user_id LIMIT 10
+    """,
+    tags=("sketch", "agg"),
+)
+def sketch_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters: per-user event counts estimated
+    from a {d} x {w} integer sketch (md5-hashed buckets, estimate =
+    min over rows), reported for the top-10 estimated users next to
+    their true counts. The sketch is THE bounded-memory answer to
+    "top talkers" on a stream the exact groupBy can't hold — here both
+    the sketch AND its exact oracle are computed so over-estimation is
+    visible (estimate >= truth always).
+
+    Determinism: buckets are md5 arithmetic, counts are integers, the
+    estimate is an integer MIN — bit-stable everywhere.
+
+    Scale: the sketch build is one aggregate over a {d}x-exploded scan
+    into d*w <= 1024 cells (map-side combined to nothing); the probe
+    joins the per-key relation against those 1024 broadcast-size
+    cells. At stream scale the same cells live in stateful memory.
+    """.format(d=_CM_D, w=_CM_W)
+    ev = load_table(spark, sf_dir, "events")
+    hr = F.explode(F.expr(f"sequence(0, {_CM_D - 1})")).alias("i")
+    b = ev.select("user_id").select(hr, "user_id").select(
+        "i", F.expr(_cm_bucket_sql("user_id", "i", "spark")).alias("bucket"))
+    sketch = b.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    keys = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    kb = keys.select("user_id", "true_count", hr).select(
+        "user_id", "true_count", "i",
+        F.expr(_cm_bucket_sql("user_id", "i", "spark")).alias("bucket"))
+    est = (kb.join(F.broadcast(sketch), ["i", "bucket"])
+           .groupBy("user_id", "true_count")
+           .agg(F.min("cnt").alias("cm_estimate")))
+    return est.orderBy(F.desc("cm_estimate"), "user_id").limit(10)
+
+
+@register(
+    "cdc_merge_upsert",
+    oracle="""
+    WITH changes AS (
+      SELECT c_custkey AS k, 'U' AS op, 'UPGRADED' AS seg
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, 'D', NULL
+      FROM customer WHERE c_custkey % 13 = 0 AND c_custkey % 7 <> 0
+      UNION ALL
+      SELECT c_custkey + 10000000, 'I', 'NEW'
+      FROM customer WHERE c_custkey % 11 = 0
+    )
+    SELECT COALESCE(ch.seg, b.c_mktsegment) AS segment,
+           COUNT(*) AS n_customers,
+           CAST(COUNT(*) FILTER (WHERE ch.op = 'U') AS BIGINT) AS n_updated,
+           CAST(COUNT(*) FILTER (WHERE ch.op = 'I') AS BIGINT) AS n_inserted
+    FROM customer b FULL OUTER JOIN changes ch ON b.c_custkey = ch.k
+    WHERE ch.op IS NULL OR ch.op <> 'D'
+    GROUP BY 1
+    """,
+    tags=("cdc", "join"),
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC MERGE: a derived change set (updates / deletes /
+    inserts keyed like a change-data-capture feed) applied to the base
+    table with one full-outer join — update rows override, delete rows
+    drop, insert rows append, untouched rows pass through; the
+    post-merge segment census proves all four paths. This is the MERGE
+    INTO semantics every lakehouse upsert runs, expressed in pure
+    DataFrame ops (the engine's streaming twin is the keyed last-wins
+    upsert, ref_lastwin_state).
+
+    Scale: one co-keyed full-outer join (both sides shuffle once on
+    the key — at deploy co-bucketed to zero exchanges) + a tiny
+    segment fold. The change set is usually << base, so AQE broadcasts
+    it and the base never shuffles at all.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    changes = (
+        c.filter(k % 7 == 0)
+        .select(k.alias("k"), F.lit("U").alias("op"),
+                F.lit("UPGRADED").alias("seg"))
+        .unionAll(c.filter((k % 13 == 0) & (k % 7 != 0))
+                  .select(k.alias("k"), F.lit("D").alias("op"),
+                          F.lit(None).cast("string").alias("seg")))
+        .unionAll(c.filter(k % 11 == 0)
+                  .select((k + 10000000).alias("k"), F.lit("I").alias("op"),
+                          F.lit("NEW").alias("seg"))))
+    merged = c.join(changes, c.c_custkey == changes.k, "full_outer")
+    return (merged.filter(F.col("op").isNull() | (F.col("op") != "D"))
+            .groupBy(F.coalesce("seg", "c_mktsegment").alias("segment"))
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum(F.when(F.col("op") == "U", 1).otherwise(0))
+                 .alias("n_updated"),
+                 F.sum(F.when(F.col("op") == "I", 1).otherwise(0))
+                 .alias("n_inserted")))
+
+
+@register(
+    "window_rank_normalize",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           percent_rank() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS pr
+    FROM customer
+    """,
+    tags=("window", "ml"),
+)
+def window_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based feature normalization: per-segment percent_rank of
+    account balance in [0, 1] — the distribution-free scaling step ML
+    feature pipelines prefer over z-scores when the raw values are
+    skewed or outlier-heavy. The custkey tiebreak makes the rank (and
+    therefore the emitted double, an exact ratio of small integers)
+    deterministic across engines and partitionings.
+
+    Scale: one window pass clustered by segment; nothing else.
+    """
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.percent_rank().over(w).alias("pr"))
+
+
+@register(
+    "events_path_topk",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    p AS (
+      SELECT user_id,
+             MAX(CASE WHEN rn = 1 THEN event_type END) AS e1,
+             MAX(CASE WHEN rn = 2 THEN event_type END) AS e2,
+             MAX(CASE WHEN rn = 3 THEN event_type END) AS e3
+      FROM r WHERE rn <= 3 GROUP BY user_id
+    )
+    SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path,
+           COUNT(*) AS n_users
+    FROM p WHERE e3 IS NOT NULL
+    GROUP BY 1 ORDER BY n_users DESC, path LIMIT 10
+    """,
+    tags=("events", "window"),
+)
+def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: each user's first three events (event-time
+    order, id tiebreak) folded into a path string, counted, top-10 —
+    the path-analysis query behind every onboarding funnel review,
+    without a sessionizer dependency.
+
+    Scale: one user-clustered window pass, a conditional-pivot
+    aggregate riding the SAME exchange, then a tiny path census and
+    TakeOrdered — the fact is shuffled exactly once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select("user_id", "event_type",
+                  F.row_number().over(w).alias("rn")).filter(F.col("rn") <= 3)
+    p = r.groupBy("user_id").agg(*[
+        F.max(F.when(F.col("rn") == i, F.col("event_type")))
+        .alias(f"e{i}") for i in (1, 2, 3)])
+    return (p.filter(F.col("e3").isNotNull())
+            .select(F.concat_ws(" > ", "e1", "e2", "e3").alias("path"))
+            .groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+            .orderBy(F.desc("n_users"), "path").limit(10))
+
+
+@register(
+    "events_cooccurrence",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_users
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+    tags=("events", "join"),
+)
+def events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavior co-occurrence matrix: for every unordered pair of
+    event types, how many users exhibit both — the market-basket /
+    affinity query. The pairwise expansion is bounded by the TYPE
+    cardinality per user (here <= 5, so <= 10 pairs/user), never by
+    event volume: the blocking discipline of the dedup pack applied
+    to basket analysis.
+
+    Scale: distinct (user, type) collapses the log first (map-side
+    combined); the self-join is co-keyed on user_id and its output is
+    capped at |users| x C(types,2).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    a, b = ut.alias("a"), ut.alias("b")
+    return (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                   & (F.col("a.event_type") < F.col("b.event_type")))
+            .groupBy(F.col("a.event_type").alias("type_a"),
+                     F.col("b.event_type").alias("type_b"))
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+@register(
+    "q_customer_rfm",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', MAX(o_orderdate),
+                       (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    q AS (
+      SELECT custkey,
+             NTILE(4) OVER (ORDER BY recency_days, custkey) AS r_q,
+             NTILE(4) OVER (ORDER BY frequency DESC, custkey) AS f_q,
+             NTILE(4) OVER (ORDER BY monetary DESC, custkey) AS m_q
+      FROM per
+    )
+    SELECT r_q, f_q, m_q, COUNT(*) AS n_customers
+    FROM q GROUP BY 1, 2, 3
+    """,
+    tags=("agg", "window", "bi"),
+)
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored into recency /
+    frequency / monetary quartiles (NTILE over the per-customer
+    rollup, custkey tiebreak for determinism; monetary ranked on the
+    exact decimal sum so float order can't flip a boundary), censused
+    per (R,F,M) cell — the marketing-analytics workhorse.
+
+    Scale: the quartile windows sort the per-CUSTOMER relation —
+    orders-of-magnitude smaller than the fact — so the global NTILE
+    sort is bounded by customer cardinality; at extreme customer
+    counts swap NTILE for approx-percentile cutpoints
+    (agg_approx_percentile) without changing the output contract.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_o"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("monetary"))
+    anchor = F.max("last_o").over(Window.partitionBy())
+    per = per.withColumn("recency_days",
+                         F.datediff(anchor, F.col("last_o")))
+    q = per.select(
+        "custkey",
+        F.ntile(4).over(Window.orderBy("recency_days", "custkey"))
+        .alias("r_q"),
+        F.ntile(4).over(Window.orderBy(F.desc("frequency"), "custkey"))
+        .alias("f_q"),
+        F.ntile(4).over(Window.orderBy(F.desc("monetary"), "custkey"))
+        .alias("m_q"))
+    return (q.groupBy("r_q", "f_q", "m_q")
+            .agg(F.count(F.lit(1)).alias("n_customers")))

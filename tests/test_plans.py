@@ -524,3 +524,36 @@ def test_ext4_pack_plan_shapes(spark):
             .queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_round4b_pack_plan_shapes(spark):
+    """Round-4b capability pins: path analysis rides ONE user_id
+    exchange (window + conditional pivot share it; the path census is
+    5^3-bounded), co-occurrence blocks on the distinct (user,type)
+    relation before any pairing, the CDC merge never degenerates to a
+    nested-loop product, and the count-min probe joins the tiny sketch
+    broadcast-side."""
+    import re
+
+    plan = (QUERIES["events_path_topk"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    assert plan.count("Scan parquet") == 1
+    ex = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(ex) <= 2, f"window + path census only: {ex}"
+    assert any("user_id" in e for e in ex), ex
+    assert "TakeOrderedAndProject" in plan
+
+    plan = (QUERIES["events_cooccurrence"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    plan = (QUERIES["cdc_merge_upsert"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    plan = (QUERIES["sketch_count_min_topk"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
