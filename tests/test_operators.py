@@ -435,3 +435,36 @@ def test_pagerank_fixedpoint_matches_reference(spark):
     assert got == rank
     # the pendant's only neighbor is the hub, so the hub outranks it
     assert got["c"] > got["d"]
+
+
+def test_asof_forward_strict_and_tolerance(spark):
+    """Constructed-case semantics of direction='forward' (the
+    descending-sort running-frame formulation): exact-match inclusion,
+    strict exclusion, and lookahead tolerance, including a same-
+    timestamp collision."""
+    def ts(s):
+        return F.to_timestamp(F.lit(f"2024-01-01 00:00:{s:02d}"))
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 30)], "u int, s int").select(
+        "u", F.col("s").alias("lid"),
+        F.to_timestamp(F.expr("make_timestamp(2024,1,1,0,0,s)")).alias("lts"))
+    right = spark.createDataFrame(
+        [(1, 10), (1, 15), (1, 40), (2, 25)], "u int, s int").select(
+        "u", F.col("s").alias("rid"),
+        F.to_timestamp(F.expr("make_timestamp(2024,1,1,0,0,s)")).alias("rts"))
+
+    def pairs(**kw):
+        out = asof_join(left, right, on="u", left_ts="lts", right_ts="rts",
+                        right_cols=["rid"], direction="forward", **kw)
+        return {(r["lid"], r["rid"]) for r in out.collect()}
+
+    # exact matches allowed: 10 matches itself; 20 -> next at 40;
+    # user 2's only view (25) is BEFORE 30 -> no forward match
+    assert pairs() == {(10, 10), (20, 40), (30, None)}
+    # strict: 10 skips itself -> 15
+    assert pairs(allow_exact_matches=False) == {
+        (10, 15), (20, 40), (30, None)}
+    # 10s lookahead: 40 is 20s past 20 -> nulled
+    assert pairs(tolerance=F.expr("INTERVAL 10 SECONDS")) == {
+        (10, 10), (20, None), (30, None)}
