@@ -169,13 +169,14 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
+    cold_total = round(sum(cold.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "n": 3,
-        "cold_sec": round(sum(cold.values()), 3),
+        "cold_sec": cold_total,
         # cold_sec is the sum of FIRST runs and scales with suite size
         # (one whole-stage-codegen compile per plan); the breakdown
         # separates the fixed session costs from the per-plan compile
@@ -183,9 +184,9 @@ def main() -> None:
         "cold_breakdown": {
             "session_init_sec": round(t_init, 3),
             "warmup_first_query_sec": round(t_warm, 3),
-            "first_runs_sec": round(sum(cold.values()), 3),
+            "first_runs_sec": cold_total,
             "n_queries": len(HEADLINE),
-            "first_run_avg_sec": round(sum(cold.values()) / len(HEADLINE), 3),
+            "first_run_avg_sec": round(cold_total / len(HEADLINE), 3),
         },
         "stream": stream_throughput(spark, sf_dir),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -40,7 +40,9 @@ _REGISTRY: dict[str, Query] = {}
 
 # Catalog iteration order. The driver's correctness harness budgets ~50
 # queries per round, taken in dict order (r1–r3 each checked exactly
-# 50; cumulative green = 123 distinct names after r3, zero red).
+# 50; cumulative green after r3 = 124 distinct historical names, zero
+# red — 122 still registered, two r1 names were renamed away in the
+# r3 scale-safe dedup rename).
 # Round-4 tier 1 therefore holds the 50 highest-value names that have
 # NO driver-side green row yet — led by the operators a user hits
 # first: the custom stateful streaming as-of flagship, the
@@ -81,9 +83,10 @@ _PRIORITY: tuple[str, ...] = (
     "source_xml_scan", "source_orc_scan",
 )
 
-# Second tier: the 16 remaining never-driver-checked oracled queries —
-# round 5's closure set (cumulative 187/187 after it), ahead of any
-# round-4 additions (which follow as `fresh` in registration order).
+# Second tier: the 16 longest-unchecked oracled queries — round 5's
+# closure set, ahead of the 10 round-4 additions (which follow as
+# `fresh` in registration order; all 26 fit round 5's ~50 budget →
+# cumulative 197/197).
 _PRIORITY2: tuple[str, ...] = (
     "llm_dedup_ngram_jaccard_exact", "llm_dedup_embedding_exact",
     "scalar_string2", "scalar_math2", "scalar_date2",
@@ -94,7 +97,8 @@ _PRIORITY2: tuple[str, ...] = (
 )
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —
-# cumulative (123 distinct, zero red). These yield the tail of the
+# cumulative (122 currently-registered names, zero red; 121 oracled +
+# the rows-only agg_approx_distinct). These yield the tail of the
 # iteration order to queries the driver has never checked, so leftover
 # budget extends coverage instead of repeating it.
 _DRIVER_CHECKED: frozenset[str] = frozenset({

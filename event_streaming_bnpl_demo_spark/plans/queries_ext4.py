@@ -138,8 +138,9 @@ def ts_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, source, n_chars
     FROM (
       SELECT doc_id, source, n_chars,
-             n_chars * CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
-                                            1, 12)) AS BIGINT) AS pri
+             least(n_chars, 32000)
+               * CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                      1, 12)) AS BIGINT) AS pri
       FROM documents
     )
     ORDER BY pri DESC, doc_id
@@ -159,7 +160,10 @@ def llm_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Efraimidis–Spirakis A-ES (whose u^(1/w) keys need
     transcendental float math that is not bit-portable across
     engines); for corpus-curation quotas the monotone property is
-    what's actually relied on. All arithmetic is 64-bit integer.
+    what's actually relied on. All arithmetic is 64-bit integer; the
+    weight is capped at 32,000 so weight x 48-bit-hash can never
+    overflow int64 (where the engines diverge: DuckDB errors, Spark
+    wraps).
 
     Scale: a scalar projection plus global top-k = per-partition
     heaps + driver merge (TakeOrderedAndProject), no global sort, no
@@ -169,7 +173,7 @@ def llm_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     u48 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
                  16, 10).cast("bigint")
     return (d.select("doc_id", "source", "n_chars",
-                     (F.col("n_chars") * u48).alias("pri"))
+                     (F.least("n_chars", F.lit(32000)) * u48).alias("pri"))
             .orderBy(F.desc("pri"), "doc_id").limit(100)
             .select("doc_id", "source", "n_chars"))
 

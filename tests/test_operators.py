@@ -442,9 +442,6 @@ def test_asof_forward_strict_and_tolerance(spark):
     descending-sort running-frame formulation): exact-match inclusion,
     strict exclusion, and lookahead tolerance, including a same-
     timestamp collision."""
-    def ts(s):
-        return F.to_timestamp(F.lit(f"2024-01-01 00:00:{s:02d}"))
-
     left = spark.createDataFrame(
         [(1, 10), (1, 20), (2, 30)], "u int, s int").select(
         "u", F.col("s").alias("lid"),

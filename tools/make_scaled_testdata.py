@@ -51,7 +51,6 @@ def main() -> None:
         "part": "SELECT MAX(p_partkey) FROM part",
         "order": "SELECT MAX(o_orderkey) FROM orders",
         "event": "SELECT MAX(event_id) FROM events",
-        "user": "SELECT MAX(user_id) FROM events",
         "doc": "SELECT MAX(doc_id) FROM documents",
         "vec": "SELECT MAX(vec_id) FROM embeddings",
     }.items()}
@@ -91,9 +90,13 @@ def main() -> None:
                l_linenumber, l_quantity, l_extendedprice, l_discount,
                l_tax, l_returnflag, l_linestatus, l_shipdate
         FROM lineitem CROSS JOIN {rep}""")
+    # user_id references the customer key space (events join customers
+    # in the salted-skew / enrichment queries), so replicas must shift
+    # it by the CUSTOMER offset — a user-range offset would point every
+    # replica's events at replica-0 customers and stop joins scaling.
     write("events", f"""
         SELECT event_id + r * {off['event']} AS event_id, ts,
-               user_id + r * {off['user']} AS user_id,
+               user_id + r * {off['cust']} AS user_id,
                event_type, value, props
         FROM events CROSS JOIN {rep}""")
     write("documents", f"""
