@@ -84,6 +84,14 @@ HEADLINE = [
     "ts_rolling_24h",
     "ts_scd2_states",
     "llm_multimodal_image",
+    # round-4b capability pack: sketch build+probe, CDC merge,
+    # sweep-line coverage, path analysis, RFM segmentation
+    "sketch_count_min_topk",
+    "cdc_merge_upsert",
+    "ts_interval_coverage",
+    "events_path_topk",
+    "q_customer_rfm",
+    "stream_dedup_watermark",
 ]
 
 
