@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 def connected_components(nodes: DataFrame, edges: DataFrame,
                          max_rounds: int = 25,
-                         broadcast_max_nodes: int = 5_000_000) -> DataFrame:
+                         broadcast_max_nodes: int = 1_000_000) -> DataFrame:
     """Label every node with the minimum node id reachable from it.
 
     ``nodes``: one column ``id`` (every vertex, including isolated
@@ -47,7 +47,10 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     # operators.pagerank): a checkpointed RDD input gives AQE no
     # pre-shuffle stats to convert the join itself, so gate on a real
     # node count — small-to-medium graphs never re-shuffle the edge
-    # list; past the gate the join degrades to the shuffled path.
+    # list; past the gate the join degrades to the shuffled path. The
+    # 1M-row default proxies a byte budget: two int64 columns resident
+    # as a broadcast hash relation ~= tens of MB, safe in a
+    # default-sized JVM; raise only with a bigger heap.
     n_nodes = nodes.count()
     bcast = n_nodes <= broadcast_max_nodes
     labels = nodes.select("id", F.col("id").alias("component"))

@@ -27,7 +27,7 @@ DAMP_NUM, DAMP_DEN = 850, 1000
 
 def pagerank_fixedpoint(edges: DataFrame, n_iter: int = 5,
                         checkpoint_every: int = 4,
-                        broadcast_max_nodes: int = 5_000_000) -> DataFrame:
+                        broadcast_max_nodes: int = 1_000_000) -> DataFrame:
     """Rank every node of a directed edge list ``(src, dst)``.
 
     Nodes are the distinct ``src`` values (pass a symmetrized edge
@@ -41,7 +41,12 @@ def pagerank_fixedpoint(edges: DataFrame, n_iter: int = 5,
     per-SOURCE contribution relation of |nodes| rows first, joins that
     against the edges, and aggregates on dst. The contribution side is
     broadcast while the measured node count stays under
-    ``broadcast_max_nodes`` (the stats-gated pattern of
+    ``broadcast_max_nodes`` — default 1M rows: two int64 columns in a
+    broadcast hash relation cost ~50-100 B/row resident on the driver
+    and every executor, so 1M ≈ tens of MB (inside a default-sized
+    JVM); the row gate is a proxy for that byte budget, and tuned
+    deployments with bigger heaps can raise it (the stats-gated
+    pattern of
     sources.maybe_broadcast, decided with a real count instead of a
     Catalyst guess), so small-to-medium graphs pay only the ONE
     O(edges) groupBy exchange per round; past the gate the join

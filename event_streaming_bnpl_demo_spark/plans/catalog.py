@@ -14,7 +14,14 @@ Contract invariants enforced by construction:
   idioms from :mod:`.sqlcompat` so Spark and DuckDB produce bit-equal
   float64, independent of partition-level summation order;
 - timestamps cross the comparison boundary as dates or formatted
-  strings, never raw engine-local timestamp objects.
+  strings, never raw engine-local timestamp objects;
+- no top-level ``ArrayType``/``MapType`` column ever crosses the driver
+  boundary — the driver canonicalizes results by pandas-sorting every
+  column, and numpy arrays are unhashable (the r4 ``agg_collect_sorted``
+  crash). Serialize collections as csv/json strings on BOTH sides
+  (enforced across the whole catalog by
+  ``tests/oracle_harness.driver_boundary_violations`` inside the
+  parity suite's per-query schema walk).
 """
 
 from __future__ import annotations
@@ -39,62 +46,36 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # Catalog iteration order. The driver's correctness harness budgets ~50
-# queries per round, taken in dict order (r1–r3 each checked exactly
-# 50; cumulative green after r3 = 124 distinct historical names, zero
-# red — 122 still registered, two r1 names were renamed away in the
-# r3 scale-safe dedup rename).
-# Round-4 tier 1 therefore holds the 50 highest-value names that have
-# NO driver-side green row yet — led by the operators a user hits
-# first: the custom stateful streaming as-of flagship, the
-# partitioned/schema-evolution scans, the dq/ts/graph packs, the
-# forward/tolerance as-of variants, and the llm3 assembly pack.
+# queries per round, taken in dict order. Cumulative driver-green after
+# round 4: 170 of 197 oracled names (CORRECTNESS_r01..r04.json), zero
+# wrong answers; the one r4 red row (agg_collect_sorted) was a harness
+# artifact, fixed this round by dropping the top-level array column.
+# Round-5 tier 1 = the 27 names with no green row yet: the 16
+# longest-queued tails, the 10 ext4 capability-pack names, and the
+# fixed agg_collect_sorted. The round-5 additions (materialized-view
+# maintenance / streaming fan-out / SCD2 enrichment pack) follow as
+# `fresh` in registration order — 27 + fresh fits the ~50 budget, so
+# one clean round closes driver coverage at 197-for-197 and checks the
+# new tier too.
 _PRIORITY: tuple[str, ...] = (
-    # custom stateful streaming flagship + scan surfaces
-    "stream_asof_join", "source_partitioned_scan", "source_schema_evolution",
-    # data-quality audit pack (the gates a 100 TB lake runs continuously)
-    "dq_referential_orphans", "dq_null_profile", "dq_key_uniqueness",
-    "dq_order_reconciliation", "dq_freshness",
-    # time-series / hypertable pack
-    "ts_bucket_rollup", "ts_ohlc", "ts_gap_fill", "ts_gap_fill_interp",
-    "ts_sessionize", "ts_top_movers", "ts_rolling_24h", "stream_ts_rollup",
-    "ts_scd2_states", "ts_time_weighted_avg", "ts_calendar_heatmap",
-    "ts_hourweek_anomaly",
-    # graph pack
-    "graph_degree_stats", "graph_pagerank",
-    # as-of variants + UDTF + video tier
-    "join_asof_forward", "join_asof_tolerance", "udf_python_udtf",
-    "llm_multimodal_video",
-    # round-3 LLM dataset-assembly (llm3) pack
-    "llm_source_caps", "llm_token_budget_sample", "llm_global_shuffle",
-    "llm_cluster_quality_pick", "llm_length_histogram",
-    "llm_ann_recall_eval", "llm_ngram_novelty",
-    # event-analytics tails
-    "events_type_transitions", "events_time_to_convert_hist",
-    "events_activity_gini",
-    # text-analysis tails
-    "llm_text_tokens", "llm_text_fingerprint", "llm_text_langid",
-    "llm_text_repetition", "llm_text_scrub",
-    # stats-aggregate tails
-    "agg_percentiles_disc", "agg_outlier_zscore", "agg_mode_exact",
-    "agg_collect_sorted",
-    # ops/reporting + set/window tails
-    "q_backlog_aging", "set_symmetric_diff", "window_value_share",
-    # bonus source formats
-    "source_xml_scan", "source_orc_scan",
-)
-
-# Second tier: the 16 longest-unchecked oracled queries — round 5's
-# closure set, ahead of the 10 round-4 additions (which follow as
-# `fresh` in registration order; all 26 fit round 5's ~50 budget →
-# cumulative 197/197).
-_PRIORITY2: tuple[str, ...] = (
+    # longest-unchecked oracled tails (former tier 2)
     "llm_dedup_ngram_jaccard_exact", "llm_dedup_embedding_exact",
     "scalar_string2", "scalar_math2", "scalar_date2",
     "array_posexplode", "array_explode_outer", "array_higher_order",
     "set_union_byname", "agg_grouping_id", "reshape_unpivot",
     "agg_conditional", "scalar_levenshtein", "window_distribution",
     "scalar_bitwise", "window_running_distinct",
+    # round-4 ext4 capability pack
+    "join_null_safe", "ts_interval_coverage", "llm_priority_sample",
+    "stream_dedup_watermark", "sketch_count_min_topk", "cdc_merge_upsert",
+    "window_rank_normalize", "events_path_topk", "events_cooccurrence",
+    "q_customer_rfm",
+    # fixed this round: collection aggregate now string-projected
+    "agg_collect_sorted",
 )
+
+# Second tier: empty — every previously-queued name is in tier 1 now.
+_PRIORITY2: tuple[str, ...] = ()
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —
 # cumulative (122 currently-registered names, zero red; 121 oracled +
@@ -151,6 +132,28 @@ _DRIVER_CHECKED: frozenset[str] = frozenset({
     "llm_multimodal_image", "llm_dedup_verified", "llm_corpus_stats",
     "filter_predicates", "agg_pivot", "window_fill_forward",
     "source_csv_scan",
+    # round 4 additions (CORRECTNESS_r04.json: 49/50 green; the one red,
+    # agg_collect_sorted, was a harness artifact — fixed + re-queued r5)
+    "stream_asof_join", "source_partitioned_scan", "source_schema_evolution",
+    "dq_referential_orphans", "dq_null_profile", "dq_key_uniqueness",
+    "dq_order_reconciliation", "dq_freshness",
+    "ts_bucket_rollup", "ts_ohlc", "ts_gap_fill", "ts_gap_fill_interp",
+    "ts_sessionize", "ts_top_movers", "ts_rolling_24h", "stream_ts_rollup",
+    "ts_scd2_states", "ts_time_weighted_avg", "ts_calendar_heatmap",
+    "ts_hourweek_anomaly",
+    "graph_degree_stats", "graph_pagerank",
+    "join_asof_forward", "join_asof_tolerance", "udf_python_udtf",
+    "llm_multimodal_video",
+    "llm_source_caps", "llm_token_budget_sample", "llm_global_shuffle",
+    "llm_cluster_quality_pick", "llm_length_histogram",
+    "llm_ann_recall_eval", "llm_ngram_novelty",
+    "events_type_transitions", "events_time_to_convert_hist",
+    "events_activity_gini",
+    "llm_text_tokens", "llm_text_fingerprint", "llm_text_langid",
+    "llm_text_repetition", "llm_text_scrub",
+    "agg_percentiles_disc", "agg_outlier_zscore", "agg_mode_exact",
+    "q_backlog_aging", "set_symmetric_diff", "window_value_share",
+    "source_xml_scan", "source_orc_scan",
 })
 
 

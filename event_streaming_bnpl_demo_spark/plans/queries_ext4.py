@@ -313,7 +313,7 @@ def sketch_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c_custkey, 'D', NULL
       FROM customer WHERE c_custkey % 13 = 0 AND c_custkey % 7 <> 0
       UNION ALL
-      SELECT c_custkey + 10000000, 'I', 'NEW'
+      SELECT c_custkey + (SELECT MAX(c_custkey) FROM customer), 'I', 'NEW'
       FROM customer WHERE c_custkey % 11 = 0
     )
     SELECT COALESCE(ch.seg, b.c_mktsegment) AS segment,
@@ -336,6 +336,12 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame ops (the engine's streaming twin is the keyed last-wins
     upsert, ref_lastwin_state).
 
+    Insert keys are offset by the data's own MAX(c_custkey) (a 1-row
+    broadcast scalar), guaranteeing disjointness from live keys at ANY
+    scale factor — a fixed constant collides once SF >= ~67 (customer
+    cardinality = SF x 150k) and would silently turn inserts into
+    multi-matching updates.
+
     Scale: one co-keyed full-outer join (both sides shuffle once on
     the key — at deploy co-bucketed to zero exchanges) + a tiny
     segment fold. The change set is usually << base, so AQE broadcasts
@@ -351,7 +357,9 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .select(k.alias("k"), F.lit("D").alias("op"),
                           F.lit(None).cast("string").alias("seg")))
         .unionAll(c.filter(k % 11 == 0)
-                  .select((k + 10000000).alias("k"), F.lit("I").alias("op"),
+                  .crossJoin(F.broadcast(c.agg(F.max(k).alias("maxk"))))
+                  .select((k + F.col("maxk")).alias("k"),
+                          F.lit("I").alias("op"),
                           F.lit("NEW").alias("seg"))))
     merged = c.join(changes, c.c_custkey == changes.k, "full_outer")
     return (merged.filter(F.col("op").isNull() | (F.col("op") != "D"))

@@ -397,7 +397,6 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
     SELECT n_regionkey,
-           list(n_name ORDER BY n_name) AS members,
            string_agg(n_name, ',' ORDER BY n_name) AS members_csv,
            CAST(COUNT(*) AS BIGINT) AS n_members
     FROM nation
@@ -411,7 +410,10 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-parallel collection, made deterministic the only
     portable way: collect then sort INSIDE the aggregate expression
     (sort_array / ORDER BY in the aggregate), so output order is a
-    property of the data, not the partitioning.
+    property of the data, not the partitioning. The collected list
+    crosses the comparison boundary as a csv string (concat_ws /
+    string_agg): catalog invariant — no top-level array/map columns,
+    the driver's canonicalizer cannot hash them.
 
     Scale: collect_list buffers its group — fine for bounded groups
     (dimension rollups like this); for unbounded groups prefer top-k
@@ -421,6 +423,5 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     members = F.sort_array(F.collect_list("n_name"))
     return n.groupBy("n_regionkey").agg(
-        members.alias("members"),
         F.concat_ws(",", members).alias("members_csv"),
         F.count(F.lit(1)).alias("n_members"))

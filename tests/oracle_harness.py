@@ -104,6 +104,25 @@ def _arrow_kind(t) -> str:
     return str(t)
 
 
+def driver_boundary_violations(spark_df) -> list[str]:
+    """Catalog invariant: no top-level ``ArrayType``/``MapType`` column
+    may cross the driver boundary. The driver canonicalizes results by
+    pandas-sorting every column, and numpy arrays are unhashable — the
+    round-4 ``agg_collect_sorted`` red row was exactly this (``TypeError:
+    unhashable type: 'numpy.ndarray'``) despite a correct answer.
+    Serialize collections as csv (``concat_ws`` / ``string_agg``) or
+    json (``to_json``) strings on BOTH sides instead."""
+    from pyspark.sql import types as T
+
+    return [
+        f"top-level {type(f.dataType).__name__} column {f.name!r} would "
+        f"crash the driver's pandas canonicalizer — project it as a "
+        f"csv/json string instead"
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType))
+    ]
+
+
 def type_kind_mismatches(spark_df, con, sql: str) -> list[str]:
     """Column-level type-KIND divergences between the Spark result
     schema and the oracle's Arrow schema.

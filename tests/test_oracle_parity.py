@@ -9,7 +9,8 @@ import pytest
 from event_streaming_bnpl_demo_spark.plans import all_queries
 
 from .conftest import SF_SMOKE
-from .oracle_harness import compare, duck_connection
+from .oracle_harness import (compare, driver_boundary_violations,
+                             duck_connection)
 
 QUERIES = all_queries()
 WITH_ORACLE = sorted(n for n, q in QUERIES.items() if q.oracle)
@@ -27,7 +28,7 @@ def duck():
 def test_oracle_match(spark, duck, name):
     q = QUERIES[name]
     df = q.fn(spark, SF_SMOKE)
-    problems = compare(df, duck, q.oracle)
+    problems = driver_boundary_violations(df) + compare(df, duck, q.oracle)
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
@@ -35,5 +36,7 @@ def test_oracle_match(spark, duck, name):
 def test_rows_only_runs(spark, name):
     q = QUERIES[name]
     df = q.fn(spark, SF_SMOKE)
+    violations = driver_boundary_violations(df)
+    assert not violations, f"{name}: " + "; ".join(violations)
     assert df.count() >= 0
     assert len(df.columns) > 0

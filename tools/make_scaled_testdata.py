@@ -7,7 +7,9 @@ key offsets, so key cardinalities, join fan-ins, and group counts all
 grow ~K-fold — the same shape TPC-H itself scales — instead of K-fold
 duplicating the same keys (which would skew group sizes, not group
 counts). Document text gets a per-replica suffix token and embeddings a
-per-replica last-component epsilon so the near-dup operators see K times
+per-replica per-component epsilon (0.0001*r added to every
+component — a uniform shift that keeps replicas distinct without
+reshaping the space) so the near-dup operators see K times
 the corpus, not K exact copies of it (exact copies would make every LSH
 bucket K times hotter and the in-bucket pair expansion K^2 — a
 distribution no real 10x corpus growth has).
