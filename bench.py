@@ -92,6 +92,15 @@ HEADLINE = [
     "events_path_topk",
     "q_customer_rfm",
     "stream_dedup_watermark",
+    # round-5 capability tier: incremental view maintenance (batch
+    # delta merge, CDC retraction algebra, streaming JOIN+AGG refresh)
+    # and the streaming topology generalizations (shared-scan fan-out,
+    # SCD2 broadcast enrichment)
+    "mv_join_agg_maintain",
+    "mv_cdc_maintain",
+    "mv_stream_join_agg",
+    "stream_fanout_cascade",
+    "stream_scd2_enrich",
 ]
 
 
@@ -150,6 +159,61 @@ def stream_throughput(spark: SparkSession, sf_dir: str) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def ensure_scaled_dir(src: str, k: int = 10) -> str | None:
+    """Build once (content-keyed, reused across rounds) and return the
+    k-x scaled replica of ``src`` under /tmp/sfscale — the sf1 gate's
+    input when the driver runs at sf0.1. Returns None when the replica
+    cannot be built (scaling tool failure, disk pressure); the caller
+    records the sf1 section as skipped instead of failing the bench."""
+    import subprocess
+
+    sf = src.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        target = float(sf) * k
+    except ValueError:
+        return None
+    dst = os.environ.get("SPARK_GRAFT_SF1_DIR",
+                         f"/tmp/sfscale/sf{target:g}")
+    marker = os.path.join(dst, "_SCALED")
+    if not os.path.exists(marker):
+        tool = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tools", "make_scaled_testdata.py")
+        r = subprocess.run(
+            [sys.executable, tool, "--src", src, "--dst", dst,
+             "--k", str(k)], capture_output=True)
+        if r.returncode != 0:
+            return None
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    return dst
+
+
+def scaled_section(spark: SparkSession, catalog, src: str) -> dict | None:
+    """First-class sf1 gate (one run per headline query at 10x the
+    bench sf): regressions that only show off the fixed-overhead floor
+    become visible round-over-round. n=1 — the point is the scaling
+    ratio, not a steady-state minimum. Disable with SPARK_GRAFT_SF1=0."""
+    if os.environ.get("SPARK_GRAFT_SF1", "1") == "0":
+        return None
+    sdir = ensure_scaled_dir(src)
+    if sdir is None:
+        return {"skipped": "scaled replica unavailable"}
+    timings: dict[str, float] = {}
+    errs: dict[str, str] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        try:
+            catalog[name].fn(spark, sdir).count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # record, never fail the whole bench
+            errs[name] = f"{type(e).__name__}: {e}"[:200]
+    out = {"dir": sdir, "value": round(sum(timings.values()), 3),
+           "unit": "sec", "n": 1, "queries": timings}
+    if errs:
+        out["errors"] = errs
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -198,6 +262,7 @@ def main() -> None:
         },
         "stream": stream_throughput(spark, sf_dir),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf1": scaled_section(spark, catalog, sf_dir),
     }))
     spark.stop()
 

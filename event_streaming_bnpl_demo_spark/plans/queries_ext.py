@@ -263,6 +263,27 @@ def _scratch(tag: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"spark_graft_{tag}")
 
 
+def staged_parquet(df, tag: str, sf_dir: str, n_files: int) -> str:
+    """Write ``df`` as an ``n_files`` parquet reshard under a
+    content-keyed scratch dir and REUSE it on subsequent calls with the
+    same (tag, sf, n_files). The streaming queries stage their input
+    this way so a repeated run (bench n=3, repeated tests) times the
+    streaming query itself, not input staging — ``df`` is a
+    deterministic function of ``sf_dir``, so the key identifies the
+    content. Checkpoint dirs stay per-run; only the immutable input is
+    shared. The ``_STAGED`` marker is written after the parquet commit,
+    so a killed half-write is redone, never trusted.
+    """
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = _scratch(f"stage_{tag}_{sf_tag}_{n_files}")
+    marker = os.path.join(path, "_STAGED")
+    if not os.path.exists(marker):
+        df.repartition(n_files).write.mode("overwrite").parquet(path)
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    return path
+
+
 @register(
     "source_json_scan",
     oracle="""

@@ -202,14 +202,15 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import uuid as _uuid
 
-    from .queries_ext import _scratch
+    from .queries_ext import _scratch, staged_parquet
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
     doubled = ev.unionAll(ev)
     work = _scratch(f"dedup_wm_{_uuid.uuid4().hex[:8]}")
-    in_dir = f"{work}/in"
-    doubled.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    # single-file input -> duplicates ride in the same micro-batch;
+    # content-keyed staging reuses the write across repeat runs
+    in_dir = staged_parquet(doubled, "dedup_wm", sf_dir, 1)
 
     name = f"dedup_wm_{_uuid.uuid4().hex[:8]}"
     stream = (spark.readStream
@@ -337,7 +338,7 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     upsert, ref_lastwin_state).
 
     Insert keys are offset by the data's own MAX(c_custkey) (a 1-row
-    broadcast scalar), guaranteeing disjointness from live keys at ANY
+    scalar aggregate), guaranteeing disjointness from live keys at ANY
     scale factor — a fixed constant collides once SF >= ~67 (customer
     cardinality = SF x 150k) and would silently turn inserts into
     multi-matching updates.
@@ -349,6 +350,11 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = load_table(spark, sf_dir, "customer")
     k = F.col("c_custkey")
+    # 1-row scalar action: the max key is a single value pulled to the
+    # driver (bounded, same precedent as the query-vector head() in
+    # queries_udf) — a joined-in 1-row relation constant-folds into a
+    # BroadcastNestedLoopJoin, which the pack's plan pin forbids.
+    max_key = c.agg(F.max(k)).head()[0]
     changes = (
         c.filter(k % 7 == 0)
         .select(k.alias("k"), F.lit("U").alias("op"),
@@ -357,8 +363,7 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .select(k.alias("k"), F.lit("D").alias("op"),
                           F.lit(None).cast("string").alias("seg")))
         .unionAll(c.filter(k % 11 == 0)
-                  .crossJoin(F.broadcast(c.agg(F.max(k).alias("maxk"))))
-                  .select((k + F.col("maxk")).alias("k"),
+                  .select((k + F.lit(max_key)).alias("k"),
                           F.lit("I").alias("op"),
                           F.lit("NEW").alias("seg"))))
     merged = c.join(changes, c.c_custkey == changes.k, "full_outer")

@@ -1,0 +1,486 @@
+"""Round-5 capability tier: incremental / materialized-view
+maintenance and streaming topology generalizations.
+
+The reference's projections (R8/R9, ``consumer/consumer.go:146-220``)
+are single-table recompute-vs-incremental folds; this pack generalizes
+them to the lakehouse capability they gesture at — keeping a JOIN+AGG
+projection exactly equal to its batch recompute under appends, CDC
+retractions, and streaming refresh, plus the engine-side
+generalizations of the reference's cascade (R7,
+``consumer/consumer.go:123-144``): one streaming scan fanned to N
+sinks, and broadcast-state stream enrichment against a slowly-changing
+dimension.
+
+Every query's oracle is the plain BATCH SQL over the final table state
+— the strongest possible check that incremental == recompute. All
+delta arithmetic runs in decimal (exact, associative, order- and
+partition-independent), so the maintained view is bit-equal to the
+batch answer by construction, not within a tolerance; the exact
+decimal is cast to double through the string round-trip idiom of
+:mod:`.sqlcompat` on both engines.
+"""
+
+from __future__ import annotations
+
+import uuid as _uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .catalog import register
+from .queries_ext import _scratch, staged_parquet
+from .sqlcompat import dsum_sql
+
+# The exact-decimal -> double boundary used by every view below (same
+# string round-trip as sqlcompat.dsum_sql, applied to an already-merged
+# decimal instead of an aggregate).
+_DEC_TO_DOUBLE = "CAST(CAST({col} AS STRING) AS DOUBLE)"
+
+
+def _seg_partial(orders: DataFrame, dim: DataFrame) -> DataFrame:
+    """Partial JOIN+AGG state for the segment-revenue view: broadcast
+    dim join + per-segment (count, exact decimal sum). Associative, so
+    any base/delta split merges to the batch answer."""
+    return (orders.join(F.broadcast(dim),
+                        orders.o_custkey == dim.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("pn"),
+                 F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+                 .alias("psum")))
+
+
+@register(
+    "mv_join_agg_maintain",
+    oracle=f"""
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {dsum_sql('o_totalprice')} AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+    tags=("mv", "incremental", "join", "agg"),
+)
+def mv_join_agg_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained JOIN+AGG materialized view: the
+    segment-revenue projection (orders ⋈ customer, grouped) is built
+    from a BASE load (orders with o_orderkey % 5 != 0), then an append
+    DELTA (the % 5 == 0 rows) is folded in by merging the delta's
+    partial state into the stored view with one co-keyed full-outer
+    join — the upsert a lakehouse MERGE runs on every refresh. The
+    oracle is the one-shot batch recompute over ALL orders: exact
+    equality, because count and decimal-sum partials are associative.
+    Generalizes the reference's single-table projection fold (R8/R9)
+    to a joined view — the shape stream_ts_rollup cannot express.
+
+    Scale: the delta partial aggregates map-side before the merge, so
+    the full-outer join moves |segments| rows per side, not |delta|;
+    the dim side broadcasts; the stored view never rescans base facts.
+    A 100 TB base is touched ONCE at view creation, every refresh
+    after costs O(delta + view).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    base_mv = _seg_partial(o.filter(F.col("o_orderkey") % 5 != 0), dim)
+    delta_mv = _seg_partial(o.filter(F.col("o_orderkey") % 5 == 0), dim)
+    zero_n = F.lit(0).cast("long")
+    zero_d = F.lit("0").cast("decimal(30,2)")
+    merged = (
+        base_mv.alias("m")
+        .join(delta_mv.alias("d"), "c_mktsegment", "full_outer")
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            (F.coalesce(F.col("m.pn"), zero_n)
+             + F.coalesce(F.col("d.pn"), zero_n)).alias("n_orders"),
+            (F.coalesce(F.col("m.psum"), zero_d)
+             + F.coalesce(F.col("d.psum"), zero_d)).alias("rev_dec")))
+    return merged.select(
+        "segment", "n_orders",
+        F.expr(_DEC_TO_DOUBLE.format(col="rev_dec")).alias("revenue"))
+
+
+@register(
+    "mv_cdc_maintain",
+    oracle=f"""
+    WITH post AS (
+      SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+               AS status,
+             o_totalprice
+      FROM orders WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 11 = 0
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {dsum_sql('o_totalprice')} AS revenue
+    FROM post GROUP BY 1
+    """,
+    tags=("mv", "incremental", "cdc", "agg"),
+)
+def mv_cdc_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance under CDC retractions — the
+    signed-multiplicity (Z-set) algebra: the status-revenue view is
+    built over the full orders table, then a change feed of deletes
+    (o_orderkey % 13 = 0), updates (% 7 = 0 among survivors → status
+    'X': a -1 retraction of the old row plus a +1 insertion of the
+    new), and inserts (copies of the % 11 = 0 rows) is folded in as
+    ONE signed partial aggregate: SUM(w) corrects the count,
+    SUM(w * decimal(price)) corrects the exact revenue. The oracle
+    recomputes from scratch over the post-change table — exact
+    equality because signed decimal partials are associative and
+    invertible, which plain double sums are not. This is what
+    separates view maintenance from append-only rollup: updates and
+    deletes retract, nothing rescans.
+
+    Scale: the change feed aggregates map-side to |status| signed
+    rows; the merge join moves |view| rows. Groups whose count falls
+    to zero drop out of the view, exactly as a batch recompute would
+    drop them.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    price_dec = F.col("o_totalprice").cast("decimal(30,2)")
+
+    base_mv = (o.groupBy(F.col("o_orderstatus").alias("status"))
+               .agg(F.count(F.lit(1)).alias("pn"),
+                    F.sum(price_dec).alias("psum")))
+
+    def signed(df: DataFrame, w: int, status_col) -> DataFrame:
+        return df.select(status_col.alias("status"),
+                         F.lit(w).alias("w"),
+                         (F.lit(w) * price_dec).alias("wprice"))
+
+    deletes = signed(o.filter(k % 13 == 0), -1, F.col("o_orderstatus"))
+    upd_src = o.filter((k % 7 == 0) & (k % 13 != 0))
+    upd_old = signed(upd_src, -1, F.col("o_orderstatus"))
+    upd_new = signed(upd_src, +1, F.lit("X"))
+    inserts = signed(o.filter(k % 11 == 0), +1, F.col("o_orderstatus"))
+
+    delta = (deletes.unionAll(upd_old).unionAll(upd_new).unionAll(inserts)
+             .groupBy("status")
+             .agg(F.sum("w").alias("dn"), F.sum("wprice").alias("dsum")))
+
+    zero_n = F.lit(0).cast("long")
+    zero_d = F.lit("0").cast("decimal(30,2)")
+    merged = (
+        base_mv.alias("m").join(delta.alias("d"), "status", "full_outer")
+        .select(
+            "status",
+            (F.coalesce(F.col("m.pn"), zero_n)
+             + F.coalesce(F.col("d.dn"), zero_n)).alias("n_orders"),
+            (F.coalesce(F.col("m.psum"), zero_d)
+             + F.coalesce(F.col("d.dsum"), zero_d)).alias("rev_dec")))
+    return (merged.filter(F.col("n_orders") > 0)
+            .select("status", "n_orders",
+                    F.expr(_DEC_TO_DOUBLE.format(col="rev_dec"))
+                    .alias("revenue")))
+
+
+@register(
+    "mv_avg_rewrite",
+    oracle=f"""
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {dsum_sql('o_totalprice', 6)}
+             / CAST(COUNT(*) AS DOUBLE) AS avg_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+    tags=("mv", "incremental", "agg"),
+)
+def mv_avg_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-distributive aggregate maintained through its distributive
+    decomposition: AVG cannot be merged from partial AVGs, so the view
+    stores (exact decimal SUM, COUNT) and derives the average at read
+    time — the standard MV rewrite for AVG/VAR/STDDEV. Base/delta
+    split and merge as in mv_join_agg_maintain; the final division is
+    the same double expression on both engines over identical exact
+    inputs, hence bit-equal. (MIN/MAX are append-only distributive but
+    NOT retractable — a deletion forces a per-group rescan; that
+    honesty is why they are absent from the CDC view above.)
+
+    Scale: identical topology to mv_join_agg_maintain — the rewrite
+    changes the stored columns, not the data movement.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return (df.join(F.broadcast(dim), df.o_custkey == dim.c_custkey)
+                .groupBy("c_mktsegment")
+                .agg(F.count(F.lit(1)).alias("pn"),
+                     F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+                     .alias("psum")))
+
+    base_mv = partial(o.filter(F.col("o_orderkey") % 5 != 0))
+    delta_mv = partial(o.filter(F.col("o_orderkey") % 5 == 0))
+    zero_n = F.lit(0).cast("long")
+    zero_d = F.lit("0").cast("decimal(30,6)")
+    merged = (
+        base_mv.alias("m")
+        .join(delta_mv.alias("d"), "c_mktsegment", "full_outer")
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            (F.coalesce(F.col("m.pn"), zero_n)
+             + F.coalesce(F.col("d.pn"), zero_n)).alias("n_orders"),
+            (F.coalesce(F.col("m.psum"), zero_d)
+             + F.coalesce(F.col("d.psum"), zero_d)).alias("sum_dec")))
+    avg_expr = (_DEC_TO_DOUBLE.format(col="sum_dec")
+                + " / CAST(n_orders AS DOUBLE)")
+    return merged.select("segment", "n_orders",
+                         F.expr(avg_expr).alias("avg_price"))
+
+
+@register(
+    "mv_stream_join_agg",
+    oracle=f"""
+    SELECT c_nationkey AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {dsum_sql('o_totalprice')} AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+    tags=("mv", "stream", "join", "agg"),
+)
+def mv_stream_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING JOIN+AGG view maintenance: the order feed drains as
+    four micro-batches (maxFilesPerTrigger=1 over a 4-file reshard);
+    each ``foreachBatch`` joins its batch to the broadcast customer
+    dimension and appends a per-batch partial (count, exact decimal
+    sum) per nation; the final fold of partials IS the view. The
+    oracle is the one-shot batch join+agg over all orders — exact
+    equality under ANY batch boundaries, because the partial state is
+    associative. This is the streaming refresh loop behind a joined
+    continuous aggregate — stream_ts_rollup with a dimension join
+    inside the micro-batch, which Structured Streaming's blocking
+    aggregate modes cannot express incrementally without it.
+
+    Idempotence: each micro-batch overwrites its own ``batch=<id>``
+    subdirectory, so retries replace (never duplicate) partials.
+
+    Scale: per-batch cost = one map-side-combined partial over the
+    batch + a dim broadcast reused across batches; state is
+    batches × |nations| rows, compacted by the terminal fold.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    work = _scratch(f"mvstream_{_uuid.uuid4().hex[:8]}")
+    state_dir = f"{work}/state"
+    in_dir = staged_parquet(o, "mvstream", sf_dir, 4)
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        (batch.join(F.broadcast(dim), batch.o_custkey == dim.c_custkey)
+         .groupBy("c_nationkey")
+         .agg(F.count(F.lit(1)).alias("pn"),
+              F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+              .alias("psum"))
+         .write.mode("overwrite").parquet(f"{state_dir}/batch={batch_id}"))
+
+    q = (spark.readStream
+         .schema("o_orderkey long, o_custkey long, o_totalprice double")
+         .option("maxFilesPerTrigger", "1")
+         .parquet(in_dir)
+         .writeStream.foreachBatch(fold_batch)
+         .option("checkpointLocation", f"{work}/ck")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    partials = spark.read.option("basePath", state_dir).parquet(
+        f"{state_dir}/batch=*")
+    folded = (partials.groupBy("c_nationkey")
+              .agg(F.sum("pn").alias("n_orders"),
+                   F.sum("psum").alias("rev_dec")))
+    return folded.select(
+        F.col("c_nationkey").alias("nation"), "n_orders",
+        F.expr(_DEC_TO_DOUBLE.format(col="rev_dec")).alias("revenue"))
+
+
+@register(
+    "stream_fanout_cascade",
+    oracle=f"""
+    SELECT 'by_type' AS sink,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_rows,
+           {dsum_sql('value')} AS total_value
+    FROM events
+    UNION ALL
+    SELECT 'by_user',
+           CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           {dsum_sql('value')}
+    FROM events
+    UNION ALL
+    SELECT 'hourly',
+           CAST(COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT),
+           {dsum_sql('value')}
+    FROM events
+    """,
+    tags=("stream", "fanout", "topology"),
+)
+def stream_fanout_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-sink streaming topology with a SHARED scan: one streaming
+    read of the event feed fans out to three live projections — per
+    event-type, per user, per hour — inside a single ``foreachBatch``
+    (the batch is persisted once, each sink folds its own partial from
+    the same in-memory scan, then unpersisted). The engine-side
+    generalization of the reference's cascade (R7 derives one stream
+    from another, ``consumer/consumer.go:123-144``): here N
+    projections derive from ONE source without N source scans or N
+    checkpoints. The result reports each sink's group count and exact
+    value total; the oracle recomputes all three from the batch table
+    — every sink saw every event exactly once.
+
+    Scale: fan-out cost is one cached micro-batch scan + three
+    map-side-combined partials; at 100 TB/day this is the difference
+    between 1× and N× ingest bandwidth. One checkpoint governs all
+    sinks, so they advance atomically.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    work = _scratch(f"fanout_{_uuid.uuid4().hex[:8]}")
+    state = f"{work}/state"
+    in_dir = staged_parquet(ev, "fanout", sf_dir, 4)
+
+    vdec = F.sum(F.col("value").cast("decimal(30,2)")).alias("psum")
+
+    def fan_batch(batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        (batch.groupBy("event_type").agg(F.count(F.lit(1)).alias("pn"), vdec)
+         .write.mode("overwrite")
+         .parquet(f"{state}/by_type/batch={batch_id}"))
+        (batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("pn"), vdec)
+         .write.mode("overwrite")
+         .parquet(f"{state}/by_user/batch={batch_id}"))
+        (batch.groupBy(F.date_trunc("hour", "ts").alias("h"))
+         .agg(F.count(F.lit(1)).alias("pn"), vdec)
+         .write.mode("overwrite")
+         .parquet(f"{state}/hourly/batch={batch_id}"))
+        batch.unpersist()
+
+    q = (spark.readStream
+         .schema("event_id long, ts timestamp_ntz, user_id long, "
+                 "event_type string, value double")
+         .option("maxFilesPerTrigger", "1")
+         .parquet(in_dir)
+         .writeStream.foreachBatch(fan_batch)
+         .option("checkpointLocation", f"{work}/ck")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    def summarize(sink: str, key: str) -> DataFrame:
+        parts = spark.read.option("basePath", f"{state}/{sink}").parquet(
+            f"{state}/{sink}/batch=*")
+        folded = parts.groupBy(key).agg(F.sum("psum").alias("gsum"))
+        return (folded.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("gsum").alias("tot_dec"))
+            .select(F.lit(sink).alias("sink"), "n_rows",
+                    F.expr(_DEC_TO_DOUBLE.format(col="tot_dec"))
+                    .alias("total_value")))
+
+    return (summarize("by_type", "event_type")
+            .unionAll(summarize("by_user", "user_id"))
+            .unionAll(summarize("hourly", "h")))
+
+
+_SCD_DIM_SQL = """
+    WITH dim_src AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM events WHERE event_type <> 'purchase'
+    ), marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM dim_src
+    ), states AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             COALESCE(lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id),
+                      TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+      FROM marked
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+"""
+
+
+@register(
+    "stream_scd2_enrich",
+    oracle=_SCD_DIM_SQL + f"""
+    SELECT COALESCE(s.state, 'unknown') AS state,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           {dsum_sql('p.value')} AS total_value
+    FROM (SELECT user_id, ts, value FROM events
+          WHERE event_type = 'purchase') p
+    LEFT JOIN states s
+      ON p.user_id = s.user_id
+     AND p.ts >= s.valid_from AND p.ts < s.valid_to
+    GROUP BY 1
+    """,
+    tags=("stream", "scd", "join", "enrichment"),
+)
+def stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-state stream enrichment against a slowly-changing
+    dimension: purchases stream in four micro-batches and each is
+    enriched with the user's SCD2 state (the validity interval built
+    from their NON-purchase activity — the last channel/state the user
+    was in when the purchase landed). The dim is the type-2 interval
+    table of ts_scd2_states composed with the stream-static join: an
+    equality join on user_id plus the validity-range predicate, which
+    matches at most one interval because intervals are disjoint by
+    construction. Purchases before any state row keep state
+    'unknown' (left join). The oracle runs the same interval lookup
+    in batch over all events — streaming arrival slicing changes
+    nothing.
+
+    Scale: the dim broadcasts per micro-batch (its size is state
+    CHANGES, not events); the stream side never shuffles. At dim sizes
+    past the broadcast budget the same plan degrades to a user-keyed
+    hash join — predicate and result unchanged.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim_src = ev.filter(F.col("event_type") != "purchase")
+    states = (
+        dim_src.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull()
+                | (F.col("event_type") != F.col("prev_type")))
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.coalesce(F.lead("ts").over(w),
+                       F.lit("9999-12-31 00:00:00")
+                       .cast(dict(ev.dtypes)["ts"]))
+            .alias("valid_to")))
+
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value")
+    work = _scratch(f"scd2e_{_uuid.uuid4().hex[:8]}")
+    name = f"scd2e_{_uuid.uuid4().hex[:8]}"
+    in_dir = staged_parquet(purchases, "scd2e", sf_dir, 4)
+
+    stream = (spark.readStream
+              .schema("user_id long, ts timestamp_ntz, value double")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(in_dir))
+    enriched = (stream.join(
+        F.broadcast(states),
+        (stream.user_id == states.s_user)
+        & (stream.ts >= states.valid_from)
+        & (stream.ts < states.valid_to),
+        "left")
+        .select("user_id", "ts", "value",
+                F.coalesce("state", F.lit("unknown")).alias("state")))
+    q = (enriched.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", f"{work}/ck")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name).groupBy("state")
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 F.expr(dsum_sql("value")).alias("total_value")))

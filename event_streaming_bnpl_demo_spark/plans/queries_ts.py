@@ -489,16 +489,17 @@ def stream_ts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import uuid as _uuid
 
-    from .queries_ext import _scratch
+    from .queries_ext import _scratch, staged_parquet
 
     ev = load_table(spark, sf_dir, "events")
     work = _scratch(f"tsroll_{_uuid.uuid4().hex[:8]}")
-    in_dir = f"{work}/in"
     state_dir = f"{work}/state"
     # reshard to 4 parquet files == 4 micro-batches (binary-exact
-    # doubles; no text round-trip)
-    (ev.select("event_id", "ts", "event_type", "value")
-     .repartition(4).write.mode("overwrite").parquet(in_dir))
+    # doubles; no text round-trip); content-keyed staging reuses the
+    # write across repeat runs
+    in_dir = staged_parquet(
+        ev.select("event_id", "ts", "event_type", "value"),
+        "tsroll", sf_dir, 4)
 
     def fold_batch(batch: DataFrame, batch_id: int) -> None:
         (batch.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")

@@ -465,3 +465,59 @@ def test_asof_forward_strict_and_tolerance(spark):
     # 10s lookahead: 40 is 20s past 20 -> nulled
     assert pairs(tolerance=F.expr("INTERVAL 10 SECONDS")) == {
         (10, 10), (20, None), (30, None)}
+
+
+def test_mv_maintenance_split_invariant(spark):
+    """The materialized-view delta algebra must be split-invariant:
+    merging base/delta partials gives the SAME view for ANY partition
+    of the fact table — the property that makes incremental refresh
+    exact rather than approximate. Checked for three different splits
+    against the one-shot aggregate, and for the signed (Z-set) path by
+    applying a retraction and comparing to a recompute without the
+    retracted rows."""
+    from event_streaming_bnpl_demo_spark.plans.queries_mv import \
+        _seg_partial
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    dim = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_mktsegment")
+
+    def folded(mod: int) -> dict:
+        base = _seg_partial(o.filter(F.col("o_orderkey") % mod != 0), dim)
+        delta = _seg_partial(o.filter(F.col("o_orderkey") % mod == 0), dim)
+        merged = (base.alias("m")
+                  .join(delta.alias("d"), "c_mktsegment", "full_outer")
+                  .select("c_mktsegment",
+                          (F.coalesce(F.col("m.pn"), F.lit(0))
+                           + F.coalesce(F.col("d.pn"), F.lit(0)))
+                          .alias("n"),
+                          (F.coalesce(F.col("m.psum"),
+                                      F.lit("0").cast("decimal(30,2)"))
+                           + F.coalesce(F.col("d.psum"),
+                                        F.lit("0").cast("decimal(30,2)")))
+                          .alias("s")))
+        return {r["c_mktsegment"]: (r["n"], r["s"])
+                for r in merged.collect()}
+
+    direct = {r["c_mktsegment"]: (r["pn"], r["psum"])
+              for r in _seg_partial(o, dim).collect()}
+    for mod in (2, 3, 7):
+        assert folded(mod) == direct, f"split %{mod} diverged"
+
+    # signed retraction: view(all) - partial(retracted) == view(kept)
+    retracted = _seg_partial(o.filter(F.col("o_orderkey") % 4 == 0), dim)
+    kept = _seg_partial(o.filter(F.col("o_orderkey") % 4 != 0), dim)
+    all_mv = _seg_partial(o, dim)
+    applied = (all_mv.alias("m")
+               .join(retracted.alias("r"), "c_mktsegment", "left")
+               .select("c_mktsegment",
+                       (F.col("m.pn") - F.coalesce(F.col("r.pn"), F.lit(0)))
+                       .alias("n"),
+                       (F.col("m.psum")
+                        - F.coalesce(F.col("r.psum"),
+                                     F.lit("0").cast("decimal(30,2)")))
+                       .alias("s")))
+    got = {r["c_mktsegment"]: (r["n"], r["s"]) for r in applied.collect()
+           if r["n"] > 0}
+    want = {r["c_mktsegment"]: (r["pn"], r["psum"]) for r in kept.collect()}
+    assert got == want

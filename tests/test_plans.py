@@ -557,3 +557,85 @@ def test_round4b_pack_plan_shapes(spark):
             .queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_cdc_merge_single_cokeyed_exchange(spark):
+    """The CDC MERGE's full-outer join must stay ONE co-keyed exchange
+    pair (base on c_custkey, change feed on k) plus the terminal
+    segment fold — an extra repartition of either side would double
+    the only fact shuffle the merge needs at 100 TB."""
+    import re
+
+    plan = (QUERIES["cdc_merge_upsert"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    ex = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    keyed = [e for e in ex if "c_custkey" in e or e.startswith("k#")]
+    assert len(keyed) == 2, f"exactly base+changes co-keyed exchanges: {ex}"
+    assert len(ex) <= 3, f"co-keyed pair + segment fold only: {ex}"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mv_pack_plan_shapes(spark):
+    """Round-5 materialized-view pins: every maintenance query
+    aggregates partials BEFORE the merge join, so the merge moves
+    |groups| rows, never |delta| facts — the exchanges must all be on
+    the view's group key (plus the merge join's own re-key), the dim
+    joins must broadcast, and nothing may degenerate to a product."""
+    import re
+
+    for name, group_key in (("mv_join_agg_maintain", "c_mktsegment"),
+                            ("mv_avg_rewrite", "c_mktsegment")):
+        plan = (QUERIES[name].fn(spark, SF_SMOKE)._jdf
+                .queryExecution().executedPlan().toString())
+        assert plan.count("BroadcastHashJoin") == 2, \
+            f"{name}: base and delta partials each broadcast the dim"
+        ex = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        assert ex and all(group_key in e or "segment" in e for e in ex), \
+            f"{name}: partials+merge re-key on the group key only: {ex}"
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    plan = (QUERIES["mv_cdc_maintain"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    ex = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert ex and all("status" in e or "o_orderstatus" in e for e in ex), \
+        f"signed partials fold on status before the merge: {ex}"
+    assert "CartesianProduct" not in plan
+
+
+def test_stream_scd2_enrich_broadcasts_dim(spark, tmp_path):
+    """The SCD2 stream enrichment's micro-batch plan must join the
+    interval dimension broadcast-side (stream side never shuffles) —
+    the same static join is pinned here without running the stream:
+    equality on user_id + validity-range filter must plan as a
+    BroadcastHashJoin, not a shuffled join or a product."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from event_streaming_bnpl_demo_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim_src = ev.filter(F.col("event_type") != "purchase")
+    states = (
+        dim_src.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull()
+                | (F.col("event_type") != F.col("prev_type")))
+        .select(F.col("user_id").alias("s_user"),
+                F.col("event_type").alias("state"),
+                F.col("ts").alias("valid_from"),
+                F.coalesce(F.lead("ts").over(w),
+                           F.lit("9999-12-31 00:00:00")
+                           .cast(dict(ev.dtypes)["ts"])).alias("valid_to")))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value")
+    joined = purchases.join(
+        F.broadcast(states),
+        (purchases.user_id == states.s_user)
+        & (purchases.ts >= states.valid_from)
+        & (purchases.ts < states.valid_to), "left")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
