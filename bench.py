@@ -101,6 +101,8 @@ HEADLINE = [
     "mv_stream_join_agg",
     "stream_fanout_cascade",
     "stream_scd2_enrich",
+    "mv_topk_maintain",
+    "mv_incremental_distinct",
 ]
 
 

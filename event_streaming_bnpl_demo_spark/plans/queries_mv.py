@@ -484,3 +484,81 @@ def stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (spark.table(name).groupBy("state")
             .agg(F.count(F.lit(1)).alias("n_purchases"),
                  F.expr(dsum_sql("value")).alias("total_value")))
+
+
+@register(
+    "mv_topk_maintain",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    tags=("mv", "incremental", "topk"),
+)
+def mv_topk_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k as a selective monoid: topk(A ∪ B) = topk(topk(A) ∪
+    topk(B)), so a top-10-orders-by-price view is maintained under an
+    append by merging the stored top-10 with the DELTA's top-10 and
+    re-selecting — k+k rows, never a rescan of base facts. The
+    deterministic tiebreak (price DESC, key ASC) makes the selection a
+    total order, so the maintained view is exactly the batch LIMIT 10.
+    (Under DELETES top-k is NOT maintainable from k rows alone — a
+    retracted member must be refilled from outside the view; real
+    systems keep a k+slack buffer or rescan the group. Append-only is
+    the honest scope, and it is this query's.)
+
+    Scale: each partial is TakeOrdered (heap per partition + driver
+    merge of k·partitions rows, no global sort — pinned); the merge
+    re-selection runs over 2k rows.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    key = [F.desc("o_totalprice"), F.asc("o_orderkey")]
+    base_top = o.filter(F.col("o_orderkey") % 5 != 0).orderBy(*key).limit(10)
+    delta_top = o.filter(F.col("o_orderkey") % 5 == 0).orderBy(*key).limit(10)
+    return base_top.unionAll(delta_top).orderBy(*key).limit(10)
+
+
+@register(
+    "mv_incremental_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+    tags=("mv", "incremental", "distinct"),
+)
+def mv_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) maintained incrementally: distinct-count is not
+    distributive — merging per-split distinct counts double-counts
+    keys seen in both — so the view keeps its auxiliary state, the
+    distinct (event_type, user_id) key relation, and an append folds
+    in as |delta keys anti-join base keys| added per group. This is
+    the honest cost statement for incremental distinct at 100 TB:
+    auxiliary state is O(distinct keys), the per-refresh work is one
+    co-keyed anti-join of the delta's keys against it (both sides
+    pre-deduped map-side), and anything cheaper is a sketch
+    (approx_count_distinct — the catalog's rows-only HLL twin). The
+    oracle is the batch COUNT(DISTINCT) over all events.
+
+    Scale: base keys build once; each refresh shuffles only the
+    delta's deduped keys; the anti-join co-partitions on the key pair.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id",
+                                                    "event_id")
+    base = ev.filter(F.col("event_id") % 4 != 0)
+    delta = ev.filter(F.col("event_id") % 4 == 0)
+    base_keys = base.select("event_type", "user_id").distinct()
+    new_keys = (delta.select("event_type", "user_id").distinct()
+                .join(base_keys, ["event_type", "user_id"], "left_anti"))
+    base_counts = (base_keys.groupBy("event_type")
+                   .agg(F.count(F.lit(1)).alias("bn")))
+    new_counts = (new_keys.groupBy("event_type")
+                  .agg(F.count(F.lit(1)).alias("dn")))
+    zero = F.lit(0).cast("long")
+    return (base_counts.alias("b")
+            .join(new_counts.alias("d"), "event_type", "full_outer")
+            .select("event_type",
+                    (F.coalesce(F.col("b.bn"), zero)
+                     + F.coalesce(F.col("d.dn"), zero)).alias("n_users")))

@@ -603,6 +603,19 @@ def test_mv_pack_plan_shapes(spark):
         f"signed partials fold on status before the merge: {ex}"
     assert "CartesianProduct" not in plan
 
+    # top-k monoid merge: every selection is TakeOrdered, no global sort
+    plan = (QUERIES["mv_topk_maintain"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan, \
+        "top-k partials must never globally sort"
+
+    # incremental distinct: the anti-join co-partitions on the key pair
+    plan = (QUERIES["mv_incremental_distinct"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
 
 def test_stream_scd2_enrich_broadcasts_dim(spark, tmp_path):
     """The SCD2 stream enrichment's micro-batch plan must join the
