@@ -103,6 +103,7 @@ HEADLINE = [
     "stream_scd2_enrich",
     "mv_topk_maintain",
     "mv_incremental_distinct",
+    "mv_quantile_sketch",
 ]
 
 

@@ -562,3 +562,84 @@ def mv_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type",
                     (F.coalesce(F.col("b.bn"), zero)
                      + F.coalesce(F.col("d.dn"), zero)).alias("n_users")))
+
+
+@register(
+    "mv_quantile_sketch",
+    oracle="""
+    WITH binned AS (
+      SELECT o_orderpriority AS priority,
+             CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1, 2
+    ), tot AS (
+      SELECT priority, CAST(SUM(cnt) AS BIGINT) AS n FROM binned GROUP BY 1
+    ), cum AS (
+      SELECT priority, bin, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY priority ORDER BY bin)
+                  AS BIGINT) AS c
+      FROM binned
+    )
+    SELECT t.priority, t.n AS n_orders,
+           MIN(CASE WHEN c.c >= (t.n + 1) // 2
+                    THEN (c.bin + 1) * 1000 END) AS p50_upper,
+           MIN(CASE WHEN c.c >= (19 * t.n + 19) // 20
+                    THEN (c.bin + 1) * 1000 END) AS p95_upper
+    FROM cum c JOIN tot t ON c.priority = t.priority
+    GROUP BY 1, 2
+    """,
+    tags=("mv", "incremental", "sketch", "quantile"),
+)
+def mv_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles maintained through a MERGEABLE sketch: exact
+    percentiles are not incrementally maintainable (a delta can move
+    any rank), so the view stores a fixed-width histogram — (group,
+    bin, count) with bin = floor(price/1000) — whose merge is plain
+    count addition, and reads quantiles as the upper edge of the first
+    bin whose cumulative count reaches ceil(q·n). Unlike t-digest/HLL,
+    this sketch's approximation is DETERMINISTIC (a pure function of
+    the data, independent of partitioning or merge order), so the
+    oracle replicates the identical binning arithmetic in SQL and the
+    gate checks exact equality — sketch-vs-sketch, with the
+    bin-resolution error bound (<= one bin width) stated rather than
+    hidden. Rank thresholds use integer arithmetic ((n+1)//2,
+    (19n+19)//20) so both engines compare identical integers.
+
+    This closes the maintainability taxonomy spanned by the mv pack:
+    distributive (SUM/COUNT), algebraic (AVG), selective monoid
+    (top-k), auxiliary-state (exact DISTINCT), and sketch-mergeable
+    (quantiles) — each with its honest state/error trade-off.
+
+    Scale: the histogram is |groups| x |occupied bins| rows (here
+    5 x ~600); merge cost is bin-count addition, reads are one tiny
+    cumulative window. A delta refresh never rescans base facts.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") / 1000).cast("long").alias("bin"))
+
+    def hist(df: DataFrame) -> DataFrame:
+        return df.groupBy("priority", "bin").agg(
+            F.count(F.lit(1)).alias("cnt"))
+
+    base = hist(o.filter(F.col("bin") % 2 == 0))      # any split works:
+    delta = hist(o.filter(F.col("bin") % 2 != 0))     # merge = addition
+    merged = (base.unionAll(delta)
+              .groupBy("priority", "bin").agg(F.sum("cnt").alias("cnt")))
+
+    from pyspark.sql.window import Window
+    wcum = (Window.partitionBy("priority").orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wtot = Window.partitionBy("priority")
+    cum = (merged
+           .withColumn("c", F.sum("cnt").over(wcum))
+           .withColumn("n", F.sum("cnt").over(wtot)))
+    p50_rank = (F.col("n") + 1) / F.lit(2)
+    p95_rank = (19 * F.col("n") + 19) / F.lit(20)
+    return (cum.groupBy("priority")
+            .agg(F.first("n").alias("n_orders"),
+                 F.min(F.when(F.col("c") >= F.floor(p50_rank),
+                              (F.col("bin") + 1) * 1000)).alias("p50_upper"),
+                 F.min(F.when(F.col("c") >= F.floor(p95_rank),
+                              (F.col("bin") + 1) * 1000))
+                 .alias("p95_upper")))

@@ -616,6 +616,17 @@ def test_mv_pack_plan_shapes(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
+    # quantile sketch: histogram partials + merge + cumulative window
+    # all cluster on the group key; no join, no product, no global sort
+    plan = (QUERIES["mv_quantile_sketch"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    ex = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert ex and all("priority" in e for e in ex), \
+        f"sketch exchanges must all key on the group: {ex}"
+    assert "Exchange rangepartitioning" not in plan
+    # totals come from a window over the same clustering — no join at all
+    assert "Join" not in plan, "sketch read path must be join-free"
+
 
 def test_stream_scd2_enrich_broadcasts_dim(spark, tmp_path):
     """The SCD2 stream enrichment's micro-batch plan must join the

@@ -563,3 +563,77 @@ def test_stream_asof_ttl_bounds_correction(spark, tmp_path):
     # the purchase exists but its match was NEVER corrected
     assert 100 in final
     assert final[100]["view_id"] is None
+
+
+def test_mv_stream_refresh_resumes_exactly_once(spark, tmp_path):
+    """The streaming JOIN+AGG view refresh must be exactly-once across
+    restarts: drain two input files, stop, add two more, construct a
+    FRESH streaming query on the SAME checkpoint — the resumed query
+    must process only the new files (no partial duplicated, none
+    lost), and the folded view must equal the one-shot batch join+agg
+    over all four files. This is the property that lets a 100 TB
+    refresh loop crash mid-day and restart without rebuilding the
+    view."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from event_streaming_bnpl_demo_spark.sources import load_table
+
+    from .conftest import SF_SMOKE
+
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    dim = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_nationkey")
+    in_dir = str(tmp_path / "in")
+    state_dir = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    parts = o.randomSplit([0.25, 0.25, 0.25, 0.25], seed=7)
+
+    def write_file(i: int) -> None:
+        parts[i].coalesce(1).write.mode("append").parquet(in_dir)
+
+    def fold_batch(batch, batch_id: int) -> None:
+        (batch.join(F.broadcast(dim), batch.o_custkey == dim.c_custkey)
+         .groupBy("c_nationkey")
+         .agg(F.count(F.lit(1)).alias("pn"),
+              F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+              .alias("psum"))
+         .write.mode("overwrite").parquet(f"{state_dir}/batch={batch_id}"))
+
+    def drain() -> None:
+        q = (spark.readStream
+             .schema("o_orderkey long, o_custkey long, o_totalprice double")
+             .option("maxFilesPerTrigger", "1")
+             .parquet(in_dir)
+             .writeStream.foreachBatch(fold_batch)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    write_file(0); write_file(1)
+    drain()
+    n_batches_first = len(os.listdir(state_dir))
+    write_file(2); write_file(3)
+    drain()                      # fresh query, same checkpoint
+    batches = sorted(os.listdir(state_dir))
+    # resumed query continued the batch-id sequence: only NEW partials
+    # were added, none of the first run's were reprocessed/overwritten
+    assert len(batches) == n_batches_first + 2, batches
+
+    partials = spark.read.option("basePath", state_dir).parquet(
+        f"{state_dir}/batch=*")
+    folded = (partials.groupBy("c_nationkey")
+              .agg(F.sum("pn").alias("n_orders"),
+                   F.sum("psum").alias("rev")))
+    batch = (o.join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
+             .groupBy("c_nationkey")
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+                  .alias("rev")))
+    got = {r["c_nationkey"]: (r["n_orders"], r["rev"])
+           for r in folded.collect()}
+    want = {r["c_nationkey"]: (r["n_orders"], r["rev"])
+            for r in batch.collect()}
+    assert got == want
