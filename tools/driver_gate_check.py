@@ -41,8 +41,11 @@ def main() -> None:
     elif args.all:
         names = [n for n, q in catalog.items() if q.oracle]
     else:
-        names = [n for n in (*cat._PRIORITY, *cat._PRIORITY2)
-                 if n in catalog and catalog[n].oracle]
+        # default: every oracled name without a driver-green row —
+        # the priority tiers plus the `fresh` (never-checked) names,
+        # i.e. exactly what the next driver round will check first
+        names = [n for n, q in catalog.items()
+                 if q.oracle and n not in cat._DRIVER_CHECKED]
 
     spark = build_session(args.cpus)
     con = duck_connection(args.sf)
