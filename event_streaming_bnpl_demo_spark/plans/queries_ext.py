@@ -263,24 +263,54 @@ def _scratch(tag: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"spark_graft_{tag}")
 
 
+def source_fingerprint(sf_dir: str) -> str:
+    """Cheap content fingerprint of a testdata dir: md5 over the
+    absolute path plus every parquet file's (name, size, mtime_ns).
+    Regenerated data -> new fingerprint -> stale caches miss."""
+    import hashlib
+
+    h = hashlib.md5(os.path.abspath(sf_dir).encode())
+    try:
+        for e in sorted(os.scandir(sf_dir), key=lambda e: e.name):
+            if e.name.endswith(".parquet"):
+                st = e.stat()
+                h.update(f"{e.name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    except FileNotFoundError:
+        pass
+    return h.hexdigest()[:16]
+
+
 def staged_parquet(df, tag: str, sf_dir: str, n_files: int) -> str:
     """Write ``df`` as an ``n_files`` parquet reshard under a
     content-keyed scratch dir and REUSE it on subsequent calls with the
-    same (tag, sf, n_files). The streaming queries stage their input
-    this way so a repeated run (bench n=3, repeated tests) times the
-    streaming query itself, not input staging — ``df`` is a
-    deterministic function of ``sf_dir``, so the key identifies the
-    content. Checkpoint dirs stay per-run; only the immutable input is
-    shared. The ``_STAGED`` marker is written after the parquet commit,
-    so a killed half-write is redone, never trusted.
+    same key. The streaming queries stage their input this way so a
+    repeated run (bench n=3, repeated tests) times the streaming query
+    itself, not input staging; checkpoint dirs stay per-run — only the
+    immutable input is shared.
+
+    The key is (tag, n_files, fingerprint(sf_dir)) where the
+    fingerprint covers the absolute source path and every parquet
+    file's size+mtime — two different dirs that share a basename
+    (e.g. /root/testdata/sf1 vs a /tmp/sfscale/sf1 replica) get
+    distinct caches, and regenerated source data invalidates the old
+    one. ``df`` itself is a deterministic function of ``sf_dir``, so
+    the fingerprint identifies the staged content.
+
+    Concurrency: the reshard is written to a per-process temp dir and
+    atomically renamed into place; a concurrent loser keeps the
+    winner's dir and discards its own, so a reader never observes a
+    half-written file set.
     """
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = _scratch(f"stage_{tag}_{sf_tag}_{n_files}")
-    marker = os.path.join(path, "_STAGED")
-    if not os.path.exists(marker):
-        df.repartition(n_files).write.mode("overwrite").parquet(path)
-        with open(marker, "w") as fh:
-            fh.write("ok\n")
+    import shutil
+
+    path = _scratch(f"stage_{tag}_{n_files}_{source_fingerprint(sf_dir)}")
+    if not os.path.isdir(path):
+        tmp = f"{path}.tmp-{os.getpid()}"
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:            # another process won the race
+            shutil.rmtree(tmp, ignore_errors=True)
     return path
 
 

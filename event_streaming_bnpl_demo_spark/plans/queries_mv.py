@@ -38,16 +38,74 @@ from .sqlcompat import dsum_sql
 _DEC_TO_DOUBLE = "CAST(CAST({col} AS STRING) AS DOUBLE)"
 
 
-def _seg_partial(orders: DataFrame, dim: DataFrame) -> DataFrame:
+def _seg_partial(orders: DataFrame, dim: DataFrame,
+                 scale: int = 2) -> DataFrame:
     """Partial JOIN+AGG state for the segment-revenue view: broadcast
-    dim join + per-segment (count, exact decimal sum). Associative, so
-    any base/delta split merges to the batch answer."""
+    dim join + per-segment (count, exact decimal sum at ``scale``).
+    Associative, so any base/delta split merges to the batch answer.
+    Shared by mv_join_agg_maintain (scale 2), mv_avg_rewrite (scale 6,
+    matching davg's idiom) and the split-invariance test."""
     return (orders.join(F.broadcast(dim),
                         orders.o_custkey == dim.c_custkey)
             .groupBy("c_mktsegment")
             .agg(F.count(F.lit(1)).alias("pn"),
-                 F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+                 F.sum(F.col("o_totalprice").cast(f"decimal(30,{scale})"))
                  .alias("psum")))
+
+
+def nation_fold_batch(dim: DataFrame, state_dir: str):
+    """foreachBatch body of the streaming JOIN+AGG refresh: join the
+    micro-batch to the broadcast customer dim and overwrite this
+    batch's associative partial (count, exact decimal sum) per nation.
+    Factored out so the exactly-once resume test drives the SAME fold
+    the production query runs."""
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        (batch.join(F.broadcast(dim), batch.o_custkey == dim.c_custkey)
+         .groupBy("c_nationkey")
+         .agg(F.count(F.lit(1)).alias("pn"),
+              F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+              .alias("psum"))
+         .write.mode("overwrite").parquet(f"{state_dir}/batch={batch_id}"))
+    return fold_batch
+
+
+def build_scd2_states(ev: DataFrame) -> DataFrame:
+    """The SCD2 interval dimension used by stream_scd2_enrich: each
+    user's NON-purchase activity becomes disjoint validity intervals
+    (state, valid_from, valid_to) with a 9999 open-end sentinel.
+    Factored out so the plan pin (test_stream_scd2_enrich_broadcasts_dim)
+    pins the production construction, not a private copy."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim_src = ev.filter(F.col("event_type") != "purchase")
+    return (
+        dim_src.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull()
+                | (F.col("event_type") != F.col("prev_type")))
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.coalesce(F.lead("ts").over(w),
+                       F.lit("9999-12-31 00:00:00")
+                       .cast(dict(ev.dtypes)["ts"]))
+            .alias("valid_to")))
+
+
+def scd2_enrich_join(purchases: DataFrame, states: DataFrame) -> DataFrame:
+    """The enrichment join: equality on user + validity-range predicate
+    (intervals are disjoint, so at most one match); purchases before
+    any state row keep state 'unknown'. Same code path for the static
+    pin and the per-micro-batch streaming join."""
+    return (purchases.join(
+        F.broadcast(states),
+        (purchases.user_id == states.s_user)
+        & (purchases.ts >= states.valid_from)
+        & (purchases.ts < states.valid_to),
+        "left")
+        .select("user_id", "ts", "value",
+                F.coalesce("state", F.lit("unknown")).alias("state")))
 
 
 @register(
@@ -207,16 +265,10 @@ def mv_avg_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     dim = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment")
-
-    def partial(df: DataFrame) -> DataFrame:
-        return (df.join(F.broadcast(dim), df.o_custkey == dim.c_custkey)
-                .groupBy("c_mktsegment")
-                .agg(F.count(F.lit(1)).alias("pn"),
-                     F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
-                     .alias("psum")))
-
-    base_mv = partial(o.filter(F.col("o_orderkey") % 5 != 0))
-    delta_mv = partial(o.filter(F.col("o_orderkey") % 5 == 0))
+    base_mv = _seg_partial(o.filter(F.col("o_orderkey") % 5 != 0), dim,
+                           scale=6)
+    delta_mv = _seg_partial(o.filter(F.col("o_orderkey") % 5 == 0), dim,
+                            scale=6)
     zero_n = F.lit(0).cast("long")
     zero_d = F.lit("0").cast("decimal(30,6)")
     merged = (
@@ -272,15 +324,7 @@ def mv_stream_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = _scratch(f"mvstream_{_uuid.uuid4().hex[:8]}")
     state_dir = f"{work}/state"
     in_dir = staged_parquet(o, "mvstream", sf_dir, 4)
-
-    def fold_batch(batch: DataFrame, batch_id: int) -> None:
-        (batch.join(F.broadcast(dim), batch.o_custkey == dim.c_custkey)
-         .groupBy("c_nationkey")
-         .agg(F.count(F.lit(1)).alias("pn"),
-              F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
-              .alias("psum"))
-         .write.mode("overwrite").parquet(f"{state_dir}/batch={batch_id}"))
-
+    fold_batch = nation_fold_batch(dim, state_dir)
     q = (spark.readStream
          .schema("o_orderkey long, o_custkey long, o_totalprice double")
          .option("maxFilesPerTrigger", "1")
@@ -441,23 +485,7 @@ def stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash join — predicate and result unchanged.
     """
     ev = load_table(spark, sf_dir, "events")
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    dim_src = ev.filter(F.col("event_type") != "purchase")
-    states = (
-        dim_src.withColumn("prev_type", F.lag("event_type").over(w))
-        .filter(F.col("prev_type").isNull()
-                | (F.col("event_type") != F.col("prev_type")))
-        .select(
-            F.col("user_id").alias("s_user"),
-            F.col("event_type").alias("state"),
-            F.col("ts").alias("valid_from"),
-            F.coalesce(F.lead("ts").over(w),
-                       F.lit("9999-12-31 00:00:00")
-                       .cast(dict(ev.dtypes)["ts"]))
-            .alias("valid_to")))
-
+    states = build_scd2_states(ev)
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "value")
     work = _scratch(f"scd2e_{_uuid.uuid4().hex[:8]}")
@@ -468,14 +496,7 @@ def stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
               .schema("user_id long, ts timestamp_ntz, value double")
               .option("maxFilesPerTrigger", "1")
               .parquet(in_dir))
-    enriched = (stream.join(
-        F.broadcast(states),
-        (stream.user_id == states.s_user)
-        & (stream.ts >= states.valid_from)
-        & (stream.ts < states.valid_to),
-        "left")
-        .select("user_id", "ts", "value",
-                F.coalesce("state", F.lit("unknown")).alias("state")))
+    enriched = scd2_enrich_join(stream, states)
     q = (enriched.writeStream.format("memory").queryName(name)
          .outputMode("append")
          .option("checkpointLocation", f"{work}/ck")

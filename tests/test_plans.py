@@ -635,30 +635,16 @@ def test_stream_scd2_enrich_broadcasts_dim(spark, tmp_path):
     equality on user_id + validity-range filter must plan as a
     BroadcastHashJoin, not a shuffled join or a product."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
+    from event_streaming_bnpl_demo_spark.plans.queries_mv import (
+        build_scd2_states, scd2_enrich_join)
     from event_streaming_bnpl_demo_spark.sources import load_table
 
     ev = load_table(spark, SF_SMOKE, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    dim_src = ev.filter(F.col("event_type") != "purchase")
-    states = (
-        dim_src.withColumn("prev_type", F.lag("event_type").over(w))
-        .filter(F.col("prev_type").isNull()
-                | (F.col("event_type") != F.col("prev_type")))
-        .select(F.col("user_id").alias("s_user"),
-                F.col("event_type").alias("state"),
-                F.col("ts").alias("valid_from"),
-                F.coalesce(F.lead("ts").over(w),
-                           F.lit("9999-12-31 00:00:00")
-                           .cast(dict(ev.dtypes)["ts"])).alias("valid_to")))
+    states = build_scd2_states(ev)
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "value")
-    joined = purchases.join(
-        F.broadcast(states),
-        (purchases.user_id == states.s_user)
-        & (purchases.ts >= states.valid_from)
-        & (purchases.ts < states.valid_to), "left")
+    joined = scd2_enrich_join(purchases, states)
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan

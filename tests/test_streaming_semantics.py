@@ -594,13 +594,10 @@ def test_mv_stream_refresh_resumes_exactly_once(spark, tmp_path):
     def write_file(i: int) -> None:
         parts[i].coalesce(1).write.mode("append").parquet(in_dir)
 
-    def fold_batch(batch, batch_id: int) -> None:
-        (batch.join(F.broadcast(dim), batch.o_custkey == dim.c_custkey)
-         .groupBy("c_nationkey")
-         .agg(F.count(F.lit(1)).alias("pn"),
-              F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
-              .alias("psum"))
-         .write.mode("overwrite").parquet(f"{state_dir}/batch={batch_id}"))
+    from event_streaming_bnpl_demo_spark.plans.queries_mv import \
+        nation_fold_batch
+
+    fold_batch = nation_fold_batch(dim, state_dir)
 
     def drain() -> None:
         q = (spark.readStream
