@@ -207,13 +207,24 @@ def ensure_scaled_dir(src: str, k: int = 10) -> tuple[str, bool] | None:
     return dst, rebuilt
 
 
-def scaled_section(spark: SparkSession, catalog, src: str) -> dict | None:
+def scaled_section(spark: SparkSession, catalog, src: str,
+                   elapsed: float = 0.0) -> dict | None:
     """First-class sf1 gate (one run per headline query at 10x the
     bench sf): regressions that only show off the fixed-overhead floor
     become visible round-over-round. n=1 — the point is the scaling
-    ratio, not a steady-state minimum. Disable with SPARK_GRAFT_SF1=0."""
+    ratio, not a steady-state minimum. Disable with SPARK_GRAFT_SF1=0.
+
+    Skips itself when the run has already consumed the overall bench
+    time budget (SPARK_GRAFT_BENCH_BUDGET seconds, default 420): the
+    ONE-json-line contract must land even under a harness timeout, and
+    the sf0.1 headline numbers are the part that must never be lost.
+    """
     if os.environ.get("SPARK_GRAFT_SF1", "1") == "0":
         return None
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+    if elapsed > budget:
+        return {"skipped": f"time budget ({elapsed:.0f}s > {budget:.0f}s "
+                           f"before sf1 section)"}
     ensured = ensure_scaled_dir(src)
     if ensured is None:
         return {"skipped": "scaled replica unavailable"}
@@ -304,7 +315,8 @@ def main() -> None:
         },
         "stream": stream_throughput(spark, sf_dir),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "sf1": scaled_section(spark, catalog, sf_dir),
+        "sf1": scaled_section(spark, catalog, sf_dir,
+                              elapsed=time.perf_counter() - t_init0),
     }))
     spark.stop()
 

@@ -521,3 +521,41 @@ def test_mv_maintenance_split_invariant(spark):
            if r["n"] > 0}
     want = {r["c_mktsegment"]: (r["pn"], r["psum"]) for r in kept.collect()}
     assert got == want
+
+
+def test_mv_quantile_sketch_error_bound(spark):
+    """The histogram sketch's stated guarantee: each reported quantile
+    upper edge is >= the true quantile and within one bin width above
+    it — checked against the exact per-group percentiles."""
+    from event_streaming_bnpl_demo_spark.plans import all_queries
+
+    got = {r["priority"]: r
+           for r in all_queries()["mv_quantile_sketch"]
+           .fn(spark, SF_SMOKE).collect()}
+    from pyspark.sql.window import Window
+
+    # the sketch's rank definition is the DISCRETE element at
+    # ceil(q*n) (not an interpolated percentile): compute it exactly
+    o = load_table(spark, SF_SMOKE, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    ranked = (o.select(F.col("o_orderpriority").alias("priority"),
+                       "o_totalprice",
+                       F.row_number().over(w).alias("rk"),
+                       F.count(F.lit(1)).over(
+                           Window.partitionBy("o_orderpriority"))
+                       .alias("n")))
+    exact = (ranked
+             .groupBy("priority")
+             .agg(F.min(F.when(
+                      F.col("rk") >= F.floor((F.col("n") + 1) / 2),
+                      F.col("o_totalprice"))).alias("p50"),
+                  F.min(F.when(
+                      F.col("rk") >= F.floor((19 * F.col("n") + 19) / 20),
+                      F.col("o_totalprice"))).alias("p95")))
+    for r in exact.collect():
+        g = got[r["priority"]]
+        # contract: the rank element lies in (upper - width, upper]
+        assert g["p50_upper"] - 1000 < r["p50"] <= g["p50_upper"], \
+            (r["priority"], g["p50_upper"], r["p50"])
+        assert g["p95_upper"] - 1000 < r["p95"] <= g["p95_upper"], \
+            (r["priority"], g["p95_upper"], r["p95"])
