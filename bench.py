@@ -104,6 +104,7 @@ HEADLINE = [
     "mv_topk_maintain",
     "mv_incremental_distinct",
     "mv_quantile_sketch",
+    "cdc_emit_changes",
 ]
 
 

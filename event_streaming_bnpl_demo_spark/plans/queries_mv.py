@@ -664,3 +664,70 @@ def mv_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min(F.when(F.col("c") >= F.floor(p95_rank),
                               (F.col("bin") + 1) * 1000))
                  .alias("p95_upper")))
+
+
+@register(
+    "cdc_emit_changes",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st FROM orders
+    ), new AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+               AS st
+      FROM orders WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM orders),
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 11 = 0
+    )
+    SELECT CASE WHEN n.k IS NULL THEN 'D'
+                WHEN o.k IS NULL THEN 'I' ELSE 'U' END AS op,
+           COALESCE(o.k, n.k) AS k,
+           o.st AS status_old,
+           n.st AS status_new
+    FROM old o FULL OUTER JOIN new n ON o.k = n.k
+    WHERE n.k IS NULL OR o.k IS NULL OR o.st <> n.st
+    """,
+    tags=("cdc", "mv", "join"),
+)
+def cdc_emit_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed EMISSION — the inverse of mv_cdc_maintain's
+    apply direction: given two snapshots of a table (the same
+    deterministic old/new states the CDC queries share), diff them
+    into the minimal I/U/D feed with one co-keyed full-outer join —
+    deletes are old-only keys, inserts new-only, updates keys whose
+    tracked columns differ; unchanged rows emit nothing. Together
+    with cdc_merge_upsert (apply) and mv_cdc_maintain (fold into an
+    aggregate view) this closes the CDC loop: emit -> transport ->
+    apply / maintain. This is what a lakehouse change-data-feed
+    computes between table versions when the format does not record
+    row-level deltas itself.
+
+    Scale: one co-keyed exchange pair (old on key, new on key) — at
+    deploy co-bucketed snapshots diff with zero exchanges; output is
+    proportional to the CHANGES, never the table.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    max_key = o.agg(F.max(k)).head()[0]     # bounded 1-row scalar
+    old = o.select(k.alias("k"), F.col("o_orderstatus").alias("st"))
+    new = (
+        o.filter(k % 13 != 0)
+        .select(k.alias("k"),
+                F.when(k % 7 == 0, "X").otherwise(F.col("o_orderstatus"))
+                .alias("st"))
+        .unionAll(o.filter(k % 11 == 0)
+                  .select((k + F.lit(max_key)).alias("k"),
+                          F.col("o_orderstatus").alias("st"))))
+    j = old.alias("o").join(new.alias("n"),
+                            F.col("o.k") == F.col("n.k"), "full_outer")
+    return (j.filter(F.col("n.k").isNull() | F.col("o.k").isNull()
+                     | (F.col("o.st") != F.col("n.st")))
+            .select(
+                F.when(F.col("n.k").isNull(), "D")
+                .when(F.col("o.k").isNull(), "I")
+                .otherwise("U").alias("op"),
+                F.coalesce(F.col("o.k"), F.col("n.k")).alias("k"),
+                F.col("o.st").alias("status_old"),
+                F.col("n.st").alias("status_new")))

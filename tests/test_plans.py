@@ -575,6 +575,15 @@ def test_cdc_merge_single_cokeyed_exchange(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
+    # the emission direction diffs two snapshots with the same single
+    # co-keyed exchange pair — and nothing else
+    plan = (QUERIES["cdc_emit_changes"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    ex = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(ex) == 2, f"old+new snapshot exchanges only: {ex}"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
 
 def test_mv_pack_plan_shapes(spark):
     """Round-5 materialized-view pins: every maintenance query
