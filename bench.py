@@ -105,6 +105,8 @@ HEADLINE = [
     "mv_incremental_distinct",
     "mv_quantile_sketch",
     "cdc_emit_changes",
+    "graph_triangle_count",
+    "join_fuzzy_blocked",
 ]
 
 

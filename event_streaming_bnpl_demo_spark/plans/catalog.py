@@ -53,10 +53,12 @@ _REGISTRY: dict[str, Query] = {}
 # Round-5 tier 1 = the 27 names with no green row yet: the 16
 # longest-queued tails, the 10 ext4 capability-pack names, and the
 # fixed agg_collect_sorted. The round-5 additions (materialized-view
-# maintenance / streaming fan-out / SCD2 enrichment pack, 10 oracled
-# names in plans/queries_mv.py) follow as `fresh` in registration
-# order — 27 + 10 = 37 names fits the ~50 budget, so one clean round
-# closes driver coverage at 207-for-207 oracled queries green.
+# maintenance / streaming fan-out / SCD2 enrichment pack — 10 oracled
+# names in plans/queries_mv.py — plus degree-oriented triangle
+# counting and the blocked fuzzy similarity join) follow as `fresh`
+# in registration order — 27 + 12 = 39 names fits the ~50 budget, so
+# one clean round closes driver coverage at 209-for-209 oracled
+# queries green.
 _PRIORITY: tuple[str, ...] = (
     # longest-unchecked oracled tails (former tier 2)
     "llm_dedup_ngram_jaccard_exact", "llm_dedup_embedding_exact",

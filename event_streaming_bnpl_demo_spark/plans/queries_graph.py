@@ -141,3 +141,75 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 n_iter=_N_ITER)
     return (ranks.orderBy(F.desc("rank"), "node").limit(20)
             .select("node", F.col("rank").alias("rank_micro")))
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH sel AS (
+      SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 45
+    ), e AS (
+      SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+      FROM sel a JOIN sel b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM (SELECT s1 AS s FROM e
+                                  UNION SELECT s2 FROM e)) AS BIGINT)
+        AS n_nodes,
+      CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+      CAST((SELECT COUNT(*)
+            FROM e e1 JOIN e e2 ON e1.s2 = e2.s1
+                      JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2)
+           AS BIGINT) AS n_triangles
+    """,
+    tags=("graph", "join"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the supplier co-order graph (suppliers
+    co-appearing on the same high-quantity order; the per-order pair
+    expansion is bounded by order size, so edge generation is
+    O(orders · linecount²), never a key-space product). Edges are
+    oriented by DEGREE (each undirected edge points from its
+    lower-degree endpoint, ties by id) before the wedge-close join —
+    the standard trick that bounds every node's out-degree by
+    O(sqrt(edges)) so the wedge relation stays near-linear even on
+    skewed graphs, where id-orientation would let one hub own every
+    wedge. The triangle COUNT is orientation-invariant, so the oracle
+    uses the simpler id-orientation and must agree exactly.
+
+    Scale: one bounded self-join builds edges; degrees are one
+    aggregate; the count is wedge-join ⋈ closing-edge join, both
+    equi-joins on node keys. No iteration, no driver state.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sel = (li.filter(F.col("l_quantity") >= 45)
+           .select("l_orderkey", "l_suppkey"))
+    a, b = sel.alias("a"), sel.alias("b")
+    und = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                  & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
+           .select(F.col("a.l_suppkey").alias("s1"),
+                   F.col("b.l_suppkey").alias("s2"))
+           .distinct())
+    deg = (und.select(F.col("s1").alias("node"))
+           .unionAll(und.select(F.col("s2")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    d1 = deg.select(F.col("node").alias("s1"), F.col("deg").alias("deg1"))
+    d2 = deg.select(F.col("node").alias("s2"), F.col("deg").alias("deg2"))
+    # orient from lower (deg, id) to higher (deg, id)
+    low_first = (F.col("deg1") < F.col("deg2")) | (
+        (F.col("deg1") == F.col("deg2")) & (F.col("s1") < F.col("s2")))
+    e = (und.join(d1, "s1").join(d2, "s2")
+         .select(F.when(low_first, F.col("s1")).otherwise(F.col("s2"))
+                 .alias("src"),
+                 F.when(low_first, F.col("s2")).otherwise(F.col("s1"))
+                 .alias("dst")))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+           .join(e3, (F.col("e3.src") == F.col("e1.src"))
+                 & (F.col("e3.dst") == F.col("e2.dst"))))
+    nodes = und.select(F.col("s1").alias("s")).union(
+        und.select(F.col("s2"))).distinct()
+    return (nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+            .crossJoin(und.agg(F.count(F.lit(1)).alias("n_edges")))
+            .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles"))))

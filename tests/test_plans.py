@@ -658,3 +658,23 @@ def test_stream_scd2_enrich_broadcasts_dim(spark, tmp_path):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round5_join_ops_plan_shapes(spark):
+    """Triangle counting and the blocked fuzzy join are the round-5
+    pairwise shapes: every pairing must ride an equi-join (order key /
+    node keys / blocking key) — a product or nested loop here is the
+    all-pairs explosion these operators exist to avoid. The tiny
+    1-row summary crossJoins in the triangle count's final projection
+    are broadcast singles, not data products."""
+    plan = (QUERIES["graph_triangle_count"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    # edge-gen + wedge-close joins are hash equi-joins
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+    plan = (QUERIES["join_fuzzy_blocked"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
