@@ -284,8 +284,16 @@ def main() -> None:
     catalog["q1_pricing_summary"].fn(spark, sf_dir).count()
     t_warm = time.perf_counter() - t_warm0
 
+    # Adaptive repeats: up to 3 runs per query, but stop once a query
+    # has spent its time budget — the expensive entries are
+    # streaming-machinery-dominated (staged input, checkpoint, state
+    # store) with low run-to-run variance, so repeating them buys no
+    # precision and costs the wall-clock that keeps the WHOLE bench
+    # (and its one-line JSON contract) inside any harness timeout.
+    per_q_budget = float(os.environ.get("SPARK_GRAFT_QUERY_BUDGET", "6"))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    n_runs: dict[str, int] = {}
     for name in HEADLINE:
         q = catalog[name]
         runs = []
@@ -293,8 +301,11 @@ def main() -> None:
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
+            if sum(runs) > per_q_budget:
+                break
         cold[name] = runs[0]
         timings[name] = round(min(runs), 3)
+        n_runs[name] = len(runs)
 
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(cold.values()), 3)
@@ -304,6 +315,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "n": 3,
+        # entries that stopped early under the per-query time budget
+        # (min over fewer than 3 runs); every other entry is min-of-3
+        "single_run": sorted(k for k, v in n_runs.items() if v < 3),
+        "per_query_budget_sec": per_q_budget,
         "cold_sec": cold_total,
         # cold_sec is the sum of FIRST runs and scales with suite size
         # (one whole-stage-codegen compile per plan); the breakdown
