@@ -314,7 +314,7 @@ def sketch_count_min_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c_custkey, 'D', NULL
       FROM customer WHERE c_custkey % 13 = 0 AND c_custkey % 7 <> 0
       UNION ALL
-      SELECT c_custkey + (SELECT MAX(c_custkey) FROM customer), 'I', 'NEW'
+      SELECT c_custkey + (SELECT MAX(c_custkey) + 1 FROM customer), 'I', 'NEW'
       FROM customer WHERE c_custkey % 11 = 0
     )
     SELECT COALESCE(ch.seg, b.c_mktsegment) AS segment,
@@ -354,7 +354,10 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver (bounded, same precedent as the query-vector head() in
     # queries_udf) — a joined-in 1-row relation constant-folds into a
     # BroadcastNestedLoopJoin, which the pack's plan pin forbids.
-    max_key = c.agg(F.max(k)).head()[0]
+    # +1 because keys start at 0: a bare max offset would map key 0
+    # onto the existing max key (the emit/apply round-trip law test
+    # caught this in the emission twin).
+    max_key = c.agg(F.max(k)).head()[0] + 1
     changes = (
         c.filter(k % 7 == 0)
         .select(k.alias("k"), F.lit("U").alias("op"),

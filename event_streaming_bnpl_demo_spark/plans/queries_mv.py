@@ -677,7 +677,7 @@ def mv_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS st
       FROM orders WHERE o_orderkey % 13 <> 0
       UNION ALL
-      SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM orders),
+      SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders),
              o_orderstatus
       FROM orders WHERE o_orderkey % 11 = 0
     )
@@ -710,7 +710,11 @@ def cdc_emit_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
-    max_key = o.agg(F.max(k)).head()[0]     # bounded 1-row scalar
+    # offset = max+1: keys start at 0, so a bare max offset maps key 0
+    # onto the existing max key — caught by the emit/apply round-trip
+    # law test, invisible to the oracle gate (both sides collide
+    # identically)
+    max_key = o.agg(F.max(k)).head()[0] + 1     # bounded 1-row scalar
     old = o.select(k.alias("k"), F.col("o_orderstatus").alias("st"))
     new = (
         o.filter(k % 13 != 0)

@@ -559,3 +559,42 @@ def test_mv_quantile_sketch_error_bound(spark):
             (r["priority"], g["p50_upper"], r["p50"])
         assert g["p95_upper"] - 1000 < r["p95"] <= g["p95_upper"], \
             (r["priority"], g["p95_upper"], r["p95"])
+
+
+def test_cdc_emit_apply_roundtrip(spark):
+    """The CDC loop's defining law: applying the emitted change feed
+    to the old snapshot reproduces the new snapshot exactly — deletes
+    drop, updates override, inserts append, untouched rows pass
+    through. Uses the catalog's own emission query so the law is
+    checked against the production diff, not a test replica."""
+    from event_streaming_bnpl_demo_spark.plans import all_queries
+
+    feed = all_queries()["cdc_emit_changes"].fn(spark, SF_SMOKE)
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    k = F.col("o_orderkey")
+    old = o.select(k.alias("k"), F.col("o_orderstatus").alias("st"))
+    max_key = o.agg(F.max(k)).head()[0] + 1
+    new = (o.filter(k % 13 != 0)
+           .select(k.alias("k"),
+                   F.when(k % 7 == 0, "X").otherwise(F.col("o_orderstatus"))
+                   .alias("st"))
+           .unionAll(o.filter(k % 11 == 0)
+                     .select((k + F.lit(max_key)).alias("k"),
+                             F.col("o_orderstatus").alias("st"))))
+
+    # apply: left-join the feed onto old, drop D, override U, append I
+    f = feed.alias("f")
+    applied = (old.alias("o")
+               .join(f, F.col("o.k") == F.col("f.k"), "left")
+               .filter(F.col("f.op").isNull() | (F.col("f.op") != "D"))
+               .select(F.col("o.k").alias("k"),
+                       F.coalesce(F.col("f.status_new"), F.col("o.st"))
+                       .alias("st"))
+               .unionAll(feed.filter(F.col("op") == "I")
+                         .select(F.col("k"),
+                                 F.col("status_new").alias("st"))))
+
+    got = sorted((r["k"], r["st"]) for r in applied.collect())
+    want = sorted((r["k"], r["st"]) for r in new.collect())
+    assert got == want
