@@ -107,6 +107,7 @@ HEADLINE = [
     "cdc_emit_changes",
     "graph_triangle_count",
     "join_fuzzy_blocked",
+    "graph_khop_reach",
 ]
 
 

@@ -213,3 +213,62 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
             .crossJoin(und.agg(F.count(F.lit(1)).alias("n_edges")))
             .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles"))))
+
+
+@register(
+    "graph_khop_reach",
+    oracle=f"""
+    WITH RECURSIVE fwd AS ({_EDGE_SQL}),
+    e AS (
+      SELECT src, dst FROM fwd
+      UNION ALL
+      SELECT dst, src FROM fwd
+    ), reach(node, hop) AS (
+      SELECT 'c' || CAST(c_custkey AS VARCHAR), 0
+      FROM customer WHERE c_custkey % 50 = 0
+      UNION
+      SELECT e.dst, r.hop + 1
+      FROM reach r JOIN e ON e.src = r.node
+      WHERE r.hop < 3
+    )
+    SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_reached
+    FROM (SELECT node, MIN(hop) AS hop FROM reach GROUP BY node)
+    GROUP BY hop
+    """,
+    tags=("graph", "iterative"),
+)
+def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-hop reachability (BFS, k=3) from a seed set over the
+    co-purchase graph: per hop, how many NEW nodes become reachable —
+    the blast-radius / influence-sphere query. The frontier algebra is
+    the part that scales: each hop joins only the CURRENT frontier
+    against the edge list and anti-joins the visited set, so a node is
+    expanded exactly once no matter how many paths reach it — the
+    min-hop semantics that stops path-count explosion (a path-counting
+    formulation would be exponential on dense graphs). The oracle's
+    recursive CTE enumerates (node, hop) pairs and folds MIN(hop),
+    which must agree exactly with the frontier construction.
+
+    Scale: k bounded joins; per-hop cost is |frontier ⋈ edges| plus a
+    visited anti-join, both equi-joins on node id; visited state is
+    O(nodes). The edge list is materialized once (localCheckpoint);
+    with k bounded the per-hop lineage stays shallow, so unlike the
+    unbounded-iteration operators (pagerank/components) no per-round
+    checkpoint is needed — one action executes the whole k-hop DAG.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    seeds = (c.filter(F.col("c_custkey") % 50 == 0)
+             .select(F.concat(F.lit("c"),
+                              F.col("c_custkey").cast("string"))
+                     .alias("node")).distinct())
+    visited = seeds.withColumn("hop", F.lit(0))
+    frontier = seeds
+    for hop in range(1, 4):
+        nxt = (frontier.join(edges, frontier.node == edges.src)
+               .select(F.col("dst").alias("node")).distinct()
+               .join(visited.select("node"), "node", "left_anti"))
+        visited = visited.unionAll(nxt.withColumn("hop", F.lit(hop)))
+        frontier = nxt
+    return (visited.groupBy("hop")
+            .agg(F.count(F.lit(1)).alias("n_reached")))
