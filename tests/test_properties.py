@@ -231,3 +231,44 @@ def test_sessionize_session_count_matches_gap_count(spark):
             if (b[0] - a[0]).total_seconds() > _SESSION_GAP_S)
         assert got_sessions[user] == 1 + gaps, user
         assert got_events[user] == len(evs), user
+
+
+_MV_ROWS = st.lists(
+    st.tuples(st.integers(0, 9),              # group key
+              st.integers(-10_000, 10_000)),  # value in cents
+    min_size=1, max_size=40,
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_MV_ROWS, cut=st.integers(0, 40))
+def test_mv_partial_merge_invariant(spark, rows, cut):
+    """Property behind every view in the round-5 mv pack: for ANY row
+    multiset and ANY base/delta split point, merging the two partials'
+    (count, exact decimal sum) per group equals the one-shot aggregate
+    — including negative values (retraction weights) and groups that
+    exist on only one side of the split."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    base_rows, delta_rows = rows[:cut], rows[cut:]
+
+    def partial(rs):
+        if not rs:
+            return {}
+        df = spark.createDataFrame(rs, "g int, v long")
+        out = (df.groupBy("g")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum((F.col("v") / 100).cast("decimal(30,2)"))
+                    .alias("s")))
+        return {r["g"]: (r["n"], r["s"]) for r in out.collect()}
+
+    merged = {}
+    for part in (partial(base_rows), partial(delta_rows)):
+        for g, (n, sdec) in part.items():
+            bn, bs = merged.get(g, (0, Decimal("0")))
+            merged[g] = (bn + n, bs + sdec)
+    direct = partial(rows)
+    assert merged == direct
