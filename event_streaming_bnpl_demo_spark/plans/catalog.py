@@ -56,9 +56,10 @@ _REGISTRY: dict[str, Query] = {}
 # maintenance / streaming fan-out / SCD2 enrichment pack — 10 oracled
 # names in plans/queries_mv.py — plus degree-oriented triangle
 # counting and the blocked fuzzy similarity join) follow as `fresh`
-# in registration order, joined late-round by k-hop reachability —
-# 27 + 13 = 40 names fits the ~50 budget, so one clean round closes
-# driver coverage at 210-for-210 oracled queries green.
+# in registration order, joined late-round by k-hop reachability and
+# the streaming top-k leaderboard — 27 + 14 = 41 names fits the ~50
+# budget, so one clean round closes driver coverage at 211-for-211
+# oracled queries green.
 _PRIORITY: tuple[str, ...] = (
     # longest-unchecked oracled tails (former tier 2)
     "llm_dedup_ngram_jaccard_exact", "llm_dedup_embedding_exact",

@@ -735,3 +735,56 @@ def cdc_emit_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("o.k"), F.col("n.k")).alias("k"),
                 F.col("o.st").alias("status_old"),
                 F.col("n.st").alias("status_new")))
+
+
+@register(
+    "mv_stream_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    tags=("mv", "stream", "topk"),
+)
+def mv_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous top-k leaderboard: the order feed drains as four
+    micro-batches and each ``foreachBatch`` writes only its batch's
+    top-10 (TakeOrdered — k rows of state per batch, independent of
+    batch size); the final merge re-selects over batches × k rows and
+    equals the batch LIMIT 10 exactly, because top-k under a total
+    order (price DESC, key ASC) is the selective monoid
+    mv_topk_maintain proves in batch form. This is the streaming
+    leaderboard every dashboard runs, with state that never grows past
+    k·batches — versus a complete-mode streaming aggregation whose
+    state would hold every key seen.
+
+    Idempotence: each micro-batch overwrites its own ``batch=<id>``
+    partial, so retries replace rather than duplicate.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    work = _scratch(f"mvstopk_{_uuid.uuid4().hex[:8]}")
+    state_dir = f"{work}/state"
+    in_dir = staged_parquet(o, "mvstopk", sf_dir, 4)
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        (batch.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+         .limit(10)
+         .write.mode("overwrite").parquet(f"{state_dir}/batch={batch_id}"))
+
+    q = (spark.readStream
+         .schema("o_orderkey long, o_custkey long, o_totalprice double")
+         .option("maxFilesPerTrigger", "1")
+         .parquet(in_dir)
+         .writeStream.foreachBatch(fold_batch)
+         .option("checkpointLocation", f"{work}/ck")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    partials = spark.read.option("basePath", state_dir).parquet(
+        f"{state_dir}/batch=*")
+    return (partials
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(10)
+            .select("o_orderkey", "o_custkey", "o_totalprice"))
