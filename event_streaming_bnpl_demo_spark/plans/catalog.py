@@ -56,10 +56,12 @@ _REGISTRY: dict[str, Query] = {}
 # maintenance / streaming fan-out / SCD2 enrichment pack — 10 oracled
 # names in plans/queries_mv.py — plus degree-oriented triangle
 # counting and the blocked fuzzy similarity join) follow as `fresh`
-# in registration order, joined late-round by k-hop reachability and
-# the streaming top-k leaderboard — 27 + 14 = 41 names fits the ~50
-# budget, so one clean round closes driver coverage at 211-for-211
-# oracled queries green.
+# in registration order, joined late-round by k-hop reachability, the
+# streaming top-k leaderboard, and the ext5 pack (BPE pair counts,
+# unigram commonness, int8-quantized simsearch, snapshot time travel,
+# temperature mixing) — 27 + 14 + 5 = 46 names fits the ~50 budget,
+# so one clean round closes driver coverage at 216-for-216 oracled
+# queries green.
 _PRIORITY: tuple[str, ...] = (
     # longest-unchecked oracled tails (former tier 2)
     "llm_dedup_ngram_jaccard_exact", "llm_dedup_embedding_exact",
@@ -241,4 +243,5 @@ def _load() -> None:
     from . import queries_dq        # noqa: F401
     from . import queries_ext4      # noqa: F401
     from . import queries_mv        # noqa: F401
+    from . import queries_ext5      # noqa: F401
     _LOADED = True
