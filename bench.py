@@ -108,6 +108,13 @@ HEADLINE = [
     "graph_triangle_count",
     "join_fuzzy_blocked",
     "graph_khop_reach",
+    # round-5 ext5 pack: tokenizer induction, LM-proxy quality
+    # scoring, quantized ANN, snapshot time travel, source mixing
+    "llm_bpe_pair_counts",
+    "llm_unigram_commonness",
+    "llm_simsearch_quantized",
+    "snapshot_time_travel",
+    "llm_temperature_mix",
 ]
 
 

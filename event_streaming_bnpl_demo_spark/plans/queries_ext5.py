@@ -228,11 +228,11 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from primitives — no format dependency.
 
     Scale: partition pruning drops every delta newer than the
-    requested version at planning time; reconstruction is one
+    requested version at planning time — each as-of branch's scan
+    carries a ``version <= v`` PartitionFilter (pinned), so an AS OF
+    read touches only its own snapshot's files; reconstruction is one
     window over a key-clustered exchange, and deltas are small
-    relative to base, so an AS OF read costs ~one base scan. The
-    three as-of frames here share one scan of the versioned dataset
-    (Spark reuses the exchange across the union branches).
+    relative to base, so an AS OF read costs ~one base scan.
     """
     import os
     import tempfile

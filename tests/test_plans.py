@@ -678,3 +678,56 @@ def test_round5_join_ops_plan_shapes(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+
+def test_ext5_pack_plan_shapes(spark):
+    """Round-5 ext5 pins: BPE pair counting collapses map-side (partial
+    aggregate before its single pair exchange) and tops out as
+    TakeOrdered; the unigram-commonness frequency table joins
+    broadcast-side; quantized simsearch runs with ZERO hash exchanges
+    (maxabs + query vector broadcast, ranking is TakeOrdered); the
+    temperature mixture's quota table joins broadcast-side and the
+    final rollup reuses the rank window's source clustering (≤2
+    source-keyed exchanges total)."""
+    import re
+
+    plan = (QUERIES["llm_bpe_pair_counts"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    assert plan.count("Scan parquet") == 1
+    ex = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(ex) == 1 and "pair" in ex[0], ex
+    assert "TakeOrderedAndProject" in plan
+    assert "partial" in plan.lower()  # map-side combine before the exchange
+
+    plan = (QUERIES["llm_unigram_commonness"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = (QUERIES["llm_simsearch_quantized"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    assert "Exchange hashpartitioning" not in plan, "scan must stay parallel"
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan  # 1-row sides ride broadcasts
+
+    plan = (QUERIES["llm_temperature_mix"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    ex = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(ex) <= 2 and all("source" in e for e in ex), ex
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_snapshot_time_travel_partition_pruning(spark):
+    """Every AS OF branch's parquet scan must carry a planning-time
+    ``version <= v`` PartitionFilter — losing it means an AS OF read
+    scans every delta ever written instead of its own snapshot."""
+    import re
+
+    plan = (QUERIES["snapshot_time_travel"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    pf = re.findall(r"PartitionFilters: \[[^\]]*version[^\]]*<= (\d)\)", plan)
+    assert sorted(pf) == ["0", "1", "2"], f"pruned as-of scans missing: {pf}"
+    assert "CartesianProduct" not in plan
