@@ -59,9 +59,10 @@ _REGISTRY: dict[str, Query] = {}
 # in registration order, joined late-round by k-hop reachability, the
 # streaming top-k leaderboard, and the ext5 pack (BPE pair counts,
 # unigram commonness, int8-quantized simsearch, snapshot time travel,
-# temperature mixing) — 27 + 14 + 5 = 46 names fits the ~50 budget,
-# so one clean round closes driver coverage at 216-for-216 oracled
-# queries green.
+# temperature mixing, MAD anomaly days, type-token ratio, Benford
+# audit, cluster-safe split) — 27 + 14 + 9 = 50 names fills the
+# 50-query budget exactly, so one clean round closes driver coverage
+# at 220-for-220 oracled queries green.
 _PRIORITY: tuple[str, ...] = (
     # longest-unchecked oracled tails (former tier 2)
     "llm_dedup_ngram_jaccard_exact", "llm_dedup_embedding_exact",

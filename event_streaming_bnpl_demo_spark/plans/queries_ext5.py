@@ -1,7 +1,9 @@
 """Round-5 extension pack: tokenizer-induction pair counting (one BPE
 merge step), unigram-commonness document scoring, int8-quantized
 similarity search, snapshot time travel over versioned parquet deltas,
-and temperature-based (alpha=0.5) source mixing.
+temperature-based (alpha=0.5) source mixing, MAD-robust anomaly
+detection, type-token-ratio quality scoring, a Benford's-law audit,
+and the near-dup-cluster-safe train/eval split.
 
 These extend the training-data-pipeline tier (SURVEY.md "beyond the
 reference" scope): BPE pair statistics and temperature mixing are the
@@ -9,7 +11,8 @@ two corpus-preparation steps a pre-training pipeline runs between
 curation (queries_llm/llm2/llm3) and packing (llm_pack_sequences);
 int8 quantization is the standard memory-bandwidth lever for
 100 TB-scale ANN; snapshot time travel is the lakehouse read pattern
-the reference's append-only projections gesture at.
+the reference's append-only projections gesture at; the cluster-safe
+split closes the near-dup leakage hole a doc-hash split leaves open.
 
 Catalog invariants hold throughout: every output column is
 integer/string or a single exact division of two integers (bit-equal
@@ -338,3 +341,253 @@ def llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.when(F.col("rn") <= F.col("n_keep"),
                               F.col("n_chars")).otherwise(0))
                  .cast("bigint").alias("chars_kept")))
+
+
+def _disc_median_pick(dialect: str) -> str:
+    """Rank of the lower discrete median element: (n+1) div 2 — an
+    actual stored value, never interpolated, so the result is
+    hash-safe for any numeric type."""
+    return "(grp_n + 1) // 2" if dialect == "duckdb" else "(grp_n + 1) div 2"
+
+
+@register(
+    "ts_anomaly_mad",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY n_events, day) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS grp_n
+      FROM daily
+    ), med AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = {_disc_median_pick('duckdb')}
+                      THEN n_events END) AS med
+      FROM ranked GROUP BY event_type
+    ), dev AS (
+      SELECT d.event_type, d.day, d.n_events, m.med,
+             abs(d.n_events - m.med) AS dev
+      FROM daily d JOIN med m USING (event_type)
+    ), rdev AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY dev, day) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS grp_n
+      FROM dev
+    ), mad AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = {_disc_median_pick('duckdb')}
+                      THEN dev END) AS mad
+      FROM rdev GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.n_events, d.med, m.mad
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE d.dev > GREATEST(3 * m.mad, 1)
+    """,
+    tags=("ts", "anomaly", "robust"),
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection via median absolute deviation: flag
+    days whose event count deviates from the per-type median by more
+    than 3×MAD — the robust twin of agg_outlier_zscore (a z-score's
+    mean/stddev are themselves dragged by the outliers they hunt; the
+    median/MAD pair is immune to up to 50% contamination). MAD=0
+    degrades to the >1 guard so constant series never flag noise.
+
+    Determinism: counts, medians, and deviations are all exact
+    bigints (discrete median = the stored element at rank
+    (n+1) div 2); no float appears anywhere.
+
+    Scale: the raw log reduces to (type, day) rows immediately, so
+    both median passes and the join run over day-count-sized data —
+    the 100 TB input costs ONE map-side-combined count (the tiny
+    daily relation is localCheckpointed so the med/dev/mad branches
+    reuse it instead of re-scanning the log once each — pinned), and
+    everything after is a few thousand rows per year per type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .localCheckpoint())
+    wr = Window.partitionBy("event_type").orderBy("n_events", "day")
+    wg = Window.partitionBy("event_type")
+    pick = F.expr(_disc_median_pick("spark"))
+    med = (daily.withColumn("rn", F.row_number().over(wr))
+           .withColumn("grp_n", F.count(F.lit(1)).over(wg))
+           .groupBy("event_type")
+           .agg(F.max(F.when(F.col("rn") == pick,
+                             F.col("n_events"))).alias("med")))
+    dev = (daily.join(F.broadcast(med), "event_type")
+           .withColumn("dev", F.abs(F.col("n_events") - F.col("med"))))
+    wrd = Window.partitionBy("event_type").orderBy("dev", "day")
+    mad = (dev.withColumn("rn", F.row_number().over(wrd))
+           .withColumn("grp_n", F.count(F.lit(1)).over(wg))
+           .groupBy("event_type")
+           .agg(F.max(F.when(F.col("rn") == pick,
+                             F.col("dev"))).alias("mad")))
+    return (dev.join(F.broadcast(mad), "event_type")
+            .filter(F.col("dev") > F.greatest(3 * F.col("mad"), F.lit(1)))
+            .select("event_type", "day", "n_events", "med", "mad"))
+
+
+@register(
+    "llm_type_token_ratio",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_types,
+           CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr
+    FROM per_doc ORDER BY ttr ASC, doc_id LIMIT 20
+    """,
+    tags=("llm", "quality"),
+)
+def llm_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio (lexical diversity): distinct tokens over
+    total tokens per document. The bottom-k (most repetitive) docs are
+    prime removal candidates — low TTR is the classic signature of
+    boilerplate, keyword stuffing, and degenerate generation loops
+    (complements llm_text_repetition, which looks at adjacent runs;
+    TTR catches global repetition adjacency misses).
+
+    Determinism: both counts are exact bigints; the ratio is one
+    double division of identical integers.
+
+    Scale: count-distinct rides the doc_id clustering from the
+    explode (partial aggregation handles the within-doc distinct);
+    bottom-k is TakeOrdered. No join, one exchange.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id",
+                    F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    per_doc = (toks.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.countDistinct("tok").cast("bigint").alias("n_types")))
+    return (per_doc
+            .select("doc_id", "n_tokens", "n_types",
+                    (F.col("n_types").cast("double")
+                     / F.col("n_tokens").cast("double")).alias("ttr"))
+            .orderBy(F.asc("ttr"), F.asc("doc_id")).limit(20))
+
+
+#: Benford's-law expected first-digit frequencies, per mille. Literal
+#: constants on BOTH sides — never computed from log10 at runtime, so
+#: no float-library divergence can exist.
+_BENFORD_PERMILLE = ((1, 301), (2, 176), (3, 125), (4, 97), (5, 79),
+                     (6, 67), (7, 58), (8, 51), (9, 46))
+
+
+@register(
+    "dq_benford_digits",
+    oracle=f"""
+    WITH digits AS (
+      SELECT substring(CAST(CAST(o_totalprice * 100 AS BIGINT) AS VARCHAR),
+                       1, 1) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), expected(digit, expected_permille) AS (
+      VALUES {', '.join(f"('{d}', {p})" for d, p in _BENFORD_PERMILLE)}
+    )
+    SELECT d.digit AS digit, COUNT(*) AS n_obs,
+           (1000 * COUNT(*)) // (SELECT COUNT(*) FROM digits)
+             AS obs_permille,
+           CAST(e.expected_permille AS BIGINT) AS expected_permille
+    FROM digits d JOIN expected e ON d.digit = e.digit
+    GROUP BY d.digit, e.expected_permille
+    """,
+    tags=("dq", "audit"),
+)
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals: observed
+    leading-digit frequencies next to the Benford expectation — the
+    standard forensic screen for fabricated or truncated numeric
+    columns (natural multi-scale amounts follow it; synthetic/uniform
+    generators — including TPC-H's, visibly — do not).
+
+    Determinism: the first digit comes from the integer cents string
+    (exact decimal shift, identical text in both engines — never
+    log10 on a double), and the expected frequencies are shared
+    integer literals.
+
+    Scale: a 9-row aggregate with map-side combine, one tiny
+    broadcast join against the expectation table, and a scalar total
+    folded in as a 1-row broadcast — one pass over the column.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    digits = (o.filter(F.col("o_totalprice") > 0)
+              .select(F.substring(
+                  (F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+                  1, 1).alias("digit")))
+    total = digits.agg(F.count(F.lit(1)).alias("grand_n"))
+    expected = spark.createDataFrame(
+        [(str(d), p) for d, p in _BENFORD_PERMILLE],
+        "digit string, expected_permille long")
+    return (digits.groupBy("digit")
+            .agg(F.count(F.lit(1)).alias("n_obs"))
+            .crossJoin(F.broadcast(total))
+            .join(F.broadcast(expected), "digit")
+            .select("digit", "n_obs",
+                    F.expr("(1000 * n_obs) div grand_n").alias("obs_permille"),
+                    "expected_permille"))
+
+
+def _cluster_safe_oracle() -> str:
+    # top-level import is safe: the catalog loads queries_llm before
+    # this module, so its oracle builders are fully defined here
+    from .queries_llm import _components_oracle
+
+    return f"""
+    WITH comp AS ({_components_oracle()})
+    SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(comp.component AS VARCHAR)),
+                                          1, 2)) AS INT) % 10 < 9
+                THEN 'train' ELSE 'eval' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT comp.component) AS BIGINT) AS n_clusters,
+           CAST(SUM(d.n_chars) AS BIGINT) AS chars_total
+    FROM comp JOIN documents d ON comp.doc_id = d.doc_id
+    GROUP BY 1
+    """
+
+
+@register(
+    "llm_split_cluster_safe",
+    oracle=_cluster_safe_oracle(),
+    tags=("llm", "split", "dedup"),
+)
+def llm_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/eval split: documents are split 90/10 by
+    the md5 hash of their CLUSTER id (minhash-LSH connected
+    component), not their own id — so a near-duplicate of a training
+    document can never land in eval. Hash-splitting doc_ids (
+    llm_split_train_eval) leaks: eval scores drift upward by exactly
+    the near-dup rate. By construction here, every cluster lands
+    wholly in one split.
+
+    Scale: the component labeling is llm_dedup_components (O(edges)
+    per iteration); the split assignment is a pure projection of the
+    component id, and the rollup is a join on doc_id plus a 2-row
+    aggregate — no new shuffle shape beyond the labeling itself.
+    """
+    from .queries_llm import llm_dedup_components
+
+    comp = llm_dedup_components(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(
+        F.md5(F.col("component").cast("string")), 1, 2), 16, 10).cast("int") % 10
+    return (comp.join(d, "doc_id")
+            .select(F.when(bucket < 9, "train").otherwise("eval")
+                    .alias("split"),
+                    "doc_id", "component", "n_chars")
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("component").cast("bigint")
+                 .alias("n_clusters"),
+                 F.sum("n_chars").cast("bigint").alias("chars_total")))

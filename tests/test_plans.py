@@ -731,3 +731,36 @@ def test_snapshot_time_travel_partition_pruning(spark):
     pf = re.findall(r"PartitionFilters: \[[^\]]*version[^\]]*<= (\d)\)", plan)
     assert sorted(pf) == ["0", "1", "2"], f"pruned as-of scans missing: {pf}"
     assert "CartesianProduct" not in plan
+
+
+def test_ext5b_pack_plan_shapes(spark):
+    """Second ext5 wave pins: the MAD anomaly scan reads the raw log
+    exactly ONCE (the daily rollup is checkpointed and reused by the
+    median/deviation/MAD branches — without it each branch re-scans
+    the 100 TB log), both median tables join broadcast-side; TTR is
+    one scan into the doc_id-clustered two-phase distinct with
+    TakeOrdered; the Benford rollup joins its 9-row expectation table
+    broadcast-side with no product over data."""
+    plan = (QUERIES["ts_anomaly_mad"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    assert plan.count("Scan parquet") == 0  # daily is checkpointed...
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan or \
+        "Scan ExistingRDD" in plan  # ...branches read the checkpoint
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = (QUERIES["llm_type_token_ratio"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    assert plan.count("Scan parquet") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = (QUERIES["dq_benford_digits"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = (QUERIES["llm_split_cluster_safe"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
