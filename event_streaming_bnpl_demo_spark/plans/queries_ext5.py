@@ -111,15 +111,20 @@ def llm_unigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, no accumulated float sum anywhere.
 
     Scale: token frequencies aggregate to the vocabulary (partial agg
-    collapses per-partition), the frequency table broadcasts back onto
-    the token stream, and the per-doc rollup reuses the doc_id
-    clustering — tf-idf's shape minus the idf join.
+    collapses per-partition) and join back onto the token stream
+    broadcast-side only under the measured stats gate (a web-scale
+    corpus's vocabulary is NOT broadcast-safe — the gate degrades to
+    the shuffled tok-keyed join, which the explode's clustering
+    already serves); the per-doc rollup reuses the doc_id clustering
+    — tf-idf's shape minus the idf join.
     """
+    from ..sources import maybe_broadcast
+
     d = spread(load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id",
                     F.explode(F.split(F.lower("text"), " ")).alias("tok"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
-    per_doc = (toks.join(F.broadcast(freq), "tok")
+    per_doc = (toks.join(maybe_broadcast(freq, sf_dir, "documents"), "tok")
                .groupBy("doc_id")
                .agg(F.count(F.lit(1)).alias("n_tokens"),
                     F.sum("tf").alias("tf_sum")))
