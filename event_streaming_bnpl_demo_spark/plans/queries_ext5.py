@@ -596,3 +596,42 @@ def llm_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("component").cast("bigint")
                  .alias("n_clusters"),
                  F.sum("n_chars").cast("bigint").alias("chars_total")))
+
+
+@register(
+    "agg_hll_mergeable",
+    oracle=None,  # rows-only: the Datasketches HLL estimate is
+    # Spark-specific; DuckDB's approx sketch is a different algorithm,
+    # so no cross-engine value compare exists. The mergeability law
+    # (partial-union == global sketch) is asserted exactly in
+    # tests/test_ext5_semantics.py.
+    tags=("agg", "sketch", "approx"),
+)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-count tier: per-type distinct users
+    estimated two ways — one global sketch, and a union of per-day
+    PARTIAL sketches — side by side with the exact count. Equal
+    estimate columns demonstrate the property that makes sketches the
+    100 TB distinct-count answer: partials built per partition / per
+    day / per cluster merge losslessly, so a continuously-maintained
+    rollup (one sketch column per day) answers any date-range
+    distinct query without touching raw data.
+
+    Scale: each partial collapses map-side to one ~KB sketch per
+    (type, day); the merge moves sketches, never user_ids. The exact
+    column is fixture-scale context only — at 100 TB it is the one
+    you delete.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    direct = (ev.groupBy("event_type")
+              .agg(F.hll_sketch_estimate(
+                  F.hll_sketch_agg("user_id")).alias("est_users"),
+                  F.countDistinct("user_id").alias("n_exact")))
+    partials = (ev.groupBy("event_type",
+                           F.date_trunc("day", "ts").alias("day"))
+                .agg(F.hll_sketch_agg("user_id").alias("sk")))
+    merged = (partials.groupBy("event_type")
+              .agg(F.hll_sketch_estimate(
+                  F.hll_union_agg("sk")).alias("est_merged")))
+    return direct.join(merged, "event_type").select(
+        "event_type", "est_users", "est_merged", "n_exact")
