@@ -115,6 +115,10 @@ HEADLINE = [
     "llm_simsearch_quantized",
     "snapshot_time_travel",
     "llm_temperature_mix",
+    "ts_anomaly_mad",
+    "llm_type_token_ratio",
+    "dq_benford_digits",
+    "llm_split_cluster_safe",
 ]
 
 

@@ -243,21 +243,32 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative to base, so an AS OF read costs ~one base scan.
     """
     import os
-    import tempfile
-    import uuid as _uuid
+    import shutil
 
+    from .queries_ext import _scratch, source_fingerprint
+
+    # content-keyed staging (same contract as staged_parquet): the
+    # versioned layout is a deterministic function of sf_dir, so one
+    # write serves every rerun — bench repeats and repeated tests time
+    # the AS OF read, never the staging; write-then-rename keeps a
+    # concurrent reader from seeing a half-written version dir
     o = load_table(spark, sf_dir, "orders")
-    base = os.path.join(tempfile.gettempdir(),
-                        f"spark_graft_tt_{_uuid.uuid4().hex[:8]}")
-    (o.select(F.col("o_orderkey").alias("k"),
-              F.col("o_orderstatus").alias("s"))
-     .write.mode("overwrite").parquet(os.path.join(base, "version=0")))
-    (o.filter(F.col("o_orderkey") % 7 == 0)
-     .select(F.col("o_orderkey").alias("k"), F.lit("R1").alias("s"))
-     .write.mode("overwrite").parquet(os.path.join(base, "version=1")))
-    (o.filter(F.col("o_orderkey") % 11 == 0)
-     .select(F.col("o_orderkey").alias("k"), F.lit("R2").alias("s"))
-     .write.mode("overwrite").parquet(os.path.join(base, "version=2")))
+    base = _scratch(f"tt_{source_fingerprint(sf_dir)}")
+    if not os.path.isdir(base):
+        tmp = f"{base}.tmp-{os.getpid()}"
+        (o.select(F.col("o_orderkey").alias("k"),
+                  F.col("o_orderstatus").alias("s"))
+         .write.mode("overwrite").parquet(os.path.join(tmp, "version=0")))
+        (o.filter(F.col("o_orderkey") % 7 == 0)
+         .select(F.col("o_orderkey").alias("k"), F.lit("R1").alias("s"))
+         .write.mode("overwrite").parquet(os.path.join(tmp, "version=1")))
+        (o.filter(F.col("o_orderkey") % 11 == 0)
+         .select(F.col("o_orderkey").alias("k"), F.lit("R2").alias("s"))
+         .write.mode("overwrite").parquet(os.path.join(tmp, "version=2")))
+        try:
+            os.rename(tmp, base)
+        except OSError:            # another process won the race
+            shutil.rmtree(tmp, ignore_errors=True)
     versioned = (spark.read.option("basePath", base)
                  .parquet(os.path.join(base, "version=*")))
     frames = []
@@ -349,10 +360,12 @@ def llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _disc_median_pick(dialect: str) -> str:
-    """Rank of the lower discrete median element: (n+1) div 2 — an
-    actual stored value, never interpolated, so the result is
-    hash-safe for any numeric type."""
-    return "(grp_n + 1) // 2" if dialect == "duckdb" else "(grp_n + 1) div 2"
+    """Rank of the discrete median element (an actual stored value,
+    never interpolated, so the result is hash-safe for any numeric
+    type) — the shared ceil(p·n) idiom from queries_stats at p=1/2."""
+    from .queries_stats import _pct_pick
+
+    return _pct_pick(1, 2, dialect)
 
 
 @register(
@@ -495,8 +508,8 @@ _BENFORD_PERMILLE = ((1, 301), (2, 176), (3, 125), (4, 97), (5, 79),
     "dq_benford_digits",
     oracle=f"""
     WITH digits AS (
-      SELECT substring(CAST(CAST(o_totalprice * 100 AS BIGINT) AS VARCHAR),
-                       1, 1) AS digit
+      SELECT substring(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS digit
       FROM orders WHERE o_totalprice > 0
     ), expected(digit, expected_permille) AS (
       VALUES {', '.join(f"('{d}', {p})" for d, p in _BENFORD_PERMILLE)}
@@ -518,9 +531,11 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     generators — including TPC-H's, visibly — do not).
 
     Determinism: the first digit comes from the integer cents string
-    (exact decimal shift, identical text in both engines — never
-    log10 on a double), and the expected frequencies are shared
-    integer literals.
+    via FLOOR(x·100 + 0.5) — the identical two IEEE ops in both
+    engines (a bare double→bigint CAST would diverge: Spark
+    truncates, DuckDB rounds half-even; never log10 on a double
+    either) — and the expected frequencies are shared integer
+    literals.
 
     Scale: a 9-row aggregate with map-side combine, one tiny
     broadcast join against the expectation table, and a scalar total
@@ -529,8 +544,8 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     digits = (o.filter(F.col("o_totalprice") > 0)
               .select(F.substring(
-                  (F.col("o_totalprice") * 100).cast("bigint").cast("string"),
-                  1, 1).alias("digit")))
+                  F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
+                  .cast("string"), 1, 1).alias("digit")))
     total = digits.agg(F.count(F.lit(1)).alias("grand_n"))
     expected = spark.createDataFrame(
         [(str(d), p) for d, p in _BENFORD_PERMILLE],
