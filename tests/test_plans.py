@@ -764,3 +764,37 @@ def test_ext5b_pack_plan_shapes(spark):
             .queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Scale posture pin: when the filtered dimension is too big to
+    broadcast, Catalyst's runtime bloom-filter semi-join must inject a
+    might_contain predicate into the fact scan side — the mechanism
+    that keeps a selective dim filter pruning a 100 TB fact shuffle
+    even outside the broadcast regime. The pin drops the broadcast
+    threshold to force the shuffle path and asserts the injection
+    happens (it is on by default in the session conf)."""
+    from pyspark.sql import functions as F
+
+    from event_streaming_bnpl_demo_spark.sources import load_table
+
+    saved = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    )}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter."
+                       "applicationSideScanSizeThreshold", "0")
+        o = (load_table(spark, SF_SMOKE, "orders")
+             .filter("o_orderpriority = '1-URGENT'"))
+        lt = load_table(spark, SF_SMOKE, "lineitem")
+        j = (lt.join(o, lt.l_orderkey == o.o_orderkey)
+             .groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower() or "BloomFilter" in plan, \
+            "runtime bloom filter was not injected into the fact side"
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
