@@ -650,3 +650,78 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.hll_union_agg("sk")).alias("est_merged")))
     return direct.join(merged, "event_type").select(
         "event_type", "est_users", "est_merged", "n_exact")
+
+
+@register(
+    "agg_theta_set_algebra",
+    oracle=None,  # rows-only: Datasketches theta estimates are
+    # Spark-specific; the algebra laws are asserted exactly in
+    # tests/test_ext5_semantics.py next to exact-join ground truth.
+    tags=("agg", "sketch", "approx"),
+)
+def agg_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra over distinct users: estimated
+    |purchase ∩ view|, |purchase ∪ view|, and |purchase \\ view|
+    next to the exact counts. Intersection/difference are the
+    operations HLL cannot express (HLL merges are union-only) — with
+    theta sketches a per-segment sketch column answers audience
+    overlap questions ("users who did A and B but not C") without
+    rejoining raw 100 TB data.
+
+    Scale: each side collapses map-side to one ~KB sketch; the
+    algebra runs on two sketches, not on user_id sets. The exact
+    columns are fixture-scale context computed from a distinct
+    semi-join — the thing the sketch column exists to avoid.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p_sk = (ev.filter(F.col("event_type") == "purchase")
+            .agg(F.theta_sketch_agg("user_id").alias("p_sk")))
+    v_sk = (ev.filter(F.col("event_type") == "view")
+            .agg(F.theta_sketch_agg("user_id").alias("v_sk")))
+    ests = (p_sk.crossJoin(F.broadcast(v_sk)).select(
+        F.theta_sketch_estimate(
+            F.theta_intersection("p_sk", "v_sk")).alias("est_intersection"),
+        F.theta_sketch_estimate(
+            F.theta_union("p_sk", "v_sk")).alias("est_union"),
+        F.theta_sketch_estimate(
+            F.theta_difference("p_sk", "v_sk")).alias("est_only_purchase")))
+    pu = (ev.filter(F.col("event_type") == "purchase")
+          .select("user_id").distinct().withColumn("in_p", F.lit(1)))
+    vu = (ev.filter(F.col("event_type") == "view")
+          .select("user_id").distinct().withColumn("in_v", F.lit(1)))
+    exact = (pu.join(vu, "user_id", "full_outer").agg(
+        F.count(F.when(F.col("in_p").isNotNull()
+                       & F.col("in_v").isNotNull(), 1))
+        .alias("n_intersection"),
+        F.count(F.lit(1)).alias("n_union"),
+        F.count(F.when(F.col("in_p").isNotNull()
+                       & F.col("in_v").isNull(), 1))
+        .alias("n_only_purchase")))
+    return ests.crossJoin(F.broadcast(exact))
+
+
+@register(
+    "agg_kll_quantiles",
+    oracle=None,  # rows-only: KLL estimates are Spark-specific; the
+    # rank-error law is asserted in tests/test_ext5_semantics.py.
+    tags=("agg", "sketch", "approx", "quantile"),
+)
+def agg_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketch per event type: sketched p50/p90 of the
+    value column next to the exact discrete percentiles — the
+    mergeable, bounded-memory quantile answer at 100 TB (the exact
+    path buffers each group; the KLL sketch is ~KB per group and
+    merges across partitions/days like the HLL and theta tiers).
+
+    Scale: one map-side sketch per partition per group, merged on the
+    single group exchange; quantile extraction is O(sketch), not
+    O(rows).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sk = (ev.groupBy("event_type")
+          .agg(F.kll_sketch_agg_double("value").alias("sk"),
+               F.count(F.lit(1)).alias("n_rows")))
+    return sk.select(
+        "event_type", "n_rows",
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("kll_p50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("kll_p90"))

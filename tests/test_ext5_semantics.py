@@ -1,7 +1,8 @@
 """Semantic law tests for the ext5 pack — invariants the oracle
 compare can't express: conservation counts for the BPE pair expansion,
 quantized-vs-exact ANN recall, mixture budget bounds, snapshot row
-conservation, and HLL sketch mergeability."""
+conservation, HLL sketch mergeability, theta set algebra, and KLL
+quantile rank error."""
 
 from __future__ import annotations
 
@@ -111,3 +112,42 @@ def test_hll_partial_merge_matches_global_sketch(spark):
     assert d == m, "partial-merge estimate diverged from global sketch"
     for t, n in x.items():
         assert abs(d[t] - n) <= max(1, n * 0.05), (t, d[t], n)
+
+
+def test_theta_set_algebra_respects_exact_counts(spark):
+    """Theta sketch algebra laws against exact ground truth: at
+    fixture cardinalities (well under the sketch's exact-mode
+    threshold) every estimate equals its exact count, and the
+    partition identity |A∩B| + |A\\B| = |A| composes across the two
+    derived sketches."""
+    row = QUERIES["agg_theta_set_algebra"].fn(spark, SF_SMOKE).head()
+    assert round(row["est_intersection"]) == row["n_intersection"]
+    assert round(row["est_union"]) == row["n_union"]
+    assert round(row["est_only_purchase"]) == row["n_only_purchase"]
+    assert (round(row["est_intersection"] + row["est_only_purchase"])
+            == row["n_intersection"] + row["n_only_purchase"])
+
+
+def test_kll_quantiles_bound_by_exact_order_stats(spark):
+    """KLL quantile law: every sketched quantile must be an actual
+    stored value of its group (KLL returns elements, not
+    interpolations) and must sit within rank tolerance of the exact
+    discrete percentile — checked by rank-bracketing each estimate
+    against the sorted values."""
+    import bisect
+
+    rows = QUERIES["agg_kll_quantiles"].fn(spark, SF_SMOKE).collect()
+    ev = load_table(spark, SF_SMOKE, "events").select("event_type", "value")
+    by_type = {}
+    for r in ev.collect():
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    for r in rows:
+        vals = sorted(by_type[r["event_type"]])
+        n = len(vals)
+        for q, est in ((0.5, r["kll_p50"]), (0.9, r["kll_p90"])):
+            assert vals[0] <= est <= vals[-1]
+            # rank of the estimate within the sorted data must be
+            # within 2% of the requested rank (KLL default k≈200
+            # guarantees ~1.65% single-sided rank error)
+            rank = bisect.bisect_left(vals, est) / n
+            assert abs(rank - q) <= 0.02 + 1.0 / n, (r["event_type"], q, rank)
