@@ -725,3 +725,52 @@ def agg_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n_rows",
         F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("kll_p50"),
         F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("kll_p90"))
+
+
+@register(
+    "llm_simsearch_rerank",
+    oracle=None,  # rows-only by design: the law test asserts the
+    # composition recovers llm_simsearch_topk's (oracled) answer
+    # exactly, which is a stronger check than a second parity oracle.
+    tags=("llm", "similarity", "quantization"),
+)
+def llm_simsearch_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN pattern end-to-end: int8-quantized shortlist
+    (top-50 by integer dot product — 4× less I/O, SIMD-friendly) then
+    exact float cosine re-rank of only those 50 to the final top-10.
+    Equals brute-force exact search whenever the shortlist recalls the
+    true top-10 (asserted by the law test), at a fraction of the
+    exact-path cost: the expensive float cosine runs on 50 rows, not
+    the corpus.
+
+    Scale: the shortlist is the llm_simsearch_quantized plan with a
+    larger k (still TakeOrdered, zero hash exchanges); the re-rank is
+    50 rows on the driver-adjacent tail — at 100 TB the quantized
+    column is the only full-scan input.
+    """
+    from ..functions.vectors import dot_expr, norm_expr
+
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    m = e.select(F.max(F.expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
+    )).alias("maxabs"))
+    q = (e.filter(F.col("vec_id") == 0).crossJoin(F.broadcast(m))
+         .select(F.expr(_quant_spark("embedding")).alias("qq"),
+                 F.col("embedding").alias("qe"),
+                 F.expr(norm_expr("embedding", DIM)).alias("qn")))
+    cand = (e.filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(m)).crossJoin(F.broadcast(q))
+            .withColumn("qv", F.expr(_quant_spark("embedding"))))
+    qdot = F.expr(
+        f"aggregate(sequence(1, {DIM}), CAST(0 AS BIGINT), "
+        f"(acc, i) -> acc + element_at(qv, i) * element_at(qq, i))")
+    shortlist = (cand.withColumn("qdot", qdot)
+                 .orderBy(F.desc("qdot"), F.asc("vec_id")).limit(50))
+    cos = F.expr(f"({dot_expr('embedding', 'qe', DIM)}"
+                 f" / ({norm_expr('embedding', DIM)} * qn))")
+    return (shortlist.withColumn("cos_raw", cos)
+            .orderBy(F.desc(F.round("cos_raw", 4)), F.asc("vec_id"))
+            .limit(10)
+            .select("vec_id", "label",
+                    F.round("cos_raw", 4).alias("cos_sim")))

@@ -151,3 +151,18 @@ def test_kll_quantiles_bound_by_exact_order_stats(spark):
             # guarantees ~1.65% single-sided rank error)
             rank = bisect.bisect_left(vals, est) / n
             assert abs(rank - q) <= 0.02 + 1.0 / n, (r["event_type"], q, rank)
+
+
+def test_rerank_composition_equals_exact_search(spark):
+    """The quantize -> shortlist-50 -> exact-re-rank composition must
+    return EXACTLY the brute-force exact top-10 (same rows, same
+    scores): the 5x-overfetch shortlist absorbs quantization rank
+    error, so the cheap path is a drop-in replacement for the exact
+    one."""
+    rerank = [(r["vec_id"], r["cos_sim"])
+              for r in QUERIES["llm_simsearch_rerank"]
+              .fn(spark, SF_SMOKE).collect()]
+    exact = [(r["vec_id"], r["cos_sim"])
+             for r in QUERIES["llm_simsearch_topk"]
+             .fn(spark, SF_SMOKE).collect()]
+    assert rerank == exact
