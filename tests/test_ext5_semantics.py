@@ -166,3 +166,28 @@ def test_rerank_composition_equals_exact_search(spark):
              for r in QUERIES["llm_simsearch_topk"]
              .fn(spark, SF_SMOKE).collect()]
     assert rerank == exact
+
+
+def test_results_invariant_under_shuffle_parallelism(spark):
+    """Partition-independence law: the determinism doctrine (decimal
+    accumulation, integer fixed-point, FLOOR rounding) claims results
+    are EXACTLY equal no matter how many partitions the aggregation
+    runs over. Prove it on the most float-exposed shapes by running
+    each query under 3 and 32 shuffle partitions and comparing
+    collected rows bit-for-bit."""
+    names = ["q1_pricing_summary", "agg_stats_moments",
+             "mv_join_agg_maintain", "llm_tfidf_top_terms",
+             "llm_simsearch_quantized", "llm_temperature_mix"]
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for parts in ("3", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for n in names:
+                df = QUERIES[n].fn(spark, SF_SMOKE)
+                rows = sorted(tuple(r) for r in df.collect())
+                results.setdefault(n, []).append(rows)
+        for n, (a, b) in results.items():
+            assert a == b, f"{n} diverged across shuffle parallelism"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
