@@ -774,3 +774,107 @@ def llm_simsearch_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(10)
             .select("vec_id", "label",
                     F.round("cos_raw", 4).alias("cos_sim")))
+
+
+@register(
+    "source_text_scan",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n_events,
+           {{dsum}} AS total_value
+    FROM events GROUP BY event_type
+    """.format(dsum="CAST(CAST(SUM(CAST((value) AS DECIMAL(30,2)))"
+               " AS STRING) AS DOUBLE)"),
+    tags=("source", "text"),
+)
+def source_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-file source: the event log serialized as JSON-lines
+    TEXT (one string column per line — the wire format of every log
+    shipper), read back with the text reader and parsed through the
+    same ``from_json`` envelope path the streaming consumer uses
+    (SURVEY R4). Covers the "my data is a pile of log lines" entry
+    point the typed readers skip.
+
+    Scale: the text scan is splittable and schema-free; parse cost is
+    one from_json per line inside codegen, and the staged input is
+    content-keyed so reruns read, not rewrite.
+    """
+    import os
+
+    from .queries_ext import _scratch, source_fingerprint
+
+    ev = load_table(spark, sf_dir, "events")
+    base = _scratch(f"txt_{source_fingerprint(sf_dir)}")
+    if not os.path.isdir(base):
+        import shutil
+
+        tmp = f"{base}.tmp-{os.getpid()}"
+        (ev.select(F.to_json(F.struct("event_id", "event_type", "value"))
+                   .alias("line"))
+         .write.mode("overwrite").text(tmp))
+        try:
+            os.rename(tmp, base)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    schema = "event_id BIGINT, event_type STRING, value DOUBLE"
+    parsed = (spark.read.text(base)
+              .select(F.from_json("value", schema).alias("e"))
+              .select("e.*"))
+    return (parsed.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.expr("CAST(CAST(SUM(CAST((value) AS DECIMAL(30,2)))"
+                        " AS STRING) AS DOUBLE)").alias("total_value")))
+
+
+@register(
+    "source_binaryfile_scan",
+    oracle="""
+    SELECT r_name || '.bin' AS file_name,
+           CAST(length(repeat(r_name || '|',
+                              CAST(r_regionkey + 1 AS INT))) AS BIGINT)
+             AS n_bytes,
+           md5(repeat(r_name || '|', CAST(r_regionkey + 1 AS INT)))
+             AS content_md5
+    FROM region
+    """,
+    tags=("source", "binary", "multimodal"),
+)
+def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source: opaque files ingested as (path, length,
+    content) rows — the entry point for media corpora before the
+    multimodal decode tier (operators/multimodal.py) takes over the
+    bytes. One deterministic blob per region row (the fixed 5-row
+    dimension, so staging is bounded at any SF), verified end-to-end
+    by md5 of the binary content against the oracle's reconstruction.
+
+    Scale: binaryFile lists and reads files in parallel with
+    predicate pushdown on the metadata columns; content bytes stay in
+    executor memory (maxBytesPerTrigger-style batching in streaming).
+    The md5 runs JVM-side on the binary column.
+    """
+    import os
+
+    from .queries_ext import _scratch, source_fingerprint
+
+    base = _scratch(f"bin_{source_fingerprint(sf_dir)}")
+    if not os.path.isdir(base):
+        import shutil
+
+        # bounded driver-side staging: the region dim is fixed at 5
+        # rows at every SF (same bound as the .head() scalar idiom)
+        rows = (load_table(spark, sf_dir, "region")
+                .select("r_regionkey", "r_name").head(10))
+        tmp = f"{base}.tmp-{os.getpid()}"
+        os.makedirs(tmp, exist_ok=True)
+        for r in rows:
+            blob = (f"{r['r_name']}|" * (r["r_regionkey"] + 1)).encode()
+            with open(os.path.join(tmp, f"{r['r_name']}.bin"), "wb") as f:
+                f.write(blob)
+        try:
+            os.rename(tmp, base)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    bf = spark.read.format("binaryFile").load(base)
+    return bf.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"))
