@@ -28,6 +28,7 @@ from pyspark.sql.window import Window
 
 from ..sources import load_table, spread
 from .catalog import register
+from .sqlcompat import dsum, dsum_sql
 
 #: Embedding dimensionality (FIXTURES.md §B).
 DIM = 64
@@ -243,19 +244,12 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative to base, so an AS OF read costs ~one base scan.
     """
     import os
-    import shutil
 
-    from .queries_ext import _scratch, source_fingerprint
+    from .queries_ext import source_fingerprint, stage_once
 
-    # content-keyed staging (same contract as staged_parquet): the
-    # versioned layout is a deterministic function of sf_dir, so one
-    # write serves every rerun — bench repeats and repeated tests time
-    # the AS OF read, never the staging; write-then-rename keeps a
-    # concurrent reader from seeing a half-written version dir
     o = load_table(spark, sf_dir, "orders")
-    base = _scratch(f"tt_{source_fingerprint(sf_dir)}")
-    if not os.path.isdir(base):
-        tmp = f"{base}.tmp-{os.getpid()}"
+
+    def write_versions(tmp: str) -> None:
         (o.select(F.col("o_orderkey").alias("k"),
                   F.col("o_orderstatus").alias("s"))
          .write.mode("overwrite").parquet(os.path.join(tmp, "version=0")))
@@ -265,10 +259,11 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (o.filter(F.col("o_orderkey") % 11 == 0)
          .select(F.col("o_orderkey").alias("k"), F.lit("R2").alias("s"))
          .write.mode("overwrite").parquet(os.path.join(tmp, "version=2")))
-        try:
-            os.rename(tmp, base)
-        except OSError:            # another process won the race
-            shutil.rmtree(tmp, ignore_errors=True)
+
+    # the staged bytes encode the delta predicates (%7/%11, R1/R2),
+    # not just source data — the v1 logic token must be bumped with
+    # any change to write_versions, or reruns serve a stale layout
+    base = stage_once(f"tt_v1_{source_fingerprint(sf_dir)}", write_versions)
     versioned = (spark.read.option("basePath", base)
                  .parquet(os.path.join(base, "version=*")))
     frames = []
@@ -780,10 +775,9 @@ def llm_simsearch_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_text_scan",
     oracle=f"""
     SELECT event_type, COUNT(*) AS n_events,
-           {{dsum}} AS total_value
+           {dsum_sql('value')} AS total_value
     FROM events GROUP BY event_type
-    """.format(dsum="CAST(CAST(SUM(CAST((value) AS DECIMAL(30,2)))"
-               " AS STRING) AS DOUBLE)"),
+    """,
     tags=("source", "text"),
 )
 def source_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -798,31 +792,23 @@ def source_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     one from_json per line inside codegen, and the staged input is
     content-keyed so reruns read, not rewrite.
     """
-    import os
-
-    from .queries_ext import _scratch, source_fingerprint
+    from .queries_ext import source_fingerprint, stage_once
 
     ev = load_table(spark, sf_dir, "events")
-    base = _scratch(f"txt_{source_fingerprint(sf_dir)}")
-    if not os.path.isdir(base):
-        import shutil
-
-        tmp = f"{base}.tmp-{os.getpid()}"
-        (ev.select(F.to_json(F.struct("event_id", "event_type", "value"))
-                   .alias("line"))
-         .write.mode("overwrite").text(tmp))
-        try:
-            os.rename(tmp, base)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
+    # v1 logic token: the staged lines encode the serialized column
+    # set — bump on any change to the to_json projection
+    base = stage_once(
+        f"txt_v1_{source_fingerprint(sf_dir)}",
+        lambda tmp: ev.select(
+            F.to_json(F.struct("event_id", "event_type", "value"))
+            .alias("line")).write.mode("overwrite").text(tmp))
     schema = "event_id BIGINT, event_type STRING, value DOUBLE"
     parsed = (spark.read.text(base)
               .select(F.from_json("value", schema).alias("e"))
               .select("e.*"))
     return (parsed.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.expr("CAST(CAST(SUM(CAST((value) AS DECIMAL(30,2)))"
-                        " AS STRING) AS DOUBLE)").alias("total_value")))
+                 dsum("value", "total_value")))
 
 
 @register(
@@ -853,26 +839,22 @@ def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    from .queries_ext import _scratch, source_fingerprint
+    from .queries_ext import source_fingerprint, stage_once
 
-    base = _scratch(f"bin_{source_fingerprint(sf_dir)}")
-    if not os.path.isdir(base):
-        import shutil
-
+    def write_blobs(tmp: str) -> None:
         # bounded driver-side staging: the region dim is fixed at 5
         # rows at every SF (same bound as the .head() scalar idiom)
         rows = (load_table(spark, sf_dir, "region")
                 .select("r_regionkey", "r_name").head(10))
-        tmp = f"{base}.tmp-{os.getpid()}"
         os.makedirs(tmp, exist_ok=True)
         for r in rows:
             blob = (f"{r['r_name']}|" * (r["r_regionkey"] + 1)).encode()
             with open(os.path.join(tmp, f"{r['r_name']}.bin"), "wb") as f:
                 f.write(blob)
-        try:
-            os.rename(tmp, base)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
+
+    # v1 logic token: the blob bytes encode the repeat(r_name|'|')
+    # construction — bump on any change to write_blobs
+    base = stage_once(f"bin_v1_{source_fingerprint(sf_dir)}", write_blobs)
     bf = spark.read.format("binaryFile").load(base)
     return bf.select(
         F.element_at(F.split("path", "/"), -1).alias("file_name"),

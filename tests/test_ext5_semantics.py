@@ -89,29 +89,20 @@ def test_cluster_safe_split_never_splits_a_cluster(spark):
 
 
 def test_hll_partial_merge_matches_global_sketch(spark):
-    """Mergeability law for the HLL distinct-user tier: unioning
-    per-day partial sketches must estimate EXACTLY what the one-shot
-    global sketch estimates (same deterministic sketch over the same
-    value set — merge order cannot matter), and the estimate must
-    land within 5% of the exact distinct count at fixture scale."""
-    ev = load_table(spark, SF_SMOKE, "events")
-    direct = (ev.groupBy("event_type")
-              .agg(F.hll_sketch_estimate(
-                  F.hll_sketch_agg("user_id")).alias("est")))
-    partials = (ev.groupBy("event_type",
-                           F.date_trunc("day", "ts").alias("day"))
-                .agg(F.hll_sketch_agg("user_id").alias("sk")))
-    merged = (partials.groupBy("event_type")
-              .agg(F.hll_sketch_estimate(
-                  F.hll_union_agg("sk")).alias("est")))
-    exact = (ev.groupBy("event_type")
-             .agg(F.countDistinct("user_id").alias("n")))
-    d = {r["event_type"]: r["est"] for r in direct.collect()}
-    m = {r["event_type"]: r["est"] for r in merged.collect()}
-    x = {r["event_type"]: r["n"] for r in exact.collect()}
-    assert d == m, "partial-merge estimate diverged from global sketch"
-    for t, n in x.items():
-        assert abs(d[t] - n) <= max(1, n * 0.05), (t, d[t], n)
+    """Mergeability law for the HLL distinct-user tier, asserted on
+    the REGISTERED query's own columns (so a regression in
+    agg_hll_mergeable itself fails here, not just in a re-derivation):
+    the per-day partial-union estimate must equal the one-shot global
+    sketch estimate exactly (same deterministic sketch over the same
+    value set — merge order cannot matter), and both must land within
+    5% of the exact distinct count at fixture scale."""
+    rows = QUERIES["agg_hll_mergeable"].fn(spark, SF_SMOKE).collect()
+    assert rows, "one row per event type expected"
+    for r in rows:
+        assert r["est_users"] == r["est_merged"], \
+            f"{r['event_type']}: partial-merge diverged from global sketch"
+        assert abs(r["est_users"] - r["n_exact"]) <= max(
+            1, r["n_exact"] * 0.05), dict(r.asDict())
 
 
 def test_theta_set_algebra_respects_exact_counts(spark):

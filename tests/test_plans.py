@@ -796,5 +796,10 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
             "runtime bloom filter was not injected into the fact side"
     finally:
         for k, v in saved.items():
+            # a conf never explicitly set reads back as None — unset
+            # it rather than skip, or the forced threshold leaks into
+            # every later test in the shared session
             if v is not None:
                 spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
