@@ -183,3 +183,91 @@ def bill_state_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+OVERDUE_STATE_SCHEMA = StructType([
+    StructField("status", StringType()),
+    StructField("due_ms", LongType()),
+])
+
+OVERDUE_OUTPUT_SCHEMA = StructType([
+    StructField("bill_id", StringType()),
+    StructField("kind", StringType()),      # 'state' | 'OVERDUE'
+    StructField("status", StringType()),
+])
+
+
+class OverdueBillProcessor(StatefulProcessor):
+    """Event-time timers on the transformWithState API: each bill
+    registers a timer at issue-time + grace; if no payment has
+    arrived when the WATERMARK passes that instant, the expired-timer
+    callback emits an OVERDUE row — the push-notification the
+    reference's polling UI could never produce (it only ever reacted
+    to events that DID arrive; overdue is the absence of one). Paid
+    bills let their timer expire silently.
+
+    The timer fires on watermark progress, not wall clock, so replays
+    produce identical overdue emissions — event-time determinism the
+    same way the windowed aggregates get it.
+    """
+
+    def __init__(self, grace_ms: int) -> None:
+        self._grace_ms = grace_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._h = handle
+        self._state = handle.getValueState("bill", OVERDUE_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues
+                        ) -> Iterator[pd.DataFrame]:
+        row = self._state.get()
+        status, due_ms = row if row is not None else ("unpaid", None)
+        for pdf in rows:
+            for r in pdf.itertuples(index=False):
+                if r.event_type == "MemberBillCreatedEvent":
+                    if due_ms is None:
+                        due_ms = int(r.ingest_ts.value // 1_000_000
+                                     + self._grace_ms)
+                        self._h.registerTimer(due_ms)
+                elif r.event_type == "PaymentCompletedEvent":
+                    status = "paid"
+        self._state.update((status, due_ms))
+        yield pd.DataFrame(
+            [(key[0], "state", status)],
+            columns=[f.name for f in OVERDUE_OUTPUT_SCHEMA.fields])
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo
+                           ) -> Iterator[pd.DataFrame]:
+        row = self._state.get()
+        status = row[0] if row is not None else "unknown"
+        cols = [f.name for f in OVERDUE_OUTPUT_SCHEMA.fields]
+        if status != "paid":
+            yield pd.DataFrame([(key[0], "OVERDUE", status)], columns=cols)
+        else:
+            yield pd.DataFrame(columns=cols)
+
+    def close(self) -> None:
+        pass
+
+
+def overdue_bill_stream(events: DataFrame, grace_seconds: int) -> DataFrame:
+    """Overdue-bill detection as an event-time-timer stream: bills
+    with no payment within ``grace_seconds`` of issue emit an OVERDUE
+    row when the watermark passes the deadline. Start under
+    :func:`rocksdb_state_store` (transformWithState requirement);
+    timers live in the state store, so a checkpointed restart keeps
+    every pending deadline.
+    """
+    bills = (events
+             .filter(events.event_type.isin(
+                 "MemberBillCreatedEvent", "PaymentCompletedEvent"))
+             .withWatermark("ingest_ts", "0 seconds"))
+    return (
+        bills.groupBy("bill_id")
+        .transformWithStateInPandas(
+            OverdueBillProcessor(grace_ms=grace_seconds * 1000),
+            outputStructType=OVERDUE_OUTPUT_SCHEMA,
+            outputMode="update",
+            timeMode="eventTime",
+        )
+    )

@@ -634,3 +634,72 @@ def test_mv_stream_refresh_resumes_exactly_once(spark, tmp_path):
     want = {r["c_nationkey"]: (r["n_orders"], r["rev"])
             for r in batch.collect()}
     assert got == want
+
+
+def test_overdue_timer_fires_on_watermark_not_arrival(spark, tmp_path):
+    """Event-time timers (transformWithState, timeMode='eventTime'):
+    an unpaid bill emits OVERDUE when the WATERMARK passes
+    issue+grace — detecting the ABSENCE of a payment event, which no
+    arrival-driven operator can do — while a paid bill's timer
+    expires silently. Two runs over one checkpoint also prove timers
+    survive a restart: the deadline registered in run 1 fires in run
+    2 after an unrelated event advances the watermark."""
+    import json
+    import os
+
+    from event_streaming_bnpl_demo_spark.sources.events import (
+        read_event_stream,
+    )
+    from event_streaming_bnpl_demo_spark.streaming.state import (
+        overdue_bill_stream, rocksdb_state_store,
+    )
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(in_dir)
+
+    def bill(bid, ts):
+        return {"event_type": "MemberBillCreatedEvent", "bill_id": bid,
+                "promise_id": f"pr-{bid}", "user_id": "u1", "amount": 100,
+                "issued_date": "2026-01-01", "ingest_ts": ts}
+
+    def pay(bid, ts):
+        return {"event_type": "PaymentCompletedEvent", "bill_id": bid,
+                "user_id": "u1", "amount": 100, "paid_date": "2026-01-01",
+                "ingest_ts": ts}
+
+    def run_once():
+        stream = read_event_stream(spark, in_dir)
+
+        def sink(batch, _):
+            batch.write.mode("append").parquet(out_dir)
+
+        with rocksdb_state_store(spark):
+            q = (overdue_bill_stream(stream, grace_seconds=3600)
+                 .writeStream.foreachBatch(sink)
+                 .outputMode("update")
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+
+    # run 1: two bills issued 09:00 (deadline 10:00); b2 paid at 09:30.
+    # watermark ends at 09:30 -> no timer fires yet.
+    with open(os.path.join(in_dir, "b1.jsonl"), "w") as f:
+        for e in (bill("b1", "2026-01-01T09:00:00.000Z"),
+                  bill("b2", "2026-01-01T09:00:00.000Z"),
+                  pay("b2", "2026-01-01T09:30:00.000Z")):
+            f.write(json.dumps(e) + "\n")
+    run_once()
+    rows = spark.read.parquet(out_dir).collect()
+    assert not [r for r in rows if r["kind"] == "OVERDUE"]
+
+    # run 2 (fresh query, same checkpoint): an unrelated 11:00 bill
+    # advances the watermark past 10:00 -> b1's restored timer fires;
+    # paid b2 stays silent.
+    with open(os.path.join(in_dir, "b2.jsonl"), "w") as f:
+        f.write(json.dumps(bill("b3", "2026-01-01T11:00:00.000Z")) + "\n")
+    run_once()
+    overdue = {r["bill_id"]: r["status"]
+               for r in spark.read.parquet(out_dir).collect()
+               if r["kind"] == "OVERDUE"}
+    assert overdue == {"b1": "unpaid"}, overdue
