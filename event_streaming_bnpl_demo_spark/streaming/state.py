@@ -271,3 +271,69 @@ def overdue_bill_stream(events: DataFrame, grace_seconds: int) -> DataFrame:
             timeMode="eventTime",
         )
     )
+
+
+ACTIVITY_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_events", LongType()),
+    StructField("n_types", LongType()),
+    StructField("recent_values", StringType()),   # csv, newest last
+])
+
+#: Bounded length of the per-user recent-purchase list.
+ACTIVITY_RECENT_N = 3
+
+
+class UserActivityProcessor(StatefulProcessor):
+    """Per-user activity profile on the remaining transformWithState
+    state primitives: a bounded ListState of recent purchase values
+    (newest ``ACTIVITY_RECENT_N`` kept — the state store never grows
+    past the bound, the contract that makes per-key lists safe on an
+    unbounded stream) and a MapState of per-event-type counters
+    (point lookups/updates without rewriting one blob, unlike a
+    ValueState holding a dict). Together with the ValueState bill fold
+    and the event-time timers this exercises every state primitive the
+    Spark 4 API offers.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._recent = handle.getListState(
+            "recent", "ts STRING, value LONG")
+        self._counts = handle.getMapState(
+            "counts", "event_type STRING", "n LONG")
+
+    def handleInputRows(self, key, rows, timerValues
+                        ) -> Iterator[pd.DataFrame]:
+        batch = pd.concat(list(rows), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        for r in batch.itertuples(index=False):
+            prev = self._counts.getValue((r.event_type,)) \
+                if self._counts.containsKey((r.event_type,)) else None
+            self._counts.updateValue(
+                (r.event_type,), (int(prev[0]) + 1 if prev else 1,))
+            if r.event_type == "purchase":
+                self._recent.appendValue(
+                    (r.ts.isoformat(), int(r.value)))
+        recent = list(self._recent.get())
+        if len(recent) > ACTIVITY_RECENT_N:
+            recent = recent[-ACTIVITY_RECENT_N:]
+            self._recent.put(recent)
+        counts = {k[0]: v[0] for k, v in self._counts.iterator()}
+        yield pd.DataFrame(
+            [(key[0], int(sum(counts.values())), len(counts),
+              ",".join(str(v) for _, v in recent))],
+            columns=[f.name for f in ACTIVITY_OUTPUT_SCHEMA.fields])
+
+    def close(self) -> None:
+        pass
+
+
+def user_activity_stream(events: DataFrame) -> DataFrame:
+    """Wire :class:`UserActivityProcessor` onto a streaming events
+    frame keyed by user. Start under :func:`rocksdb_state_store`."""
+    return (events.groupBy("user_id")
+            .transformWithStateInPandas(
+                UserActivityProcessor(),
+                outputStructType=ACTIVITY_OUTPUT_SCHEMA,
+                outputMode="update",
+                timeMode="none"))

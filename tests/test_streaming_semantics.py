@@ -703,3 +703,65 @@ def test_overdue_timer_fires_on_watermark_not_arrival(spark, tmp_path):
                for r in spark.read.parquet(out_dir).collect()
                if r["kind"] == "OVERDUE"}
     assert overdue == {"b1": "unpaid"}, overdue
+
+
+def test_list_and_map_state_bound_per_user_profiles(spark, tmp_path):
+    """ListState + MapState (the remaining transformWithState
+    primitives): the per-user recent-purchase list is TRIMMED to the
+    newest N entries across micro-batches (bounded state on an
+    unbounded stream) and the per-type MapState counters accumulate
+    across a checkpointed second run."""
+    from event_streaming_bnpl_demo_spark.streaming.state import (
+        ACTIVITY_RECENT_N, rocksdb_state_store, user_activity_stream,
+    )
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+
+    def ev(i, uid, etype, val, ts):
+        return {"event_id": i, "ts": ts, "user_id": uid,
+                "event_type": etype, "value": float(val)}
+
+    def run_once():
+        stream = (spark.readStream.schema(SCHEMA).json(in_dir))
+
+        def sink(batch, _):
+            batch.write.mode("append").parquet(out_dir)
+
+        with rocksdb_state_store(spark):
+            q = (user_activity_stream(stream)
+                 .writeStream.foreachBatch(sink)
+                 .outputMode("update")
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination()
+
+    # run 1: u1 makes 4 purchases (one more than the bound) + a view
+    write_jsonl(in_dir, "b1.jsonl", [
+        ev(1, 1, "purchase", 10, "2026-01-01T00:00:01"),
+        ev(2, 1, "purchase", 20, "2026-01-01T00:00:02"),
+        ev(3, 1, "purchase", 30, "2026-01-01T00:00:03"),
+        ev(4, 1, "purchase", 40, "2026-01-01T00:00:04"),
+        ev(5, 1, "view", 0, "2026-01-01T00:00:05"),
+        ev(6, 2, "view", 0, "2026-01-01T00:00:06"),
+    ])
+    run_once()
+    rows = {r["user_id"]: r.asDict()
+            for r in spark.read.parquet(out_dir).collect()}
+    assert rows[1]["n_events"] == 5 and rows[1]["n_types"] == 2
+    # list bounded: oldest purchase (10) evicted, newest 3 kept in order
+    assert rows[1]["recent_values"] == "20,30,40"
+    assert len(rows[1]["recent_values"].split(",")) == ACTIVITY_RECENT_N
+    assert rows[2]["n_events"] == 1 and rows[2]["recent_values"] == ""
+
+    # run 2 (same checkpoint): one more purchase rolls the window and
+    # the map counters keep accumulating
+    write_jsonl(in_dir, "b2.jsonl", [
+        ev(7, 1, "purchase", 50, "2026-01-01T00:00:07"),
+    ])
+    run_once()
+    latest = sorted((r for r in spark.read.parquet(out_dir).collect()
+                     if r["user_id"] == 1),
+                    key=lambda r: r["n_events"])[-1]
+    assert latest["n_events"] == 6
+    assert latest["recent_values"] == "30,40,50"
