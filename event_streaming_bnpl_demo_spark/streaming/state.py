@@ -100,6 +100,20 @@ class BillLifecycleProcessor(StatefulProcessor):
             [(key[0], *row)],
             columns=[f.name for f in BILL_OUTPUT_SCHEMA.fields])
 
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        """Warm-start: seed this key's ValueState from one batch row —
+        the backfill-then-stream migration path (run the batch
+        last-event-wins projection over history once, hand it to the
+        streaming query as ``initialState``, and the stream processes
+        only new events with full knowledge of the past; the first
+        streamed payment for a bootstrapped bill carries the amount
+        only the batch phase ever saw)."""
+        r = initialState.iloc[0]
+        self._state.update((
+            r["promise_id"], r["user_id"],
+            int(r["amount"]) if pd.notna(r["amount"]) else None,
+            r["status"], r["issued_date"], r["paid_date"]))
+
     def close(self) -> None:
         pass
 
@@ -131,7 +145,9 @@ def rocksdb_state_store(spark):
             spark.conf.set(_STATE_PROVIDER_KEY, prev)
 
 
-def bill_state_stream_tws(events: DataFrame) -> DataFrame:
+def bill_state_stream_tws(events: DataFrame,
+                          initial_state: DataFrame | None = None
+                          ) -> DataFrame:
     """bill_state_stream on the Spark 4 ``transformWithStateInPandas``
     API — same filter, same fold, same update-mode output contract;
     state store still partitions by bill_id.
@@ -160,6 +176,8 @@ def bill_state_stream_tws(events: DataFrame) -> DataFrame:
             outputStructType=BILL_OUTPUT_SCHEMA,
             outputMode="update",
             timeMode="none",
+            initialState=(initial_state.groupBy("bill_id")
+                          if initial_state is not None else None),
         )
     )
 

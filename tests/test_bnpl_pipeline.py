@@ -294,3 +294,45 @@ def test_observe_quality_metrics(spark, tmp_path):
     assert got["n_rows"] == 3
     assert got["n_missing_type"] == 1
     assert got["n_negative_amount"] == 1
+
+
+def test_tws_initial_state_bootstraps_batch_history(spark, tmp_path):
+    """Warm-start migration path: the batch last-event-wins state is
+    handed to the streaming query as transformWithState initialState;
+    the stream then processes ONLY a payment event, and the output
+    carries the promise/issue fields that existed solely in the batch
+    bootstrap — backfill once, stream forever, no replay."""
+    if not _has_protobuf():
+        pytest.skip("transformWithState needs the protobuf shim")
+    from event_streaming_bnpl_demo_spark.sources.events import (
+        read_event_stream,
+    )
+    from event_streaming_bnpl_demo_spark.streaming.state import (
+        bill_state_stream_tws, rocksdb_state_store,
+    )
+
+    boot = spark.createDataFrame(
+        [("b-009", "pr-009", "u09", 1200, "unpaid", "2026-01-01", None)],
+        "bill_id string, promise_id string, user_id string, amount long,"
+        " status string, issued_date string, paid_date string")
+    in_dir = str(tmp_path / "in")
+    write_events(in_dir, [
+        {"event_type": "PaymentCompletedEvent", "bill_id": "b-009",
+         "user_id": "u09", "amount": 1200, "paid_date": "2026-01-05",
+         "ingest_ts": "2026-01-05T00:00:00.000Z"},
+    ])
+    stream = read_event_stream(spark, in_dir)
+    with rocksdb_state_store(spark):
+        q = (bill_state_stream_tws(stream, initial_state=boot)
+             .writeStream.format("memory").queryName("tws_boot")
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+    row = {r["bill_id"]: r.asDict()
+           for r in spark.sql("select * from tws_boot").collect()}["b-009"]
+    assert row["status"] == "paid" and row["paid_date"] == "2026-01-05"
+    # these fields never appeared in the stream — bootstrap knowledge
+    assert row["promise_id"] == "pr-009"
+    assert row["issued_date"] == "2026-01-01"
+    assert row["amount"] == 1200
