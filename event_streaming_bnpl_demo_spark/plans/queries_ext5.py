@@ -860,3 +860,63 @@ def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.split("path", "/"), -1).alias("file_name"),
         F.col("length").alias("n_bytes"),
         F.md5("content").alias("content_md5"))
+
+
+@register(
+    "mv_stream_hll_distinct",
+    oracle=None,  # rows-only: sketch estimates are engine-specific;
+    # the defining law (streamed partial-union == one-shot batch
+    # sketch, exactly) is asserted inside the result itself and by
+    # tests/test_ext5_semantics.py.
+    tags=("mv", "stream", "sketch", "approx"),
+)
+def mv_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained HLL distinct view: the event feed
+    drains as four micro-batches; each foreachBatch appends ONE
+    ~KB sketch per (type, batch); the view is the union of partials.
+    Emitted next to the one-shot batch sketch estimate — equal
+    columns are the proof that a streaming sketch rollup answers the
+    same distinct-count question as a full rescan, which is how a
+    100 TB deployment keeps per-day sketch columns and never
+    recomputes distincts over raw history.
+
+    Scale: per-batch state is |types| sketches (~KB each) regardless
+    of batch row count; the terminal union moves sketches, not
+    user_ids. Exactly-once via per-batch overwrite, same as the
+    decimal-partial views.
+    """
+    import uuid as _uuid
+
+    from .queries_ext import _scratch, staged_parquet
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id")
+    work = _scratch(f"hllstream_{_uuid.uuid4().hex[:8]}")
+    state_dir = f"{work}/state"
+    in_dir = staged_parquet(ev, "hllstream", sf_dir, 4)
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        (batch.groupBy("event_type")
+         .agg(F.hll_sketch_agg("user_id").alias("sk"))
+         .write.mode("overwrite")
+         .parquet(f"{state_dir}/batch={batch_id}"))
+
+    q = (spark.readStream
+         .schema("event_id long, event_type string, user_id long")
+         .option("maxFilesPerTrigger", "1")
+         .parquet(in_dir)
+         .writeStream.foreachBatch(fold_batch)
+         .option("checkpointLocation", f"{work}/ck")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    partials = spark.read.option("basePath", state_dir).parquet(
+        f"{state_dir}/batch=*")
+    streamed = (partials.groupBy("event_type")
+                .agg(F.hll_sketch_estimate(
+                    F.hll_union_agg("sk")).alias("est_streamed")))
+    batch_est = (ev.groupBy("event_type")
+                 .agg(F.hll_sketch_estimate(
+                     F.hll_sketch_agg("user_id")).alias("est_batch")))
+    return streamed.join(batch_est, "event_type").select(
+        "event_type", "est_streamed", "est_batch")

@@ -186,3 +186,15 @@ def test_results_invariant_under_shuffle_parallelism(spark):
             assert a == b, f"{n} diverged across shuffle parallelism"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+def test_stream_maintained_hll_equals_batch_sketch(spark):
+    """The streaming sketch-view law: per-micro-batch HLL partials
+    unioned across arbitrary batch boundaries must estimate EXACTLY
+    what the one-shot batch sketch estimates — incremental ==
+    recompute, the same invariant the decimal MV tier proves, now for
+    the sketch algebra."""
+    rows = QUERIES["mv_stream_hll_distinct"].fn(spark, SF_SMOKE).collect()
+    assert rows, "one row per event type expected"
+    for r in rows:
+        assert r["est_streamed"] == r["est_batch"], dict(r.asDict())
