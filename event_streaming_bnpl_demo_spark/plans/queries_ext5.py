@@ -920,3 +920,102 @@ def mv_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.hll_sketch_agg("user_id")).alias("est_batch")))
     return streamed.join(batch_est, "event_type").select(
         "event_type", "est_streamed", "est_batch")
+
+
+#: k-means configuration for IVF centroid training.
+_KM_K = 4
+_KM_SCALE = 1_000_000
+
+_KM_DIST_DUCK = (f"list_sum(list_transform(generate_series(1,{DIM}), "
+                 f"i -> (v[i]-c[i])*(v[i]-c[i])))")
+_KM_ASSIGN_DUCK = f"""
+  SELECT vec_id, v, cid FROM (
+    SELECT fp.vec_id, fp.v, cc.cid,
+           row_number() OVER (PARTITION BY fp.vec_id
+                              ORDER BY {_KM_DIST_DUCK}, cc.cid) AS rn
+    FROM fp CROSS JOIN {{C}} cc
+  ) WHERE rn = 1
+"""
+_KM_UPDATE_DUCK = f"""
+  SELECT cid, list(val ORDER BY dim) AS c FROM (
+    SELECT cid, i AS dim,
+           CAST(FLOOR(CAST(SUM(v[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS val
+    FROM {{A}}, generate_series(1,{DIM}) t(i) GROUP BY cid, i
+  ) GROUP BY cid
+"""
+
+
+@register(
+    "llm_ivf_train_kmeans",
+    oracle=f"""
+    WITH fp AS (
+      SELECT vec_id, list_transform(embedding,
+        x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_KM_SCALE} + 0.5) AS BIGINT))
+        AS v
+      FROM embeddings
+    ), c0 AS (
+      SELECT vec_id AS cid, v AS c FROM fp WHERE vec_id < {_KM_K}
+    ), a1 AS ({_KM_ASSIGN_DUCK.format(C='c0')}
+    ), c1 AS ({_KM_UPDATE_DUCK.format(A='a1')}
+    ), a2 AS ({_KM_ASSIGN_DUCK.format(C='c1')}
+    ), c2 AS ({_KM_UPDATE_DUCK.format(A='a2')}
+    )
+    SELECT a.cid AS cid, COUNT(*) AS n_members,
+           CAST(MIN(list_sum(c.c)) AS BIGINT) AS centroid_checksum
+    FROM a2 a JOIN c2 c ON a.cid = c.cid
+    GROUP BY a.cid
+    """,
+    tags=("llm", "similarity", "iterative", "kmeans"),
+)
+def llm_ivf_train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF centroid TRAINING: two Lloyd iterations of k-means (k=4,
+    deterministic first-k init) over integer fixed-point embeddings —
+    the step that produces the coarse quantizer llm_simsearch_ivf
+    probes. Everything runs in exact int64 (squared distances,
+    floor-of-mean centroid updates), so the iterative fixpoint is
+    bit-equal across engines and partitionings — the same doctrine
+    that made PageRank oracle-checkable, applied to an ML training
+    loop. MLlib's KMeans exists but seeds randomly; a training step a
+    correctness gate can hash must be deterministic end-to-end.
+
+    Scale: each iteration is one K-way broadcast expansion of the
+    vector scan (K tiny, centroids localCheckpointed per round — no
+    lineage blowup) + one (cid, dim)-keyed aggregate emitting K·D
+    rows. No all-pairs anything; cost is O(V·K·D) per iteration, the
+    k-means lower bound.
+    """
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    fp = e.select("vec_id", F.expr(
+        f"transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)"
+        f" * {_KM_SCALE} + 0.5) AS BIGINT))").alias("v"))
+    cents = (fp.filter(F.col("vec_id") < _KM_K)
+             .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
+             .localCheckpoint())
+    dist = F.expr(
+        f"aggregate(sequence(1, {DIM}), CAST(0 AS BIGINT), (acc, i) -> "
+        f"acc + (element_at(v, i) - element_at(c, i))"
+        f" * (element_at(v, i) - element_at(c, i)))")
+    assigned = None
+    for _ in range(2):
+        w = Window.partitionBy("vec_id").orderBy("d", "cid")
+        assigned = (fp.crossJoin(F.broadcast(cents))
+                    .withColumn("d", dist)
+                    .withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") == 1)
+                    .select("vec_id", "v", "cid"))
+        long = assigned.select(
+            "cid", F.posexplode("v").alias("pos", "val"))
+        cents = (long.groupBy("cid", (F.col("pos") + 1).alias("dim"))
+                 .agg(F.expr("CAST(FLOOR(CAST(SUM(val) AS DOUBLE)"
+                             " / COUNT(val)) AS BIGINT)").alias("val"))
+                 .groupBy("cid")
+                 .agg(F.expr("transform(array_sort(collect_list("
+                             "struct(dim, val))), s -> s.val)").alias("c"))
+                 .localCheckpoint())
+    checksum = cents.select(
+        "cid", F.expr("aggregate(c, CAST(0 AS BIGINT), "
+                      "(acc, x) -> acc + x)").alias("centroid_checksum"))
+    return (assigned.groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n_members"))
+            .join(F.broadcast(checksum), "cid")
+            .select("cid", "n_members", "centroid_checksum"))
