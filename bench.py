@@ -119,6 +119,7 @@ HEADLINE = [
     "llm_type_token_ratio",
     "dq_benford_digits",
     "llm_split_cluster_safe",
+    "llm_ivf_train_kmeans",
 ]
 
 

@@ -803,3 +803,15 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_kmeans_iteration_plan_shape(spark):
+    """The k-means trainer's per-iteration shape: the K-way expansion
+    must ride a broadcast of the tiny centroid relation (a shuffled or
+    cartesian product over the vector scan is the O(V·K) blowup the
+    broadcast exists to avoid), and the assignment window partitions
+    by vec_id."""
+    plan = (QUERIES["llm_ivf_train_kmeans"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
