@@ -272,3 +272,85 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         frontier = nxt
     return (visited.groupBy("hop")
             .agg(F.count(F.lit(1)).alias("n_reached")))
+
+
+_SSSP_EDGE_SQL = """
+    SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+           's' || CAST(l_suppkey AS VARCHAR) AS dst,
+           CAST(1000000 // COUNT(*) + 1 AS BIGINT) AS len
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1, 2
+"""
+
+_SSSP_ROUND_SQL = """
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM {D}
+    UNION ALL
+    SELECT e.dst AS node, {D}.dist + e.len AS dist
+    FROM {D} JOIN e ON e.src = {D}.node
+  ) GROUP BY node
+"""
+
+
+@register(
+    "graph_sssp_weighted",
+    oracle=f"""
+    WITH fwd AS ({_SSSP_EDGE_SQL}),
+    e AS (
+      SELECT src, dst, len FROM fwd
+      UNION ALL SELECT dst, src, len FROM fwd
+    ), d0 AS (
+      SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node,
+             CAST(0 AS BIGINT) AS dist
+      FROM customer WHERE c_custkey % 50 = 0
+    ), d1 AS ({_SSSP_ROUND_SQL.format(D='d0')}
+    ), d2 AS ({_SSSP_ROUND_SQL.format(D='d1')}
+    ), d3 AS ({_SSSP_ROUND_SQL.format(D='d2')}
+    )
+    SELECT node, dist FROM d3 WHERE dist > 0
+    ORDER BY dist, node LIMIT 20
+    """,
+    tags=("graph", "iterative", "weighted"),
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source (multi-seed) shortest paths: three
+    Bellman-Ford relaxation rounds over the co-purchase graph, edge
+    length = 1e6 div co-purchase-count + 1 (stronger relationships are
+    shorter) — the 20 nearest counterparties by relationship-weighted
+    distance. Completes the graph pack's distance story: khop answers
+    "how many hops", this answers "how close" when edges carry
+    strength. All-integer lengths and MIN-folds make the fixpoint
+    bit-equal across engines (the PageRank/k-means doctrine).
+
+    Scale: each round is one frontier ⋈ edges equi-join plus a
+    per-node MIN (map-side combined) — O(edges) per round, no path
+    enumeration ever (the oracle unrolls the same three MIN-folds, NOT
+    a recursive path walk, so neither side pays the exponential path
+    count). Rounds are bounded, lineage stays shallow; edges
+    materialize once.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    fwd = (o.join(li, o.o_orderkey == li.l_orderkey)
+           .groupBy(F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+                    .alias("src"),
+                    F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+                    .alias("dst"))
+           .agg(F.expr("CAST(1000000 div COUNT(*) + 1 AS BIGINT)")
+                .alias("len")))
+    edges = (fwd.unionAll(fwd.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst"), "len"))
+             .localCheckpoint(eager=True))
+    dist = (c.filter(F.col("c_custkey") % 50 == 0)
+            .select(F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
+                    .alias("node"),
+                    F.lit(0).cast("bigint").alias("dist")))
+    for _ in range(3):
+        relaxed = (dist.join(edges, dist.node == edges.src)
+                   .select(F.col("dst").alias("node"),
+                           (F.col("dist") + F.col("len")).alias("dist")))
+        dist = (dist.unionAll(relaxed)
+                .groupBy("node").agg(F.min("dist").alias("dist")))
+    return (dist.filter(F.col("dist") > 0)
+            .orderBy(F.asc("dist"), F.asc("node")).limit(20))
