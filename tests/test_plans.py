@@ -815,3 +815,15 @@ def test_kmeans_iteration_plan_shape(spark):
             .queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_sssp_rounds_are_equijoins(spark):
+    """Every SSSP relaxation round must pair the frontier with edges
+    via an equi-join on node id — a product here is the path-explosion
+    the MIN-fold formulation exists to avoid."""
+    plan = (QUERIES["graph_sssp_weighted"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
+    assert "TakeOrderedAndProject" in plan  # nearest-20, no global sort
