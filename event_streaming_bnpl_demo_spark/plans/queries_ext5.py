@@ -1,22 +1,33 @@
-"""Round-5 extension pack: tokenizer-induction pair counting (one BPE
-merge step), unigram-commonness document scoring, int8-quantized
-similarity search, snapshot time travel over versioned parquet deltas,
+"""Round-5 extension pack.
+
+Oracled tier: tokenizer-induction pair counting (one BPE merge step),
+unigram-commonness document scoring, int8-quantized similarity
+search, snapshot time travel over versioned parquet deltas,
 temperature-based (alpha=0.5) source mixing, MAD-robust anomaly
 detection, type-token-ratio quality scoring, a Benford's-law audit,
-and the near-dup-cluster-safe train/eval split.
+the near-dup-cluster-safe train/eval split, raw-text and binaryFile
+source scans, and deterministic fixed-point k-means for IVF centroid
+training.
+
+Rows-only sketch/composition tier (engine-specific estimates or
+results proven equal to an oracled twin — each with an exact law test
+in tests/test_ext5_semantics.py): mergeable HLL distinct counts,
+theta set algebra, KLL quantiles, the streamed HLL view, and the
+quantized-shortlist→exact-re-rank composition.
 
 These extend the training-data-pipeline tier (SURVEY.md "beyond the
 reference" scope): BPE pair statistics and temperature mixing are the
 two corpus-preparation steps a pre-training pipeline runs between
 curation (queries_llm/llm2/llm3) and packing (llm_pack_sequences);
-int8 quantization is the standard memory-bandwidth lever for
-100 TB-scale ANN; snapshot time travel is the lakehouse read pattern
-the reference's append-only projections gesture at; the cluster-safe
-split closes the near-dup leakage hole a doc-hash split leaves open.
+int8 quantization + k-means training are the memory-bandwidth and
+index-build levers for 100 TB-scale ANN; snapshot time travel is the
+lakehouse read pattern the reference's append-only projections
+gesture at; the cluster-safe split closes the near-dup leakage hole a
+doc-hash split leaves open.
 
-Catalog invariants hold throughout: every output column is
-integer/string or a single exact division of two integers (bit-equal
-in both engines), and every plan stays broadcast- or
+Catalog invariants hold throughout: every driver-facing output column
+is integer/string or a single exact division of two integers
+(bit-equal in both engines), and every plan stays broadcast- or
 one-exchange-shaped at 100 TB.
 """
 
