@@ -61,12 +61,12 @@ _REGISTRY: dict[str, Query] = {}
 # unigram commonness, int8-quantized simsearch, snapshot time travel,
 # temperature mixing, MAD anomaly days, type-token ratio, Benford
 # audit, cluster-safe split) — 27 + 14 + 9 = 50 names fills the
-# 50-query budget exactly, closing every pre-existing gap; the four
+# 50-query budget exactly, closing every pre-existing gap; the five
 # late-round additions (text/binaryFile source scans, the
-# deterministic k-means IVF trainer, and weighted SSSP — registered
-# after the budget was already full) queue at positions 51-54 for
-# round 6 with sf0.001+sf0.01 gate evidence recorded (k-means also
-# sf0.1).
+# deterministic k-means IVF trainer, weighted SSSP, and CEP-lite
+# pattern matching — registered after the budget was already full)
+# queue at positions 51-55 for round 6 with sf0.001+sf0.01 gate
+# evidence recorded (k-means also sf0.1).
 _PRIORITY: tuple[str, ...] = (
     # longest-unchecked oracled tails (former tier 2)
     "llm_dedup_ngram_jaccard_exact", "llm_dedup_embedding_exact",

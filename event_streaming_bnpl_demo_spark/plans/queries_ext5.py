@@ -1030,3 +1030,60 @@ def llm_ivf_train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_members"))
             .join(F.broadcast(checksum), "cid")
             .select("cid", "n_members", "centroid_checksum"))
+
+
+@register(
+    "events_pattern_match",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS n_events,
+           CAST((length(seq) - length(replace(seq, 'vp', ''))) // 2
+                AS BIGINT) AS n_direct_conv,
+           CAST(CASE WHEN regexp_matches(seq, 'v[^e]*p')
+                     THEN 1 ELSE 0 END AS BIGINT) AS has_clean_conv,
+           substr(seq, 1, 3) AS first3
+    FROM seqs
+    """,
+    tags=("events", "pattern", "cep"),
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-lite pattern detection: each user's event history collapses
+    to an ordered type-initial string (v=view, p=purchase, e=error,
+    ...) and patterns become string operations — adjacent
+    view→purchase conversions via substring counting, and the
+    MATCH_RECOGNIZE-style "view then purchase with NO intervening
+    error" via one regex existence check. The sequence-as-string trick
+    turns arbitrary event-pattern questions into per-row scalar ops
+    after a single per-user collapse.
+
+    Determinism: ordering is (ts, event_id) — a total order — and the
+    conversion COUNT uses pure substring arithmetic, not regex
+    find-all (regex engines agree on existence but can disagree on
+    greedy-match counts between RE2 and Java backtracking; the one
+    regex here is existence-only).
+
+    Scale: one user-clustered exchange; per-user sequence length is
+    bounded by user lifetime activity. For unbounded histories the
+    production form runs per session (compose with ts_sessionize) so
+    the collapsed string stays small — same plan, shorter keys.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    seqs = (ev.groupBy("user_id")
+            .agg(F.expr(
+                "concat_ws('', transform(array_sort(collect_list("
+                "struct(ts, event_id, substring(event_type, 1, 1) AS ch)"
+                ")), s -> s.ch))").alias("seq")))
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("n_events"),
+        ((F.length("seq") - F.length(F.replace(F.col("seq"), F.lit("vp"))))
+         / 2).cast("bigint").alias("n_direct_conv"),
+        F.col("seq").rlike("v[^e]*p").cast("bigint")
+        .alias("has_clean_conv"),
+        F.substring("seq", 1, 3).alias("first3"))
