@@ -87,6 +87,17 @@ _PRIORITY: tuple[str, ...] = (
 # Second tier: empty — every previously-queued name is in tier 1 now.
 _PRIORITY2: tuple[str, ...] = ()
 
+# Registered AFTER the round-5 check budget was already full: held at
+# the very end of the fresh ordering so they cannot evict a budgeted
+# name (fresh order is otherwise module-registration order, and e.g.
+# the graph module loads before ext5 — without this tier the late
+# SSSP addition would land mid-budget and push a budgeted name out).
+_DEFERRED: tuple[str, ...] = (
+    "source_text_scan", "source_binaryfile_scan",
+    "llm_ivf_train_kmeans", "graph_sssp_weighted",
+    "events_pattern_match",
+)
+
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —
 # cumulative (122 currently-registered names, zero red; 121 oracled +
 # the rows-only agg_approx_distinct). These yield the tail of the
@@ -176,11 +187,13 @@ def _ordered_names() -> list[str]:
     # rows-only queries (no oracle) can only produce err:no_oracle rows
     # under the driver's budget — keep them dead last, always.
     fresh = [n for n in rest
-             if n not in _DRIVER_CHECKED and _REGISTRY[n].oracle is not None]
+             if n not in _DRIVER_CHECKED and _REGISTRY[n].oracle is not None
+             and n not in _DEFERRED]
+    deferred = [n for n in _DEFERRED if n in _REGISTRY]
     rerun = [n for n in rest
              if n in _DRIVER_CHECKED and _REGISTRY[n].oracle is not None]
     rows_only = [n for n in rest if _REGISTRY[n].oracle is None]
-    return prio + prio2 + fresh + rerun + rows_only
+    return prio + prio2 + fresh + deferred + rerun + rows_only
 
 
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):

@@ -1023,6 +1023,10 @@ def llm_ivf_train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .agg(F.expr("transform(array_sort(collect_list("
                              "struct(dim, val))), s -> s.val)").alias("c"))
                  .localCheckpoint())
+    # materialize the final assignment too: the membership rollup and
+    # c2 both consume it, and without this the terminal count re-runs
+    # the whole O(V*K*D) expansion a second time
+    assigned = assigned.localCheckpoint()
     checksum = cents.select(
         "cid", F.expr("aggregate(c, CAST(0 AS BIGINT), "
                       "(acc, x) -> acc + x)").alias("centroid_checksum"))

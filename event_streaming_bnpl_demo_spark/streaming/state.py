@@ -103,11 +103,12 @@ class BillLifecycleProcessor(StatefulProcessor):
     def handleInitialState(self, key, initialState, timerValues) -> None:
         """Warm-start: seed this key's ValueState from one batch row —
         the backfill-then-stream migration path (run the batch
-        last-event-wins projection over history once, hand it to the
-        streaming query as ``initialState``, and the stream processes
-        only new events with full knowledge of the past; the first
-        streamed payment for a bootstrapped bill carries the amount
-        only the batch phase ever saw)."""
+        last-event-wins projection over history once, adapt it with
+        :func:`bill_bootstrap_frame`, hand it to the streaming query
+        as ``initial_state``, and the stream processes only new events
+        with full knowledge of the past; the first streamed payment
+        for a bootstrapped bill carries the amount only the batch
+        phase ever saw)."""
         r = initialState.iloc[0]
         self._state.update((
             r["promise_id"], r["user_id"],
@@ -324,14 +325,19 @@ class UserActivityProcessor(StatefulProcessor):
                         ) -> Iterator[pd.DataFrame]:
         batch = pd.concat(list(rows), ignore_index=True)
         batch = batch.sort_values(["ts", "event_id"])
-        for r in batch.itertuples(index=False):
-            prev = self._counts.getValue((r.event_type,)) \
-                if self._counts.containsKey((r.event_type,)) else None
+        # fold counts in pandas first: state-server round trips are
+        # per DISTINCT type (bounded by |types|), never per row — the
+        # per-row RPC chatter would dominate the Arrow-vectorized hop
+        for etype, n in batch["event_type"].value_counts().items():
+            prev = self._counts.getValue((etype,)) \
+                if self._counts.containsKey((etype,)) else None
             self._counts.updateValue(
-                (r.event_type,), (int(prev[0]) + 1 if prev else 1,))
-            if r.event_type == "purchase":
-                self._recent.appendValue(
-                    (r.ts.isoformat(), int(r.value)))
+                (etype,), (int(prev[0]) + int(n) if prev else int(n),))
+        purchases = batch[batch["event_type"] == "purchase"]
+        if len(purchases):
+            self._recent.appendList([
+                (r.ts.isoformat(), int(r.value))
+                for r in purchases.itertuples(index=False)])
         recent = list(self._recent.get())
         if len(recent) > ACTIVITY_RECENT_N:
             recent = recent[-ACTIVITY_RECENT_N:]
@@ -355,3 +361,26 @@ def user_activity_stream(events: DataFrame) -> DataFrame:
                 outputStructType=ACTIVITY_OUTPUT_SCHEMA,
                 outputMode="update",
                 timeMode="none"))
+
+
+def bill_bootstrap_frame(bills: DataFrame) -> DataFrame:
+    """Adapt the BATCH bills projection (transforms.project_bills /
+    bills_from_state output: key named ``id``, DateType dates) into
+    the frame :func:`bill_state_stream_tws` accepts as
+    ``initial_state`` — keyed ``bill_id``, string-typed dates matching
+    BILL_STATE_SCHEMA. This is the glue that makes the
+    backfill-then-stream recipe one line::
+
+        tws = bill_state_stream_tws(
+            stream, initial_state=bill_bootstrap_frame(
+                project_bills(read_event_batch(spark, history))))
+    """
+    import pyspark.sql.functions as F
+
+    return bills.select(
+        F.col("id").alias("bill_id"),
+        "promise_id", "user_id",
+        F.col("amount").cast("long").alias("amount"),
+        "status",
+        F.date_format("issued_date", "yyyy-MM-dd").alias("issued_date"),
+        F.date_format("paid_date", "yyyy-MM-dd").alias("paid_date"))

@@ -311,10 +311,27 @@ def test_tws_initial_state_bootstraps_batch_history(spark, tmp_path):
         bill_state_stream_tws, rocksdb_state_store,
     )
 
-    boot = spark.createDataFrame(
-        [("b-009", "pr-009", "u09", 1200, "unpaid", "2026-01-01", None)],
-        "bill_id string, promise_id string, user_id string, amount long,"
-        " status string, issued_date string, paid_date string")
+    from event_streaming_bnpl_demo_spark.sources.events import (
+        read_event_batch,
+    )
+    from event_streaming_bnpl_demo_spark.streaming.state import (
+        bill_bootstrap_frame,
+    )
+    from event_streaming_bnpl_demo_spark.streaming.transforms import (
+        project_bills,
+    )
+
+    # batch phase: the REAL history projection (not a hand-built
+    # frame) adapted through the production bootstrap glue
+    hist_dir = str(tmp_path / "hist")
+    write_events(hist_dir, [
+        {"event_type": "MemberBillCreatedEvent", "bill_id": "b-009",
+         "promise_id": "pr-009", "user_id": "u09", "amount": 1200,
+         "issued_date": "2026-01-01",
+         "ingest_ts": "2026-01-01T00:00:00.000Z"},
+    ])
+    boot = bill_bootstrap_frame(
+        project_bills(read_event_batch(spark, hist_dir)))
     in_dir = str(tmp_path / "in")
     write_events(in_dir, [
         {"event_type": "PaymentCompletedEvent", "bill_id": "b-009",

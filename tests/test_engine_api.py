@@ -68,3 +68,24 @@ def test_coverage_doc_lists_every_query():
     assert (int(m.group(1)), int(m.group(2))) == (len(qs), n_oracled), (
         f"COVERAGE.md header says {m.group(0)!r}; registry has "
         f"{len(qs)} catalog queries, {n_oracled} oracled")
+
+
+def test_driver_queue_order_protects_the_budget():
+    """The driver checks the first ~50 oracled names in catalog order.
+    The 50 budgeted round-5 names must occupy positions 0-49 and the
+    late-round deferred additions exactly 50+ — a new registration
+    sliding mid-budget would silently evict a budgeted name from the
+    round's check run (the regression a review caught when SSSP
+    registered from an early-loading module)."""
+    from event_streaming_bnpl_demo_spark.plans import all_queries
+    from event_streaming_bnpl_demo_spark.plans.catalog import (
+        _DEFERRED, _DRIVER_CHECKED,
+    )
+
+    qs = all_queries()
+    queued = [n for n, q in qs.items()
+              if q.oracle and n not in _DRIVER_CHECKED]
+    n_budget = len(queued) - len(_DEFERRED)
+    assert queued[n_budget:] == list(_DEFERRED), (
+        "deferred names must close the queue")
+    assert not set(queued[:n_budget]) & set(_DEFERRED)
