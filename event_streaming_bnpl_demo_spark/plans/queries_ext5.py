@@ -47,9 +47,10 @@ DIM = 64
 #: Global kept-document budget for the temperature mixture.
 _MIX_BUDGET = 200
 
-#: Fixed-point scale for per-source mixture weights (sqrt(n) * 1e6 as
-#: an integer, so weight sums are exact and order-independent).
-_WGT_SCALE = 1_000_000
+#: Fixed-point scale for per-source mixture weights — the single
+#: definition lives with the operator core so the oracle text and the
+#: plan can never drift apart.
+from ..operators.robust import WGT_SCALE as _WGT_SCALE  # noqa: E402
 
 
 @register(
@@ -341,17 +342,11 @@ def llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange — identical shape to llm_source_caps with data-derived
     caps instead of a constant.
     """
+    from ..operators.robust import temperature_quotas
+
     d = spread(load_table(spark, sf_dir, "documents"))
     s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
-    w = s.withColumn("wgt", F.expr(
-        f"CAST(FLOOR(SQRT(CAST(n_total AS DOUBLE)) * {_WGT_SCALE})"
-        f" AS BIGINT)"))
-    caps = (w.withColumn("total_w", F.sum("wgt").over(
-                Window.partitionBy()))
-            .select("source", "n_total",
-                    F.least(F.col("n_total"),
-                            F.expr(f"({_MIX_BUDGET} * wgt) div total_w"))
-                    .cast("bigint").alias("n_keep")))
+    caps = temperature_quotas(s, _MIX_BUDGET)
     ranked = d.select(
         "source", "n_chars",
         F.row_number().over(
@@ -431,31 +426,15 @@ def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuse it instead of re-scanning the log once each — pinned), and
     everything after is a few thousand rows per year per type.
     """
+    from ..operators.robust import mad_outliers
+
     ev = load_table(spark, sf_dir, "events")
     daily = (ev.groupBy(
         "event_type",
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .localCheckpoint())
-    wr = Window.partitionBy("event_type").orderBy("n_events", "day")
-    wg = Window.partitionBy("event_type")
-    pick = F.expr(_disc_median_pick("spark"))
-    med = (daily.withColumn("rn", F.row_number().over(wr))
-           .withColumn("grp_n", F.count(F.lit(1)).over(wg))
-           .groupBy("event_type")
-           .agg(F.max(F.when(F.col("rn") == pick,
-                             F.col("n_events"))).alias("med")))
-    dev = (daily.join(F.broadcast(med), "event_type")
-           .withColumn("dev", F.abs(F.col("n_events") - F.col("med"))))
-    wrd = Window.partitionBy("event_type").orderBy("dev", "day")
-    mad = (dev.withColumn("rn", F.row_number().over(wrd))
-           .withColumn("grp_n", F.count(F.lit(1)).over(wg))
-           .groupBy("event_type")
-           .agg(F.max(F.when(F.col("rn") == pick,
-                             F.col("dev"))).alias("mad")))
-    return (dev.join(F.broadcast(mad), "event_type")
-            .filter(F.col("dev") > F.greatest(3 * F.col("mad"), F.lit(1)))
-            .select("event_type", "day", "n_events", "med", "mad"))
+    return mad_outliers(daily, "event_type", "day", "n_events")
 
 
 @register(

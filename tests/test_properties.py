@@ -272,3 +272,73 @@ def test_mv_partial_merge_invariant(spark, rows, cut):
             merged[g] = (bn + n, bs + sdec)
     direct = partial(rows)
     assert merged == direct
+
+
+mad_frames = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]),          # group
+              st.integers(min_value=0, max_value=500)),  # value
+    min_size=1, max_size=14,
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=mad_frames)
+def test_mad_outliers_laws(spark, rows):
+    """MAD detector laws over arbitrary integer series: every flagged
+    row really deviates by more than max(3·MAD, 1) from the group's
+    discrete median (recomputed independently in Python), no
+    non-deviating row is flagged, and constant series never flag."""
+    from event_streaming_bnpl_demo_spark.operators.robust import (
+        mad_outliers,
+    )
+
+    data = [(g, f"d{i:02d}", v) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g string, day string, v long")
+    got = {(r["g"], r["day"]) for r in
+           mad_outliers(df, "g", "day", "v").collect()}
+
+    def disc_median(vals):
+        return sorted(vals)[(len(vals) + 1) // 2 - 1]
+
+    want = set()
+    by_g = {}
+    for g, day, v in data:
+        by_g.setdefault(g, []).append((day, v))
+    for g, items in by_g.items():
+        med = disc_median([v for _, v in items])
+        mad = disc_median([abs(v - med) for _, v in items])
+        for day, v in items:
+            if abs(v - med) > max(3 * mad, 1):
+                want.add((g, day))
+    assert got == want, (sorted(got), sorted(want), data)
+
+
+quota_frames = st.lists(
+    st.integers(min_value=1, max_value=10_000),
+    min_size=1, max_size=8,
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(counts=quota_frames, budget=st.integers(min_value=0, max_value=5_000))
+def test_temperature_quota_laws(spark, counts, budget):
+    """Mixture-quota laws over arbitrary holdings: 0 <= quota <=
+    holdings, the quota total never overshoots the budget, and quotas
+    are monotone in holdings (a strictly larger source never keeps
+    fewer docs)."""
+    from event_streaming_bnpl_demo_spark.operators.robust import (
+        temperature_quotas,
+    )
+
+    df = spark.createDataFrame(
+        [(f"s{i}", n) for i, n in enumerate(counts)],
+        "source string, n_total long")
+    rows = {r["source"]: (r["n_total"], r["n_keep"])
+            for r in temperature_quotas(df, budget).collect()}
+    assert all(0 <= k <= n for n, k in rows.values()), rows
+    assert sum(k for _, k in rows.values()) <= budget, rows
+    items = sorted(rows.values())
+    for (n1, k1), (n2, k2) in zip(items, items[1:]):
+        assert k1 <= k2 or n1 == n2, items
