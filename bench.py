@@ -1,16 +1,26 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline catalog queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE COMPACT JSON line (well
+under 2 KB — the driver tail-captures stdout, and round 5 proved a
+70-query per-query dict blows past that window):
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "sf": ..., ...}
+
+Per-query timings, run counts, the cold-start breakdown, and the sf1
+per-query detail go to a sidecar file (``$SPARK_GRAFT_DETAIL_FILE``,
+default ``BENCH_DETAIL.json`` next to this script) whose path the
+driver line carries in ``detail_file``.
 
 ``value`` is total steady-state wall-clock over the headline set (lower
-is better): each query is forced three times with a count() and the
-best time is kept, so one-time whole-stage-codegen compilation (a
+is better): each query is forced up to three times with a count() and
+the best time kept, so one-time whole-stage-codegen compilation (a
 per-PLAN cost that is irrelevant at 100 TB, where a plan compiles once
 and runs for minutes) and transient host-load noise stay out of the
-throughput number. The first-run total is reported alongside as
+throughput number. Every query gets AT LEAST two runs — a min-of-1
+number is cold (includes codegen) and not comparable round-over-round
+(the r5 ``graph_pagerank`` false-regression) — and the per-query
+``n_runs`` goes to the sidecar. The first-run total is reported as
 ``cold_sec``.
 """
 
@@ -20,6 +30,16 @@ import json
 import os
 import sys
 import time
+
+# Make the bench runnable from any cwd: the driver imports resolve via
+# the script dir, but local-mode Python WORKERS resolve the package via
+# PYTHONPATH — without this, running `python /root/repo/bench.py` from
+# elsewhere dies unpickling the first pandas UDF.
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = (
+    _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")).rstrip(os.pathsep)
 
 from pyspark.sql import SparkSession
 
@@ -297,12 +317,13 @@ def main() -> None:
     catalog["q1_pricing_summary"].fn(spark, sf_dir).count()
     t_warm = time.perf_counter() - t_warm0
 
-    # Adaptive repeats: up to 3 runs per query, but stop once a query
-    # has spent its time budget — the expensive entries are
-    # streaming-machinery-dominated (staged input, checkpoint, state
-    # store) with low run-to-run variance, so repeating them buys no
-    # precision and costs the wall-clock that keeps the WHOLE bench
-    # (and its one-line JSON contract) inside any harness timeout.
+    # Adaptive repeats with a WARM floor: every query gets at least two
+    # runs (so every reported number is post-codegen and comparable
+    # round-over-round), and a third only while inside its time budget —
+    # the expensive entries are streaming-machinery-dominated (staged
+    # input, checkpoint, state store) with low run-to-run variance, so a
+    # third repeat buys no precision and costs the wall-clock that keeps
+    # the WHOLE bench inside any harness timeout.
     per_q_budget = float(os.environ.get("SPARK_GRAFT_QUERY_BUDGET", "6"))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -310,11 +331,11 @@ def main() -> None:
     for name in HEADLINE:
         q = catalog[name]
         runs = []
-        for _ in range(3):
+        for i in range(3):
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
-            if sum(runs) > per_q_budget:
+            if i >= 1 and sum(runs) > per_q_budget:
                 break
         cold[name] = runs[0]
         timings[name] = round(min(runs), 3)
@@ -322,17 +343,23 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(cold.values()), 3)
-    print(json.dumps({
+    stream = stream_throughput(spark, sf_dir)
+    sf1 = scaled_section(spark, catalog, sf_dir,
+                         elapsed=time.perf_counter() - t_init0)
+
+    detail_file = os.environ.get(
+        "SPARK_GRAFT_DETAIL_FILE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json"))
+    detail = {
         "metric": "headline_queries_wall_sec",
         "value": total,
         "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "queries": timings,
-        "n": 3,
-        # entries that stopped early under the per-query time budget
-        # (min over fewer than 3 runs); every other entry is min-of-3
-        "single_run": sorted(k for k, v in n_runs.items() if v < 3),
+        "n_runs": n_runs,
         "per_query_budget_sec": per_q_budget,
-        "cold_sec": cold_total,
+        "cold_queries": {k: round(v, 3) for k, v in cold.items()},
         # cold_sec is the sum of FIRST runs and scales with suite size
         # (one whole-stage-codegen compile per plan); the breakdown
         # separates the fixed session costs from the per-plan compile
@@ -344,10 +371,28 @@ def main() -> None:
             "n_queries": len(HEADLINE),
             "first_run_avg_sec": round(cold_total / len(HEADLINE), 3),
         },
-        "stream": stream_throughput(spark, sf_dir),
+        "stream": stream,
+        "sf1": sf1,
+    }
+    try:
+        with open(detail_file, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError:
+        detail_file = None
+
+    # THE driver-facing line: compact scalars only, < 2 KB always.
+    print(json.dumps({
+        "metric": "headline_queries_wall_sec",
+        "value": total,
+        "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "sf1": scaled_section(spark, catalog, sf_dir,
-                              elapsed=time.perf_counter() - t_init0),
+        "n_queries": len(HEADLINE),
+        "min_runs": min(n_runs.values()),
+        "cold_sec": cold_total,
+        "stream_events_per_sec": stream.get("events_per_sec"),
+        "sf1_sec": (sf1 or {}).get("value"),
+        "sf1_errors": len((sf1 or {}).get("errors", {})) or None,
+        "detail_file": detail_file,
     }))
     spark.stop()
 
