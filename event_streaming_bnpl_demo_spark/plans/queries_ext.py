@@ -306,8 +306,14 @@ def stage_once(key: str, write_fn) -> str:
         write_fn(tmp)
         try:
             os.rename(tmp, path)
-        except OSError:            # another process won the race
+        except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
+            # Only a lost concurrency race is swallowable — then the
+            # winner's dir exists. Any other rename failure (ENOSPC,
+            # EXDEV, permissions) must surface HERE, not as a confusing
+            # downstream read error on a path that was never created.
+            if not os.path.isdir(path):
+                raise
     return path
 
 

