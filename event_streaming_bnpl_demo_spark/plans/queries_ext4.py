@@ -223,6 +223,10 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
          .option("checkpointLocation", f"{work}/ck")
          .trigger(availableNow=True).start())
     q.awaitTermination()
+    # Memory sink: the checkpoint belongs to the now-terminated query;
+    # drop the scratch dir instead of orphaning one per invocation.
+    import shutil
+    shutil.rmtree(work, ignore_errors=True)
     return (spark.table(name).groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_unique")))
 

@@ -827,3 +827,51 @@ def test_sssp_rounds_are_equijoins(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
     assert "TakeOrderedAndProject" in plan  # nearest-20, no global sort
+
+
+def test_fanout_cascade_shares_one_scan(spark):
+    """The fan-out cascade's shared-scan claim, pinned: each of the
+    three per-batch partials must read the persisted micro-batch
+    (InMemoryTableScan), never a second source scan — at 100 TB/day
+    that is the difference between 1x and 3x ingest bandwidth."""
+    from event_streaming_bnpl_demo_spark.plans.queries_mv import \
+        fanout_partials
+    from event_streaming_bnpl_demo_spark.sources import load_table
+
+    batch = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    batch.persist()
+    try:
+        parts = fanout_partials(batch)
+        assert set(parts) == {"by_type", "by_user", "hourly"}
+        for sink, part in parts.items():
+            plan = part._jdf.queryExecution().executedPlan().toString()
+            # the top-of-tree read must be the cached relation (the
+            # InMemoryTableScan node string embeds the cached child's
+            # FileScan description, so assert the scan NODE, not the
+            # absence of the substring)
+            top = plan.split("InMemoryTableScan", 1)[0]
+            assert "InMemoryTableScan" in plan, f"{sink} re-scans the source"
+            assert "FileScan" not in top, f"{sink} reads files above cache"
+            # partial aggregation is map-side combined before exchange
+            assert "HashAggregate" in plan
+    finally:
+        batch.unpersist()
+
+
+def test_khop_per_hop_antijoin_single_checkpoint(spark):
+    """k-hop reachability's frontier algebra, pinned: each of the 3
+    hops must anti-join the visited set (min-hop semantics — a node
+    expands exactly once, no path-count explosion), the frontier-edge
+    pairing must be an equi-join, and the edge list must come from the
+    one eager localCheckpoint (scanned as an existing RDD), never a
+    re-derivation from the base parquet join."""
+    plan = (QUERIES["graph_khop_reach"].fn(spark, SF_SMOKE)._jdf
+            .queryExecution().executedPlan().toString())
+    assert plan.count("LeftAnti") >= 3, "missing per-hop visited anti-join"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # edges ride the checkpointed RDD; lineitem/orders parquet appears
+    # only via the seed/customer side, never re-joined per hop
+    assert "Scan ExistingRDD" in plan, "edge localCheckpoint lost"
+    assert "lineitem" not in plan, "edges re-derived from base tables"
