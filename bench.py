@@ -140,6 +140,12 @@ HEADLINE = [
     "dq_benford_digits",
     "llm_split_cluster_safe",
     "llm_ivf_train_kmeans",
+    # round-6 lakehouse maintenance tier: compaction (the streaming
+    # sink's fragmented-output fix) and clustering+manifest pruning
+    # (the chronological-scan fix) are the continuously-run shapes
+    "lake_compaction_preserves",
+    "lake_cluster_prune_scan",
+    "lake_merge_on_read_deletes",
 ]
 
 
