@@ -271,4 +271,5 @@ def _load() -> None:
     from . import queries_mv        # noqa: F401
     from . import queries_ext5      # noqa: F401
     from . import queries_lake      # noqa: F401
+    from . import queries_ext6      # noqa: F401
     _LOADED = True
