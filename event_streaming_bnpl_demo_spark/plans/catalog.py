@@ -272,4 +272,5 @@ def _load() -> None:
     from . import queries_ext5      # noqa: F401
     from . import queries_lake      # noqa: F401
     from . import queries_ext6      # noqa: F401
+    from . import queries_ext7      # noqa: F401
     _LOADED = True

@@ -875,3 +875,90 @@ def test_khop_per_hop_antijoin_single_checkpoint(spark):
     # only via the seed/customer side, never re-joined per hop
     assert "Scan ExistingRDD" in plan, "edge localCheckpoint lost"
     assert "lineitem" not in plan, "edges re-derived from base tables"
+
+
+def test_ext7_optimizer_pack_plan_shapes(spark):
+    """Round-7 optimizer-pattern tier: each manual rewrite's physical
+    plan must actually show the rewritten shape (the oracle already
+    proves result-equivalence to the naive plan; these pins prove the
+    PLAN is the one the rewrite promises)."""
+    # bloom reduction: the k=2 bit-test probe is a literal-map filter
+    # fused at the lineitem scan — one lineitem scan, one semi join,
+    # and NO probe-side join for the bloom itself
+    plan = plan_of(spark, "join_bloom_reduced")
+    tree = plan.split("\n\n")[0]
+    assert plan.count("lineitem.parquet") == 1
+    assert tree.count("LeftSemi") == 1, "bloom probe became a join"
+    assert "element_at" in plan and "shiftleft" in plan, \
+        "bit-test probe expression lost"
+    # the probe must sit in the Filter directly over the scan, i.e.
+    # below the exact semi join (scan id 1 is the lineitem side)
+    filt = [b for b in plan.split("\n\n") if b.startswith("(2) Filter")]
+    assert filt and "xxhash64" in filt[0], "probe not fused at the scan"
+
+    # eager aggregation: the per-order partial sits BELOW the join
+    plan = plan_of(spark, "join_preagg_pushdown")
+    tree = plan.split("\n\n")[0]
+    join_line = min(i for i, ln in enumerate(tree.splitlines())
+                    if "Join" in ln)
+    agg_lines = [i for i, ln in enumerate(tree.splitlines())
+                 if "HashAggregate" in ln]
+    assert any(i > join_line for i in agg_lines), \
+        "per-order partial aggregate no longer below the join"
+    assert "partial_sum" in plan
+
+    # decorrelation: LEFT OUTER (not inner) with the aggregate below
+    plan = plan_of(spark, "join_corr_agg_rewrite")
+    assert "LeftOuter" in plan, \
+        "decorrelation lost the zero-order customers (COUNT-bug class)"
+
+    # aggregate-through-union: no Union of raw rows anywhere; the
+    # branches meet in a full-outer merge of month partials
+    plan = plan_of(spark, "agg_union_partial")
+    tree = plan.split("\n\n")[0]
+    assert "Union" not in tree, "raw-row union resurfaced"
+    assert "FullOuter" in tree
+    assert plan.count("partial_sum") >= 2
+
+
+def test_ext7_stats_pack_plan_shapes(spark):
+    """Round-7 stats/corpus tier: single-scan window marginalization
+    and checkpoint reuse, pinned."""
+    # contingency lift: ONE orders scan; marginals are windows
+    plan = plan_of(spark, "agg_contingency_lift")
+    tree = plan.split("\n\n")[0]
+    assert plan.count("orders.parquet") == 1, \
+        "marginals re-derived by re-scanning the fact table"
+    assert tree.count("Window (") >= 2
+
+    # median gate: ONE documents scan, three windows, zero joins
+    plan = plan_of(spark, "llm_quality_gate_median")
+    tree = plan.split("\n\n")[0]
+    assert plan.count("documents.parquet") == 1
+    assert "Join" not in tree, "threshold join-back re-plans the window"
+
+    # markov argmax: ONE events scan — totals come from a window over
+    # the tiny transition table, not a join that re-plans the lead()
+    plan = plan_of(spark, "events_markov_topnext")
+    tree = plan.split("\n\n")[0]
+    assert plan.count("events.parquet") == 1, \
+        "transition totals re-derived the per-user window subtree"
+
+    # jaccard: hub-filtered edge set rides its localCheckpoint; the
+    # wedge expansion and both degree attachments must not re-derive
+    # the orders x lineitem join
+    plan = plan_of(spark, "graph_jaccard_links")
+    tree = plan.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
+    assert "lineitem.parquet" not in plan, \
+        "edge set re-derived from base tables"
+    assert "ExistingRDD" in plan, "edge localCheckpoint lost"
+
+    # bigram lift: vocab rides its checkpoint (two lift attachments +
+    # grand total), leaving exactly one lazy documents scan; top-20 is
+    # TakeOrdered
+    plan = plan_of(spark, "llm_bigram_lift")
+    tree = plan.split("\n\n")[0]
+    assert plan.count("documents.parquet") == 1, \
+        "vocab subtree re-scans the corpus per consumer"
+    assert "TakeOrderedAndProject" in tree
