@@ -146,6 +146,16 @@ HEADLINE = [
     "lake_compaction_preserves",
     "lake_cluster_prune_scan",
     "lake_merge_on_read_deletes",
+    # round-7 optimizer-pattern tier: the manual rewrites whose whole
+    # point is throughput (bloom scan-side reduction, eager
+    # aggregation, banded range join, dynamic partition pruning) plus
+    # the two heaviest corpus shapes
+    "join_bloom_reduced",
+    "join_preagg_pushdown",
+    "join_range_banded",
+    "join_dpp_partitioned",
+    "graph_jaccard_links",
+    "llm_bigram_lift",
 ]
 
 

@@ -3,15 +3,17 @@
 **Optimizer-pattern tier** — manual physical rewrites whose results are
 provably identical to the naive plan, with the naive plan as the
 oracle: Bloom-filter semi-join reduction, partial-aggregation pushdown
-below a join, correlated-aggregate decorrelation, and
-aggregate-through-union. These are the rewrites a 100 TB engine lives
-or dies by; expressing each as a catalog query makes the equivalence a
+below a join, correlated-aggregate decorrelation,
+aggregate-through-union, banded range join, and dynamic partition
+pruning. These are the rewrites a 100 TB engine lives or dies by;
+expressing each as a catalog query makes the equivalence a
 continuously-checked fact instead of folklore.
 
 **Corpus/statistics tier** — per-group closed-form linear trend,
 contingency-table lift, Jaccard link prediction, incremental
 shard-vs-corpus dedup, per-source duplication rates, median quality
-gating, adjacent-bigram lift, and Markov next-event prediction.
+gating, adjacent-bigram lift, Markov next-event prediction, exact
+rolling covariance, and top-k-with-ties.
 
 Determinism doctrine as everywhere in the catalog: integer/decimal
 arithmetic end-to-end. Exact floor division of big products uses the
@@ -429,23 +431,27 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pair expansion stays inside a part bucket bounded by the
     64-degree cap; degrees are one O(edges) aggregate; the two degree
     joins attach to the wedge table (already collapsed), and top-20 is
-    TakeOrdered — no global sort, no all-pairs anywhere. The filtered
-    edge set feeds FOUR consumers (degrees + both wedge sides + the
-    hub filter's own input), so it is localCheckpointed once — O(edges)
+    TakeOrdered — no global sort, no all-pairs anywhere. The hub cap
+    is a COUNT WINDOW over the per-part exchange (no
+    aggregate-and-join-back, which would re-plan the edge derivation),
+    and the filtered edge set — which feeds three consumers (degrees +
+    both wedge sides) — is localCheckpointed exactly once: O(edges)
     executor-local storage versus re-planning the orders x lineitem
     join per consumer (the same materialize-the-frontier reasoning as
-    graph_khop_reach).
+    graph_khop_reach). The wedge shuffle itself is the operator's
+    intrinsic cost: sum over parts of degree^2 pairs, linear in part
+    count at fixed degree profile.
     """
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey")
     e0 = (o.join(li, o.o_orderkey == li.l_orderkey)
           .select(F.col("o_custkey").alias("c"),
-                  F.col("l_partkey").alias("p")).distinct()
-          .localCheckpoint(eager=True))
-    keep = (e0.groupBy("p").agg(F.count(F.lit(1)).alias("dp"))
-            .filter(F.col("dp") <= 64).select("p"))
-    e = e0.join(keep, "p").localCheckpoint(eager=True)
+                  F.col("l_partkey").alias("p")).distinct())
+    e = (e0.withColumn("dp", F.count(F.lit(1))
+                       .over(Window.partitionBy("p")))
+         .filter(F.col("dp") <= 64).drop("dp")
+         .localCheckpoint(eager=True))
     deg = e.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
     a = e.select("p", F.col("c").alias("c1"))
     b = e.select("p", F.col("c").alias("c2"))
@@ -757,3 +763,232 @@ def events_markov_topnext(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("CAST(1000 * n DIV t AS BIGINT)")
                     .alias("prob_permille"))
             .orderBy("event_type"))
+
+
+# ---------------------------------------------------------------------------
+# ext7b: more optimizer patterns + windowed statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_range_banded",
+    oracle=f"""
+    WITH d AS (
+      SELECT date_diff('day', DATE '1995-01-01', l_shipdate) AS day,
+             SUM({_CENTS.format(col='l_extendedprice')}) AS rev
+      FROM lineitem GROUP BY 1
+    ), o AS (
+      SELECT o_orderpriority AS prio,
+             date_diff('day', DATE '1995-01-01', o_orderdate) AS day
+      FROM orders
+    )
+    SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(rev) AS BIGINT) AS nearby_rev_cents
+    FROM o JOIN d ON d.day BETWEEN o.day - 3 AND o.day + 3
+    GROUP BY prio ORDER BY prio
+    """,
+    tags=("opt", "join", "range"),
+)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: each order joins the +-3-day window of the
+    daily revenue rollup. The naive plan is a theta join —
+    |orders| x |days| comparisons, a nested-loop disaster at scale.
+    The banded rewrite maps both sides onto integer bands of width 7
+    (>= the 2*3+1-day window, so every qualifying pair shares a band
+    or lands in an adjacent one), EXPLODES each order to its three
+    candidate bands, equi-joins on the band id — a plain shuffled hash
+    join — and applies the exact |delta| <= 3 predicate as a
+    post-filter. Identical output to the naive theta join (the
+    oracle), with the O(n*m) comparison replaced by O(matches +
+    band-collisions). The same expand-small-side trick as the
+    interval-join operator, stated as a checkable rewrite.
+
+    Scale: the rollup side is |days| rows; the explode costs 3x
+    |orders| rows into a hash join keyed on band — no nested loop, no
+    broadcast dependence, partitionable on the band id.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    d = (li.groupBy(F.datediff(F.col("l_shipdate"), F.lit("1995-01-01"))
+                    .cast("bigint").alias("day"))
+         .agg(F.sum(F.expr(_CENTS.format(col="l_extendedprice")))
+              .alias("rev"))
+         .withColumn("band", F.expr("CAST(FLOOR(day / 7) AS BIGINT)")))
+    ob = (o.select(F.col("o_orderpriority").alias("prio"),
+                   F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+                   .cast("bigint").alias("oday"))
+          .withColumn("band", F.explode(F.expr(
+              "array(CAST(FLOOR(oday / 7) AS BIGINT) - 1, "
+              "CAST(FLOOR(oday / 7) AS BIGINT), "
+              "CAST(FLOOR(oday / 7) AS BIGINT) + 1)"))))
+    joined = (ob.join(d, "band")
+              .filter(F.expr("abs(day - oday) <= 3")))
+    return (joined.groupBy("prio")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum("rev").alias("nearby_rev_cents"))
+            .orderBy("prio"))
+
+
+@register(
+    "join_dpp_partitioned",
+    oracle="""
+    WITH m AS (
+      SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS month
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+    )
+    SELECT o.month, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o.cents) AS BIGINT) AS total_cents
+    FROM (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                 CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM orders) o
+    JOIN m ON o.month = m.month
+    GROUP BY o.month ORDER BY o.month
+    """,
+    tags=("opt", "source", "partition"),
+)
+def join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the orders fact staged
+    hive-partitioned by order month (the layout every 100 TB fact
+    table uses), joined on the partition column to a dim derived with
+    a selective filter (the months shipped in 1996-Q1). The months
+    are only known at RUNTIME — static pruning can't help — so
+    Catalyst must inject a dynamicpruning subquery into the fact
+    scan's PartitionFilters, executing the dim side first and reading
+    ONLY the matching month directories (pinned in test_plans; without
+    DPP this is a full fact scan at every SF). The staging is
+    content-keyed and reused across calls (stage_once), so repeated
+    runs time the query, not the write.
+
+    Scale: fact-side I/O drops from all months to |selected months|
+    directories — at 100 TB with daily partitions this is the
+    difference between scanning 2500 partitions and 90.
+    """
+    from .queries_ext import source_fingerprint, stage_once
+
+    o = load_table(spark, sf_dir, "orders")
+
+    def write(tmp: str) -> None:
+        (o.withColumn("month", F.date_format("o_orderdate", "yyyy-MM"))
+         .select("o_orderkey", "o_totalprice", "month")
+         .write.mode("overwrite").partitionBy("month").parquet(tmp))
+
+    path = stage_once(
+        f"dpp_orders_month_v1_{source_fingerprint(sf_dir)}", write)
+    fact = spark.read.parquet(path)
+    li = load_table(spark, sf_dir, "lineitem")
+    m = (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                   & (F.col("l_shipdate") < "1996-04-01"))
+         .select(F.date_format("l_shipdate", "yyyy-MM").alias("month"))
+         .distinct())
+    cents = F.expr(_CENTS.format(col="o_totalprice"))
+    return (fact.join(m, "month")
+            .groupBy("month")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(cents).alias("total_cents"))
+            .orderBy("month"))
+
+
+@register(
+    "ts_rolling_cov",
+    oracle=f"""
+    WITH d AS (
+      SELECT date_diff('day', DATE '1995-01-01', l_shipdate) AS day,
+             SUM({_CENTS.format(col='l_quantity')}) AS q,
+             SUM({_CENTS.format(col='l_extendedprice')}) AS y
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(day AS BIGINT) AS day,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_days,
+           CAST(COUNT(*) OVER w * SUM(CAST(q AS HUGEINT) * CAST(y AS HUGEINT))
+                  OVER w
+                - SUM(CAST(q AS HUGEINT)) OVER w
+                  * SUM(CAST(y AS HUGEINT)) OVER w AS VARCHAR) AS cov_num
+    FROM d
+    WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY day
+    """,
+    tags=("ts", "stats", "window"),
+)
+def ts_rolling_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day covariance numerator n*Sxy - Sx*Sy between daily
+    shipped quantity and daily revenue — the rolling co-movement
+    signal, kept EXACT by the same digit-string discipline as
+    agg_linear_trend: per-day cross products are formed in
+    decimal(38,0) BEFORE the window sums (a bigint product would
+    overflow at large-SF daily volumes), the combination stays in
+    decimal, and the result is rendered as digits against DuckDB's
+    HUGEINT. No float, no rounding mode, no sum-order sensitivity.
+
+    Scale: one map-side-combined day rollup, then four window sums
+    sharing ONE frame over the tiny |days| domain — a single sort, no
+    self-joins for the lagged sums.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    d = (li.groupBy(F.datediff(F.col("l_shipdate"), F.lit("1995-01-01"))
+                    .cast("bigint").alias("day"))
+         .agg(F.sum(F.expr(_CENTS.format(col="l_quantity")))
+              .alias("q"),
+              F.sum(F.expr(_CENTS.format(col="l_extendedprice")))
+              .alias("y")))
+    w = Window.orderBy("day").rangeBetween(-6, 0)
+    # all four sums in ONE select so CollapseWindow folds them into a
+    # single Window operator over one sort (chained withColumn layers
+    # defeat the rule)
+    out = d.select(
+        "day",
+        F.count(F.lit(1)).over(w).cast(dec).alias("n"),
+        F.sum(F.col("q").cast(dec) * F.col("y").cast(dec)).over(w)
+        .alias("sxy"),
+        F.sum(F.col("q").cast(dec)).over(w).alias("sx"),
+        F.sum(F.col("y").cast(dec)).over(w).alias("sy"))
+    return (out.select(
+                "day", F.col("n").cast("bigint").alias("n_days"),
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                .cast("string").alias("cov_num"))
+            .orderBy("day"))
+
+
+@register(
+    "window_topk_ties",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority AS prio,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             RANK() OVER (PARTITION BY o_orderpriority
+                          ORDER BY FLOOR(o_totalprice * 100 + 0.5) DESC)
+               AS rk
+      FROM orders
+    )
+    SELECT prio, CAST(rk AS BIGINT) AS rk, cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM r WHERE rk <= 3
+    GROUP BY prio, rk, cents
+    ORDER BY prio, rk, cents
+    """,
+    tags=("window", "topk"),
+)
+def window_topk_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 order values per priority WITH ties: rank() keeps every
+    order sharing a top-3 value where row_number() would arbitrarily
+    drop all but one — the semantics difference that matters whenever
+    the ranking key is coarse (prices, scores, dates). Tied rows are
+    then collapsed per (priority, rank, value) with a count, so the
+    output is fully deterministic without inventing a tiebreak.
+
+    Scale: rank() <= k compiles to WindowGroupLimit — per-partition
+    top-k pre-filtering BEFORE the full window sort materializes, the
+    same bounded-state shape as TakeOrdered but per group.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
+    w = (Window.partitionBy("o_orderpriority")
+         .orderBy(F.desc(F.expr("FLOOR(o_totalprice * 100 + 0.5)"))))
+    r = (o.select(F.col("o_orderpriority").alias("prio"),
+                  cents.alias("cents"),
+                  F.rank().over(w).alias("rk"))
+         .filter(F.col("rk") <= 3))
+    return (r.groupBy("prio", "rk", "cents")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .orderBy("prio", "rk", "cents"))

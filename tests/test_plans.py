@@ -962,3 +962,29 @@ def test_ext7_stats_pack_plan_shapes(spark):
     assert plan.count("documents.parquet") == 1, \
         "vocab subtree re-scans the corpus per consumer"
     assert "TakeOrderedAndProject" in tree
+
+
+def test_ext7b_plan_shapes(spark):
+    """ext7b pins: banded range join is an equi-join (never a nested
+    loop), dynamic partition pruning actually fires on the staged
+    month-partitioned fact, rolling covariance shares one window
+    frame, and rank<=k compiles to WindowGroupLimit."""
+    plan = plan_of(spark, "join_range_banded")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree, \
+        "banded range join fell back to a nested loop"
+
+    plan = plan_of(spark, "join_dpp_partitioned")
+    assert "dynamicpruning" in plan, \
+        "dynamic partition pruning did not reach the fact scan"
+
+    plan = plan_of(spark, "ts_rolling_cov")
+    tree = plan.split("\n\n")[0]
+    assert plan.count("lineitem.parquet") == 1
+    assert tree.count("Window (") == 1, \
+        "the four rolling sums no longer share one window frame"
+
+    plan = plan_of(spark, "window_topk_ties")
+    assert "WindowGroupLimit" in plan, \
+        "rank<=k lost the per-group pre-filter (full window sort)"
