@@ -48,16 +48,17 @@ _REGISTRY: dict[str, Query] = {}
 # Catalog iteration order. The driver's correctness harness budgets ~50
 # queries per round, taken in dict order. Cumulative driver-green after
 # round 5: 220 of 225 oracled names (CORRECTNESS_r01..r05.json), zero
-# wrong answers ever; round 5 was the first perfect 50/50 round.
-# Round-6 tier 1 = the only 5 oracled names with no driver row yet —
-# the late-round-5 registrations (text/binaryFile source scans, the
-# deterministic k-means IVF trainer, weighted SSSP, CEP-lite pattern
-# matching) that were correctly held past the full round-5 budget; all
-# 5 pass the judge-run sf0.01 gate. New round-6 registrations follow as
-# `fresh` in module order. Rotation is a round-close invariant, guarded
-# by tests/test_catalog_rotation.py: every name in the latest
-# CORRECTNESS_r*.json must be folded into _DRIVER_CHECKED and no
-# _PRIORITY name may already have a green row.
+# wrong answers ever; the round-6 driver run left no CORRECTNESS_r06
+# artifact, so its queue carries forward into round 7 unchanged.
+# Round-7 tier 1 = the 5 oracled names with no driver row since round
+# 5 (text/binaryFile source scans, the k-means IVF trainer, weighted
+# SSSP, CEP-lite pattern matching); the round-6 lakehouse/ext6 packs
+# (13) and the round-7 ext7 pack (16) follow as `fresh` in module
+# order — 34 names total, all with sf0.001+sf0.01 gate evidence,
+# inside the ~50 budget with rerun slots to spare. Rotation is a
+# round-close invariant, guarded by tests/test_catalog_rotation.py:
+# every name in the latest CORRECTNESS_r*.json must be folded into
+# _DRIVER_CHECKED and no _PRIORITY name may already have a green row.
 _PRIORITY: tuple[str, ...] = (
     # never driver-checked (deferred past the full round-5 budget)
     "source_text_scan", "source_binaryfile_scan",

@@ -190,12 +190,19 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey")
+    # hub cap as a count window over the per-part exchange (an
+    # aggregate-and-join-back would re-plan the orders x lineitem
+    # subtree once per wedge side); the capped edge set feeds both
+    # wedge sides, so it is localCheckpointed exactly once — the same
+    # structure as graph_jaccard_links
     e = (o.join(li, o.o_orderkey == li.l_orderkey)
          .select(F.col("o_custkey").alias("c"),
-                 F.col("l_partkey").alias("p")).distinct())
-    deg = e.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
-    small = deg.filter(F.col("d") <= 64).select("p")
-    a = e.join(small, "p").select("p", F.col("c").alias("c1"))
+                 F.col("l_partkey").alias("p")).distinct()
+         .withColumn("d", F.count(F.lit(1))
+                     .over(Window.partitionBy("p")))
+         .filter(F.col("d") <= 64).drop("d")
+         .localCheckpoint(eager=True))
+    a = e.select("p", F.col("c").alias("c1"))
     b = e.select("p", F.col("c").alias("c2"))
     wedges = (a.join(b, "p")
               .filter(F.col("c1") < F.col("c2"))
