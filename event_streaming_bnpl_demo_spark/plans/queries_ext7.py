@@ -13,7 +13,9 @@ continuously-checked fact instead of folklore.
 contingency-table lift, Jaccard link prediction, incremental
 shard-vs-corpus dedup, per-source duplication rates, median quality
 gating, adjacent-bigram lift, Markov next-event prediction, exact
-rolling covariance, and top-k-with-ties.
+rolling covariance, top-k-with-ties, dynamic-gap session windows,
+literal-map dictionary decode, and a shard-vs-corpus distribution
+drift gate.
 
 Determinism doctrine as everywhere in the catalog: integer/decimal
 arithmetic end-to-end. Exact floor division of big products uses the
@@ -992,3 +994,178 @@ def window_topk_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (r.groupBy("prio", "rk", "cents")
             .agg(F.count(F.lit(1)).alias("n_orders"))
             .orderBy("prio", "rk", "cents"))
+
+
+# ---------------------------------------------------------------------------
+# ext7c: dynamic-gap sessions, literal-map decode, distribution drift
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_session_dynamic_gap",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, value, event_id, epoch_ms(ts) AS e,
+             CASE WHEN event_type IN ('view', 'click')
+                  THEN 600000 ELSE 1800000 END AS gap
+      FROM events
+    ), f AS (
+      SELECT *, MAX(e + gap) OVER (
+               PARTITION BY user_id ORDER BY e, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_end
+      FROM g
+    ), s AS (
+      SELECT *, SUM(CASE WHEN prev_end IS NULL OR e >= prev_end
+                         THEN 1 ELSE 0 END) OVER (
+                 PARTITION BY user_id ORDER BY e, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f
+    )
+    SELECT user_id,
+           CAST(MIN(e) AS BIGINT) AS start_ms,
+           CAST(MAX(e + gap) AS BIGINT) AS end_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    tags=("stream", "window", "session"),
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a PER-EVENT gap: interaction events
+    (view/click) time out after 10 minutes, transactional events after
+    30 — the engagement-aware sessionization fixed-gap windows can't
+    express (a purchase legitimately extends a session a trailing view
+    would have closed). Spark's native dynamic-gap
+    ``session_window(ts, CASE ...)`` computes it in one stateful
+    operator (streaming-capable: the same expression runs under
+    ``readStream`` with a watermark); the oracle replays the interval
+    algebra by hand — each event spans [ts, ts+gap(event)); an event
+    starts a new session iff its start is >= the running MAX end of
+    all preceding spans (the running max, not lag: a long-gap event
+    can bridge OVER an intermediate short-gap one). All arithmetic in
+    epoch milliseconds, bigint-exact.
+
+    Scale: one exchange on user_id, sessions merged inside the
+    partition — same cost envelope as fixed-gap session windows; the
+    gap expression is evaluated per row inside codegen.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    gap = (F.when(F.col("event_type").isin("view", "click"), "10 minutes")
+           .otherwise("30 minutes"))
+    return (ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.expr("unix_millis(CAST(w.start AS TIMESTAMP))")
+                    .alias("start_ms"),
+                    F.expr("unix_millis(CAST(w.end AS TIMESTAMP))")
+                    .alias("end_ms"),
+                    "n_events"))
+
+
+@register(
+    "join_map_literal_decode",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name ORDER BY nation
+    """,
+    tags=("opt", "join", "dim"),
+)
+def join_map_literal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-decode enrichment: the nation dimension (25 rows, a
+    FIXED cardinality of the schema) is collected bounded and injected
+    as a literal map expression, so attaching the nation name to every
+    customer is a map lookup inside the scan's codegen — no join
+    operator exists in the plan at all (pinned). The same
+    literal-injection family as join_bloom_reduced: when the
+    "build side" is schema-bounded (enums, calendars, tiny dims), the
+    cheapest join is no join — Spark's own broadcast hash join still
+    pays relation build + probe + an operator boundary per row.
+
+    Scale: the fact side never exchanges for the decode; the aggregate
+    that follows is the usual partial->final fold. The trick is gated
+    on the dim being BOUNDED BY SCHEMA — for data-dependent dims use
+    maybe_broadcast (stats-gated) instead; an unbounded collect here
+    would be the classic driver-OOM anti-pattern.
+    """
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    rows = n.collect()  # bounded: 25 rows by schema
+    decode = F.create_map(
+        *[x for r in rows for x in (F.lit(r.n_nationkey), F.lit(r.n_name))])
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_acctbal")
+    cents = F.expr("CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)")
+    return (c.withColumn("nation", decode[F.col("c_nationkey")])
+            .groupBy("nation")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum(cents).alias("acctbal_cents"))
+            .orderBy("nation"))
+
+
+@register(
+    "dq_distribution_drift",
+    oracle="""
+    WITH shard AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents WHERE source = 'src0' GROUP BY lang
+    ), rest AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents WHERE source <> 'src0' GROUP BY lang
+    ), tot AS (
+      SELECT (SELECT SUM(n) FROM shard) AS ts, (SELECT SUM(n) FROM rest) AS tr
+    )
+    SELECT COALESCE(shard.lang, rest.lang) AS lang,
+           CAST(COALESCE(shard.n, 0) AS BIGINT) AS shard_docs,
+           CAST(COALESCE(rest.n, 0) AS BIGINT) AS corpus_docs,
+           CAST(1000 * COALESCE(shard.n, 0) // tot.ts AS BIGINT)
+             AS shard_permille,
+           CAST(1000 * COALESCE(rest.n, 0) // tot.tr AS BIGINT)
+             AS corpus_permille,
+           CAST(1000 * COALESCE(shard.n, 0) // tot.ts
+                - 1000 * COALESCE(rest.n, 0) // tot.tr AS BIGINT)
+             AS drift_permille
+    FROM shard FULL OUTER JOIN rest ON shard.lang = rest.lang
+    CROSS JOIN tot
+    ORDER BY lang
+    """,
+    tags=("dq", "llm", "drift"),
+)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift gate between an incoming shard (src0) and
+    the standing corpus: per-language share in per-mille on each side
+    and the signed delta — the pre-ingest check that catches a crawl
+    whose language mix silently shifted (the failure mode that poisons
+    a tokenizer or a mixture schedule long before any per-document
+    quality gate fires). One scan produces both profiles via
+    conditional aggregation; shares are exact integer per-mille; the
+    delta is a subtraction of two non-negative integer ratios, so no
+    negative-floor-division ambiguity exists between engines.
+
+    Scale: one map-side-combined groupBy over (lang x side); the
+    share/total computation runs over |langs| rows via window sums —
+    the same join-free marginalization as agg_contingency_lift.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    prof = (d.groupBy("lang")
+            .agg(F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+                 .alias("shard_docs"),
+                 F.sum(F.when(F.col("source") != "src0", 1).otherwise(0))
+                 .alias("corpus_docs")))
+    w = Window.partitionBy()
+    out = (prof
+           .withColumn("ts", F.sum("shard_docs").over(w))
+           .withColumn("tr", F.sum("corpus_docs").over(w))
+           .select(
+               "lang", "shard_docs", "corpus_docs",
+               F.expr("CAST(1000 * shard_docs DIV ts AS BIGINT)")
+               .alias("shard_permille"),
+               F.expr("CAST(1000 * corpus_docs DIV tr AS BIGINT)")
+               .alias("corpus_permille"),
+               F.expr("CAST(1000 * shard_docs DIV ts "
+                      "- 1000 * corpus_docs DIV tr AS BIGINT)")
+               .alias("drift_permille")))
+    return out.orderBy("lang")

@@ -988,3 +988,25 @@ def test_ext7b_plan_shapes(spark):
     plan = plan_of(spark, "window_topk_ties")
     assert "WindowGroupLimit" in plan, \
         "rank<=k lost the per-group pre-filter (full window sort)"
+
+
+def test_ext7c_plan_shapes(spark):
+    """ext7c pins: the literal-map dictionary decode must contain NO
+    join operator at all, and the drift gate must scan documents once
+    with window-sum marginalization."""
+    plan = plan_of(spark, "join_map_literal_decode")
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree, \
+        "dictionary decode regressed to a join operator"
+    assert plan.count("customer.parquet") == 1
+
+    plan = plan_of(spark, "dq_distribution_drift")
+    tree = plan.split("\n\n")[0]
+    assert plan.count("documents.parquet") == 1, \
+        "shard/corpus profiles re-scan the corpus"
+    assert "Join" not in tree, "profile merge regressed to a join"
+
+    # dynamic-gap sessions: the native session-window operator, one
+    # exchange on the session keys
+    plan = plan_of(spark, "stream_session_dynamic_gap")
+    assert "session_window" in plan

@@ -765,3 +765,54 @@ def test_list_and_map_state_bound_per_user_profiles(spark, tmp_path):
                     key=lambda r: r["n_events"])[-1]
     assert latest["n_events"] == 6
     assert latest["recent_values"] == "30,40,50"
+
+
+def test_dynamic_gap_session_stream_matches_batch(spark, tmp_path):
+    """Dynamic-gap session windows under readStream equal the batch
+    groupBy on the same data — and the per-event gap actually changes
+    the sessionization: a click (10 min gap) 15 minutes after a click
+    starts a NEW session, while a purchase (30 min gap) 15 minutes
+    after a purchase extends the session."""
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    rows = [
+        # user 0: clicks 15 min apart -> two sessions (gap 10 min)
+        {"event_id": 1, "ts": "2024-01-01T10:00:00Z", "user_id": 0,
+         "event_type": "click", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01T10:15:00Z", "user_id": 0,
+         "event_type": "click", "value": 1.0},
+        # user 1: purchases 15 min apart -> one session (gap 30 min)
+        {"event_id": 3, "ts": "2024-01-01T10:00:00Z", "user_id": 1,
+         "event_type": "purchase", "value": 1.0},
+        {"event_id": 4, "ts": "2024-01-01T10:15:00Z", "user_id": 1,
+         "event_type": "purchase", "value": 1.0},
+        # watermark pusher so the sessions above close in append mode
+        {"event_id": 5, "ts": "2024-01-01T13:00:00Z", "user_id": 9,
+         "event_type": "click", "value": 0.0},
+    ]
+    write_jsonl(in_dir, "a.jsonl", rows)
+    gap = (F.when(F.col("event_type").isin("view", "click"), "10 minutes")
+           .otherwise("30 minutes"))
+
+    def agg(df):
+        return (df.groupBy(F.session_window("ts", gap).alias("w"),
+                           "user_id")
+                .agg(F.count("*").alias("n")))
+
+    _run_stream(spark, in_dir, ckpt,
+                lambda s: agg(s.withWatermark("ts", "0 seconds")),
+                "dyn_session_stream")
+    streamed = {(r["user_id"], str(r["w"]["start"])): r["n"]
+                for r in spark.sql(
+                    "select * from dyn_session_stream").collect()}
+    batch = {(r["user_id"], str(r["w"]["start"])): r["n"]
+             for r in agg(spark.read.schema(SCHEMA).json(in_dir)).collect()}
+    # the gap semantics: user 0 split into two 1-event sessions,
+    # user 1 merged into one 2-event session
+    u0 = [n for (u, _), n in batch.items() if u == 0]
+    u1 = [n for (u, _), n in batch.items() if u == 1]
+    assert sorted(u0) == [1, 1], f"clicks should split: {batch}"
+    assert u1 == [2], f"purchases should merge: {batch}"
+    # closed streamed sessions match batch exactly
+    assert streamed
+    for k, v in streamed.items():
+        assert batch[k] == v
