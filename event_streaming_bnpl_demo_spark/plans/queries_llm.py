@@ -314,6 +314,11 @@ def jaccard_pairs(sh: DataFrame, threshold: float = 0.5,
         hot = (sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
                .filter(F.col("df") > df_cap).select("s"))
         sh = sh.join(F.broadcast(hot), "s", "left_anti")
+    # the (capped) shingle relation feeds three consumers — set sizes
+    # and both inverted-index sides — so materialize it once; without
+    # this each consumer re-plans the corpus tokenize+explode
+    # (plan_audit measured 8 documents scans on the capped variant)
+    sh = sh.localCheckpoint(eager=True)
     n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s2"))
     inter = (

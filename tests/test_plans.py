@@ -865,14 +865,16 @@ def test_khop_per_hop_antijoin_single_checkpoint(spark):
     expands exactly once, no path-count explosion), the frontier-edge
     pairing must be an equi-join, and the edge list must come from the
     one eager localCheckpoint (scanned as an existing RDD), never a
-    re-derivation from the base parquet join."""
+    re-derivation from the base parquet join. The hops themselves stay
+    LAZY: the visited lineage repeats in the plan text, but the
+    duplicates are identical exchanges that ReuseExchange dedupes at
+    runtime — measured ~3x faster than eager per-hop checkpoints at
+    the 10x replica (see tools/plan_audit.py ALLOWLIST)."""
     plan = (QUERIES["graph_khop_reach"].fn(spark, SF_SMOKE)._jdf
             .queryExecution().executedPlan().toString())
     assert plan.count("LeftAnti") >= 3, "missing per-hop visited anti-join"
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # edges ride the checkpointed RDD; lineitem/orders parquet appears
-    # only via the seed/customer side, never re-joined per hop
     assert "Scan ExistingRDD" in plan, "edge localCheckpoint lost"
     assert "lineitem" not in plan, "edges re-derived from base tables"
 
