@@ -1169,3 +1169,95 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "- 1000 * corpus_docs DIV tr AS BIGINT)")
                .alias("drift_permille")))
     return out.orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# ext7d: safe-cast ETL surface + Arrow-optimized Python UDF twin
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_try_ops",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+             AS k_num,
+           TRY_CAST(props AS INTEGER) AS junk_num,
+           CAST(CASE WHEN event_id % 7 = 0 THEN NULL
+                     ELSE event_id // (event_id % 7) END AS BIGINT)
+             AS safe_div,
+           TRY_CAST(event_type AS BIGINT) AS type_as_num,
+           TRY_CAST('20' || CAST(event_id % 100 AS VARCHAR) AS INTEGER)
+             AS synth_num
+    FROM events
+    WHERE event_id % 31 = 0
+    """,
+    tags=("scalar", "etl"),
+)
+def scalar_try_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safe-cast / safe-arithmetic surface: ``try_cast`` on an
+    extracted JSON field (numeric, succeeds) and on the raw JSON
+    string (fails -> NULL), ``try_divide`` where the divisor is
+    routinely zero, and a cast of a plainly non-numeric string — every one yields NULL instead of an exception or a
+    silent wrong value, the contract an ETL pipeline needs to survive
+    dirty data without per-row error handling. DuckDB's TRY_CAST and
+    guarded division express the identical semantics, so the NULL
+    patterns must match row-for-row.
+
+    Scale: pure row-level expressions inside whole-stage codegen —
+    the failure handling costs nothing over the unguarded cast; the
+    predicate prunes the scan like any scalar pack.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 31 == 0)
+    return ev.select(
+        "event_id",
+        F.expr("try_cast(get_json_object(props, '$.k') AS INT)")
+        .alias("k_num"),
+        F.expr("try_cast(props AS INT)").alias("junk_num"),
+        F.expr("CAST(try_divide(event_id, event_id % 7) AS BIGINT)")
+        .alias("safe_div"),
+        F.expr("try_cast(event_type AS BIGINT)").alias("type_as_num"),
+        F.expr("try_cast(concat('20', CAST(event_id % 100 AS STRING)) "
+               "AS INT)").alias("synth_num"))
+
+
+@register(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(substr(o_orderpriority, 1, 1) AS INT) AS priority_code,
+           CASE WHEN CAST(substr(o_orderpriority, 1, 1) AS INT) <= 2
+                THEN 'expedite' ELSE 'routine' END AS lane
+    FROM orders
+    """,
+    tags=("udf", "scalar", "arrow"),
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The row-at-a-time Python UDF exhibit (udf_python_scalar) rerun
+    with ``useArrow=True`` — same logic, same oracle, but the
+    driver-worker hop is Arrow-batched instead of pickled row-by-row:
+    the one-flag upgrade path for legacy Python UDFs that can't yet be
+    rewritten as pandas UDFs or builtins. The catalog now carries the
+    full UDF cost ladder under one oracle: builtin expression
+    (udf_python_scalar's docstring names the builtin twin) > pandas
+    UDF > Arrow-optimized Python UDF > pickled Python UDF.
+
+    Scale: still a per-row Python function — Arrow removes the serde
+    tax (~2-3x), not the interpreter tax; hot paths belong to builtins
+    or pandas UDFs. This exhibit exists to measure the ladder, not to
+    recommend the rung.
+    """
+    from pyspark.sql.functions import udf
+    from pyspark.sql.types import IntegerType
+
+    @udf(returnType=IntegerType(), useArrow=True)
+    def priority_code(p: str) -> int:
+        return int(p[0])
+
+    o = load_table(spark, sf_dir, "orders")
+    coded = o.select("o_orderkey",
+                     priority_code("o_orderpriority").alias("priority_code"))
+    return coded.withColumn(
+        "lane", F.when(F.col("priority_code") <= 2, "expedite")
+        .otherwise("routine"))
