@@ -53,8 +53,8 @@ _REGISTRY: dict[str, Query] = {}
 # Round-7 tier 1 = the 5 oracled names with no driver row since round
 # 5 (text/binaryFile source scans, the k-means IVF trainer, weighted
 # SSSP, CEP-lite pattern matching); the round-6 lakehouse/ext6 packs
-# (13) and the round-7 ext7 pack (16) follow as `fresh` in module
-# order — 34 names total, all with sf0.001+sf0.01 gate evidence,
+# (13) and the round-7 ext7 pack (21) follow as `fresh` in module
+# order — 39 names total, all with sf0.001+sf0.01 gate evidence,
 # inside the ~50 budget with rerun slots to spare. Rotation is a
 # round-close invariant, guarded by tests/test_catalog_rotation.py:
 # every name in the latest CORRECTNESS_r*.json must be folded into
