@@ -156,6 +156,13 @@ HEADLINE = [
     "join_dpp_partitioned",
     "graph_jaccard_links",
     "llm_bigram_lift",
+    # round-7 closing pack: the operational diagnostics that would run
+    # continuously in production (skew profiling, source-mix
+    # monitoring, revenue smoothing, retention cadence)
+    "dq_skew_profile",
+    "llm_source_diversity",
+    "ts_ewma_daily",
+    "q_order_cadence",
 ]
 
 

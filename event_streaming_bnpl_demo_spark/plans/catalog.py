@@ -53,8 +53,9 @@ _REGISTRY: dict[str, Query] = {}
 # Round-7 tier 1 = the 5 oracled names with no driver row since round
 # 5 (text/binaryFile source scans, the k-means IVF trainer, weighted
 # SSSP, CEP-lite pattern matching); the round-6 lakehouse/ext6 packs
-# (13) and the round-7 ext7 pack (21) follow as `fresh` in module
-# order — 39 names total, all with sf0.001+sf0.01 gate evidence,
+# (13), the round-7 ext7 pack (21) and the closing ext8 pack (5)
+# follow as `fresh` in module
+# order — 44 names total, all with sf0.001+sf0.01 gate evidence,
 # inside the ~50 budget with rerun slots to spare. Rotation is a
 # round-close invariant, guarded by tests/test_catalog_rotation.py:
 # every name in the latest CORRECTNESS_r*.json must be folded into
@@ -274,4 +275,5 @@ def _load() -> None:
     from . import queries_lake      # noqa: F401
     from . import queries_ext6      # noqa: F401
     from . import queries_ext7      # noqa: F401
+    from . import queries_ext8      # noqa: F401
     _LOADED = True

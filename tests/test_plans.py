@@ -1012,3 +1012,30 @@ def test_ext7c_plan_shapes(spark):
     # exchange on the session keys
     plan = plan_of(spark, "stream_session_dynamic_gap")
     assert "session_window" in plan
+
+
+def test_ext8_plan_shapes(spark):
+    """ext8 pins: the skew profile reads lineitem ONCE through the
+    exploded-map unpivot (the single-scan claim), the EWMA fan-out
+    contains no Sort and no Window operator (the sequential recursion
+    really was replaced by explode+groupBy), and the cadence query
+    runs ONE window over one orders scan with broadcast dims."""
+    plan = plan_of(spark, "dq_skew_profile")
+    tree = plan.split("\n\n")[0]
+    assert plan.count("lineitem.parquet") == 1, \
+        "key unpivot regressed to one scan per key column"
+    assert "Generate" in tree
+    assert "Join" not in tree
+
+    plan = plan_of(spark, "ts_ewma_daily")
+    tree = plan.split("\n\n")[0]
+    assert "Sort" not in tree, "EWMA fan-out gained a series sort"
+    assert "Window (" not in tree, \
+        "EWMA regressed to a sequential window formulation"
+    assert "Generate" in tree
+
+    plan = plan_of(spark, "q_order_cadence")
+    tree = plan.split("\n\n")[0]
+    assert plan.count("orders.parquet") == 1
+    assert tree.count("Window (") == 1
+    assert "BroadcastHashJoin" in tree
