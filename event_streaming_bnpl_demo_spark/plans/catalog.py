@@ -74,9 +74,13 @@ _PRIORITY2: tuple[str, ...] = ()
 # the very end of the fresh ordering so they cannot evict a budgeted
 # name (fresh order is otherwise module-registration order — without
 # this tier a late addition in an early-loading module would land
-# mid-budget and push a budgeted name out). Empty entering round 6: the
-# five round-5 deferrals were promoted into _PRIORITY above.
-_DEFERRED: tuple[str, ...] = ()
+# mid-budget and push a budgeted name out). The ext9 pack landed after
+# the round-7 fresh tier reached 44 names: deferring it fills the ~6
+# leftover rerun slots (positions 45-49) instead of evicting anything.
+_DEFERRED: tuple[str, ...] = (
+    "llm_dedup_prefix_filter", "ts_yoy_growth", "events_stickiness",
+    "dq_fd_violations", "scalar_business_days",
+)
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —
 # cumulative (122 currently-registered names, zero red; 121 oracled +
@@ -276,4 +280,5 @@ def _load() -> None:
     from . import queries_ext6      # noqa: F401
     from . import queries_ext7      # noqa: F401
     from . import queries_ext8      # noqa: F401
+    from . import queries_ext9      # noqa: F401
     _LOADED = True
