@@ -163,7 +163,24 @@ HEADLINE = [
     "llm_source_diversity",
     "ts_ewma_daily",
     "q_order_cadence",
+    # round-7 final pack flagship: the exact-recall dedup join — prefix
+    # filtering is the shape whose entire value proposition is
+    # throughput (smaller index, rare-shingle candidates), so it is
+    # benched; the four analytics staples in the pack are sub-2s
+    # aggregates covered by their oracles
+    "llm_dedup_prefix_filter",
 ]
+
+#: Headline queries excluded from the sf1 section only, each with the
+#: reason on record. Exclusion is NOT a silent cap: the name and reason
+#: are emitted in the sf1 detail every run.
+SF1_EXCLUDE: dict[str, str] = {
+    "llm_dedup_prefix_filter":
+        "exact-recall SSJoin: on this uniform-random synthetic corpus "
+        "candidate mass is inherently ~quadratic (0.41M pairs at sf0.1 "
+        "-> 40M at sf1; measured 202s) — the documented asymptote, not "
+        "a plan regression; sf0.1 keeps it honest round-over-round",
+}
 
 
 def build_session(cpus: str) -> SparkSession:
@@ -309,6 +326,8 @@ def scaled_section(spark: SparkSession, catalog, src: str,
     timings: dict[str, float] = {}
     errs: dict[str, str] = {}
     for name in HEADLINE:
+        if name in SF1_EXCLUDE:
+            continue
         t0 = time.perf_counter()
         try:
             catalog[name].fn(spark, sdir).count()
@@ -320,7 +339,10 @@ def scaled_section(spark: SparkSession, catalog, src: str,
            # True when the replica was (re)built this run: streaming
            # queries then re-stage their inputs inside the timed run
            # (one-off; discount those numbers when comparing rounds).
-           "replica_rebuilt": rebuilt}
+           "replica_rebuilt": rebuilt,
+           # no silent caps: what was dropped, and why, is part of the
+           # record (the sf0.1 headline section still runs these)
+           "excluded": SF1_EXCLUDE}
     if errs:
         out["errors"] = errs
     return out

@@ -62,16 +62,24 @@ def llm_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same truth as ``llm_dedup_ngram_jaccard_exact``), so the driver
     continuously checks the losslessness claim, not just the plumbing.
 
-    Scale: the frequency-ASCENDING order puts each document's RAREST
-    shingles in its prefix, so the candidate index is both ~t/(1+t)
-    smaller than the full inverted index AND concentrated on low-df
-    shingles — the hot boilerplate shingles that make the exhaustive
-    join O(f^2) sit at the END of every ordering and never enter a
-    prefix unless a document is almost all boilerplate. Verification
-    cost is |candidates| x avg set size, shuffled on the candidate
-    pair key. This is the exact-recall 100 TB alternative to the
-    banded MinHash shape: no probabilistic recall loss, at the price
-    of an exact verify pass.
+    Scale — stated honestly, with its measured limit: the
+    frequency-ASCENDING order puts each document's RAREST shingles in
+    its prefix, so the candidate index is ~t/(1+t) smaller than the
+    full inverted index and concentrated on low-df shingles; the
+    lossless length filter (J >= t forces t <= |A|/|B| <= 1/t) prunes
+    a further ~25% of candidates before verification. On REAL text,
+    shingle frequencies are Zipfian — a document's rarest shingles
+    have df ~ 1 and candidates stay near-linear; that is the corpus
+    this operator's 100 TB case assumes. On UNIFORM-RANDOM text (this
+    synthetic corpus) even the rarest per-doc shingle has df ~ N/V, so
+    candidate mass grows ~quadratically (measured: 0.41M pairs at
+    sf0.1 -> 40M at sf1, ~98x for 10x docs) — no exact-recall filter
+    can beat that floor, which is why the corpus-wide primaries remain
+    the banded MinHash / df-capped shapes and this operator is the
+    exact-recall tool for bounded scopes (per-bucket verification,
+    sampled shards, decontamination against a fixed eval set). The
+    bench's sf1 section excludes it with a logged reason for exactly
+    this documented asymptote.
     """
     t = 0.5
     sh = _doc_shingles(spark, sf_dir)          # (doc_id, s) distinct
@@ -89,9 +97,14 @@ def llm_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prefix length |S| - ceil(t|S|) + 1; for t=0.5 ceil = (ns+1) div 2
     prefix = ranked.filter(
         F.col("r") <= F.col("ns") - F.expr("(ns + 1) div 2") + F.lit(1))
-    pa = prefix.select(F.col("doc_id").alias("doc_a"), "s")
-    pb = prefix.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s2"))
-    cand = (pa.join(pb, (pa.s == pb.s2) & (pa.doc_a < pb.doc_b))
+    pa = prefix.select(F.col("doc_id").alias("doc_a"), "s",
+                       F.col("ns").alias("na_p"))
+    pb = prefix.select(F.col("doc_id").alias("doc_b"),
+                       F.col("s").alias("s2"), F.col("ns").alias("nb_p"))
+    # length filter: J >= 0.5 forces |B| >= |A|/2 and |A| >= |B|/2 —
+    # lossless, applied inside the candidate join before the dedup
+    cand = (pa.join(pb, (pa.s == pb.s2) & (pa.doc_a < pb.doc_b)
+                    & (2 * pb.nb_p >= pa.na_p) & (2 * pa.na_p >= pb.nb_p))
             .select("doc_a", "doc_b").distinct())
     # exact verify: intersection size over the FULL sets, candidates only
     sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
@@ -153,7 +166,11 @@ def ts_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     as 'yyyy-MM' strings. Scale: the fact table aggregates FIRST
     (map-side partials onto the (nation, month) grain — thousands of
     rows at any SF), and the YoY self-join runs on that tiny grain,
-    never on raw orders. The dimension joins broadcast.
+    never on raw orders. The dimension joins broadcast. The monthly
+    grain is localCheckpointed: both self-join sides reference it, and
+    without the checkpoint Spark re-plans the subtree — scanning and
+    aggregating the fact table TWICE (the shared-subtree re-scan smell
+    the plan audit hunts; pinned to one orders scan in test_plans).
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -166,7 +183,7 @@ def ts_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "yyyy-MM").alias("month"))
         .agg(F.sum(F.expr(_CENTS.format(col="o_totalprice")))
              .cast("long").alias("rev_cents"))
-    )
+    ).localCheckpoint(eager=True)
     prv = rev.select(
         F.col("nation").alias("p_nation"),
         F.date_format(
@@ -219,22 +236,27 @@ def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: every count is an exact integer; ``dau_avg`` and
     ``stickiness`` are each ONE double division whose numerator and
     denominator (including the n_days*mau product) are agreed BIGINTs.
-    Scale: both distincts are partial-aggregated dedups keyed on
-    (month, day, user) / (month, user) — the standard two-shuffle
-    shape; no window, no explode. At 100 TB swap the exact MAU for the
-    registered HLL sketch (`agg_hll_mergeable`) if 2% error is
-    acceptable; the query shape is otherwise unchanged.
+    Scale: the event log is scanned ONCE into the deduped
+    (month, day, user) daily-actives relation — the intermediate every
+    engagement pipeline materializes — and BOTH the DAU and MAU
+    aggregates derive from it (MAU is a second dedup of an
+    already-deduped input, far cheaper than re-scanning raw events;
+    without the localCheckpoint the two consumers would re-plan — and
+    re-scan — the log twice; pinned to one events scan in test_plans).
+    At 100 TB swap the exact MAU for the registered HLL sketch
+    (`agg_hll_mergeable`) if 2% error is acceptable; the query shape
+    is otherwise unchanged.
     """
-    e = (load_table(spark, sf_dir, "events")
-         .select(F.date_format("ts", "yyyy-MM").alias("month"),
-                 F.to_date("ts").alias("d"), "user_id"))
-    per_day = (e.distinct()
-               .groupBy("month", "d")
-               .agg(F.count(F.lit(1)).alias("dau")))
+    du = (load_table(spark, sf_dir, "events")
+          .select(F.date_format("ts", "yyyy-MM").alias("month"),
+                  F.to_date("ts").alias("d"), "user_id")
+          .distinct()
+          .localCheckpoint(eager=True))
+    per_day = du.groupBy("month", "d").agg(F.count(F.lit(1)).alias("dau"))
     m = per_day.groupBy("month").agg(
         F.sum("dau").cast("long").alias("sum_dau"),
         F.count(F.lit(1)).cast("long").alias("n_days"))
-    mu = (e.select("month", "user_id").distinct()
+    mu = (du.select("month", "user_id").distinct()
           .groupBy("month").agg(F.count(F.lit(1)).cast("long").alias("mau")))
     return (
         m.join(mu, "month")

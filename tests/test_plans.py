@@ -1039,3 +1039,33 @@ def test_ext8_plan_shapes(spark):
     assert plan.count("orders.parquet") == 1
     assert tree.count("Window (") == 1
     assert "BroadcastHashJoin" in tree
+
+
+def test_ext9_plan_shapes(spark):
+    """ext9 pins: the YoY monthly grain and the stickiness
+    daily-actives relation are each materialized ONCE (final plans
+    join checkpointed RDDs — zero residual fact scans), the prefix
+    filter derives every consumer from its single checkpointed shingle
+    relation, and the business-day closed form stays a pure projection
+    (no Window, no Generate) over one scan of each side."""
+    plan = plan_of(spark, "ts_yoy_growth")
+    assert plan.count("orders.parquet") == 0, \
+        "YoY self-join re-planned the fact aggregation"
+    assert "ExistingRDD" in plan
+
+    plan = plan_of(spark, "events_stickiness")
+    assert plan.count("events.parquet") == 0, \
+        "stickiness re-scanned the event log past the checkpoint"
+    assert "ExistingRDD" in plan
+
+    plan = plan_of(spark, "llm_dedup_prefix_filter")
+    assert plan.count("documents.parquet") == 0, \
+        "a prefix-filter consumer re-planned the shingle relation"
+    assert "ExistingRDD" in plan
+
+    plan = plan_of(spark, "scalar_business_days")
+    tree = plan.split("\n\n")[0]
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("orders.parquet") == 1
+    assert "Window (" not in tree, "closed form regressed to a window"
+    assert "Generate" not in tree, "closed form regressed to an explode"
