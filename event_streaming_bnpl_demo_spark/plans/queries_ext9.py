@@ -81,8 +81,18 @@ def llm_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench's sf1 section excludes it with a logged reason for exactly
     this documented asymptote.
     """
+    return prefix_filter_pairs(_doc_shingles(spark, sf_dir))
+
+
+def prefix_filter_pairs(sh: DataFrame) -> DataFrame:
+    """Exact Jaccard >= 0.5 near-dup pairs from a ``(doc_id, s)``
+    distinct-shingle relation via prefix filtering + length filtering +
+    exact verification. Factored out of the catalog query so the
+    property suite can drive it with ADVERSARIAL generated corpora
+    (``test_properties.test_prefix_filter_matches_bruteforce``) — the
+    lemma is a theorem, but this function is an implementation of it,
+    and implementations are what property tests break."""
     t = 0.5
-    sh = _doc_shingles(spark, sf_dir)          # (doc_id, s) distinct
     # one materialization feeds the df-count, the ranking, and both
     # verification probes (same shared-subtree rule as jaccard_pairs)
     sh = sh.localCheckpoint(eager=True)

@@ -342,3 +342,74 @@ def test_temperature_quota_laws(spark, counts, budget):
     items = sorted(rows.values())
     for (n1, k1), (n2, k2) in zip(items, items[1:]):
         assert k1 <= k2 or n1 == n2, items
+
+
+# --- prefix-filter SSJoin: lemma AND implementation -----------------------
+
+_DOCS = st.lists(
+    st.lists(st.integers(min_value=0, max_value=30),
+             min_size=0, max_size=12),
+    min_size=2, max_size=8)
+
+
+def _brute_jaccard_pairs(docs):
+    """The O(n^2) definition over distinct token sets, threshold 0.5.
+    Token universe and set sizes are capped so |A union B| <= 24 —
+    every jaccard is i/u with u <= 24, whose correctly-rounded double
+    can never sit on a 6th-decimal rounding boundary (that needs a
+    2^7 factor in u), so double compare/round agree across engines."""
+    sets = {i: set(d) for i, d in enumerate(docs) if d}
+    out = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if inter / union >= 0.5:
+                    out[(a, b)] = inter / union
+    return out
+
+
+@settings(max_examples=100, deadline=None)
+@given(docs=_DOCS)
+def test_prefix_filter_lemma_pure(docs):
+    """The theorem itself, on arbitrary set families: under the global
+    (df asc, token asc) order with prefix length n - ceil(n/2) + 1,
+    every pair with J >= 0.5 shares a prefix token AND passes the
+    length filter — no qualifying pair can be lost."""
+    sets = {i: set(d) for i, d in enumerate(docs) if d}
+    df = {}
+    for s in sets.values():
+        for tok in s:
+            df[tok] = df.get(tok, 0) + 1
+    prefixes = {}
+    for i, s in sets.items():
+        ordered = sorted(s, key=lambda tok: (df[tok], tok))
+        n = len(ordered)
+        prefixes[i] = set(ordered[:n - (n + 1) // 2 + 1])
+    for (a, b) in _brute_jaccard_pairs(docs):
+        assert prefixes[a] & prefixes[b], (docs, a, b)
+        na, nb = len(sets[a]), len(sets[b])
+        assert 2 * nb >= na and 2 * na >= nb, (docs, a, b)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_DOCS)
+def test_prefix_filter_matches_bruteforce(spark, docs):
+    """The Spark implementation == the O(n^2) definition for ANY
+    generated corpus: same pairs, same jaccard to 6 decimals."""
+    from hypothesis import assume
+
+    from event_streaming_bnpl_demo_spark.plans.queries_ext9 import (
+        prefix_filter_pairs)
+
+    rows = [(i, str(tok)) for i, d in enumerate(docs) for tok in set(d)]
+    assume(rows)
+    sh = spark.createDataFrame(rows, "doc_id long, s string")
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in prefix_filter_pairs(sh).collect()}
+    want = _brute_jaccard_pairs(docs)
+    assert set(got) == set(want), (docs, got, want)
+    for k, j in want.items():
+        assert abs(got[k] - j) < 1e-6, (docs, k, j, got[k])
