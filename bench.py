@@ -169,6 +169,11 @@ HEADLINE = [
     # benched; the four analytics staples in the pack are sub-2s
     # aggregates covered by their oracles
     "llm_dedup_prefix_filter",
+    # ext10: the mergeable-exact-distinct bitmap aggregate (new state
+    # shape — bounded bitmap partials instead of raw-key shuffle) and
+    # the gaps-and-islands window idiom; both sub-second at sf0.1
+    "agg_bitmap_distinct",
+    "window_streaks",
 ]
 
 #: Headline queries excluded from the sf1 section only, each with the

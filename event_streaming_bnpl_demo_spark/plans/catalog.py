@@ -80,6 +80,11 @@ _PRIORITY2: tuple[str, ...] = ()
 _DEFERRED: tuple[str, ...] = (
     "llm_dedup_prefix_filter", "ts_yoy_growth", "events_stickiness",
     "dq_fd_violations", "scalar_business_days",
+    # ext10 (late round 7): appended AFTER the ext9 five so those keep
+    # budget positions 45-49; these land at 50+ and take leftover/rerun
+    # slots only — no budgeted name is evicted.
+    "agg_bitmap_distinct", "window_streaks", "ts_dow_seasonal",
+    "scalar_url_parse",
 )
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —
@@ -281,4 +286,5 @@ def _load() -> None:
     from . import queries_ext7      # noqa: F401
     from . import queries_ext8      # noqa: F401
     from . import queries_ext9      # noqa: F401
+    from . import queries_ext10     # noqa: F401
     _LOADED = True

