@@ -1,7 +1,7 @@
 """Round-7 ext10 pack: exact-mergeable distinct, gaps-and-islands,
 seasonal decomposition, and URL parsing.
 
-Four queries that add genuinely new engine capability rather than a
+Five queries that add genuinely new engine capability rather than a
 new angle on an existing family:
 
 - ``agg_bitmap_distinct`` — EXACT distinct counting through Spark's
@@ -30,6 +30,12 @@ new angle on an existing family:
   call a URL parser: it reconstructs the expected components directly
   from the columns the URL was built from, so Spark's parser is
   checked against an independent formulation.
+- ``mv_bitmap_distinct`` — the MV-maintenance twin of the bitmap
+  aggregate: exact distinct-per-group maintained across a base/delta
+  split purely by OR-merging bitmap state, with the batch
+  COUNT(DISTINCT) as oracle. Completes the maintainability taxonomy
+  (see ``queries_mv.py``) with a sixth strategy: bitmap-mergeable
+  exact.
 
 Scale: ``agg_bitmap_distinct`` shuffles (key, bucket) bitmap partials
 (≤4 KiB each) instead of raw keys — the state per group is bounded by
@@ -256,11 +262,7 @@ def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     web-corpus URL-normalization pass at 100 TB.
     """
     docs = load_table(spark, sf_dir, "documents")
-    url = F.concat(
-        F.lit("https://"), F.col("source"), F.lit(".example.org/"),
-        F.col("lang"), F.lit("/doc/"), F.col("doc_id").cast("string"),
-        F.lit("?id="), F.col("doc_id").cast("string"),
-        F.lit("&lang="), F.col("lang"))
+    url = _URL_EXPR()
     return docs.select(
         "doc_id",
         F.parse_url(url, F.lit("HOST")).alias("host"),
@@ -268,3 +270,59 @@ def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("qlang"),
         F.parse_url(url, F.lit("QUERY"), F.lit("id")).alias("qid"),
     )
+
+
+def _URL_EXPR():
+    return F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+        F.col("lang"), F.lit("/doc/"), F.col("doc_id").cast("string"),
+        F.lit("?id="), F.col("doc_id").cast("string"),
+        F.lit("&lang="), F.col("lang"))
+
+
+@register(
+    "mv_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("mv", "incremental", "bitmap", "distinct", "exact"),
+)
+def mv_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) maintained incrementally through BITMAP state —
+    the exact answer ``mv_incremental_distinct`` maintains via its
+    auxiliary key relation, at sketch-shaped cost. The stored view is
+    one bitmap per (event_type, 32768-id bucket): an append folds in
+    by building the delta's bitmaps independently (no read of the base
+    state during the fold — unlike the anti-join strategy) and
+    ``bitmap_or_agg``-merging, because set-OR is idempotent,
+    commutative, and associative. State is O(|id-space|/8) bytes
+    bounded regardless of row count; refresh cost is the delta scan
+    plus an OR over touched buckets; the count stays EXACT. This
+    completes the maintainability taxonomy's sixth row:
+    bitmap-mergeable exact — between auxiliary-state
+    (`mv_incremental_distinct`, O(distinct-keys) rows, needs the
+    co-keyed anti-join) and sketch-mergeable (HLL, cheap but
+    approximate). The base/delta split mirrors the MV pack
+    (event_id % 4); the oracle is the batch COUNT(DISTINCT) over ALL
+    events — the strongest incremental==batch check.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id")
+    base = ev.filter(F.col("event_id") % 4 != 0)
+    delta = ev.filter(F.col("event_id") % 4 == 0)
+
+    def bitmaps(df: DataFrame) -> DataFrame:
+        return (df
+                .withColumn("bkt", F.bitmap_bucket_number("user_id"))
+                .groupBy("event_type", "bkt")
+                .agg(F.bitmap_construct_agg(
+                    F.bitmap_bit_position("user_id")).alias("bm")))
+
+    merged = (bitmaps(base).unionByName(bitmaps(delta))
+              .groupBy("event_type", "bkt")
+              .agg(F.bitmap_or_agg("bm").alias("bm")))
+    return (merged.groupBy("event_type")
+            .agg(F.sum(F.bitmap_count("bm")).alias("n_users")))
