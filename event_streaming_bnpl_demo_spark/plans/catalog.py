@@ -84,7 +84,7 @@ _DEFERRED: tuple[str, ...] = (
     # budget positions 45-49; these land at 50+ and take leftover/rerun
     # slots only — no budgeted name is evicted.
     "agg_bitmap_distinct", "window_streaks", "ts_dow_seasonal",
-    "scalar_url_parse", "mv_bitmap_distinct",
+    "scalar_url_parse", "mv_bitmap_distinct", "mv_stream_bitmap_distinct",
 )
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —

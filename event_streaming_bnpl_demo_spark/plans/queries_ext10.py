@@ -1,7 +1,7 @@
 """Round-7 ext10 pack: exact-mergeable distinct, gaps-and-islands,
 seasonal decomposition, and URL parsing.
 
-Five queries that add genuinely new engine capability rather than a
+Six queries that add genuinely new engine capability rather than a
 new angle on an existing family:
 
 - ``agg_bitmap_distinct`` — EXACT distinct counting through Spark's
@@ -36,6 +36,11 @@ new angle on an existing family:
   COUNT(DISTINCT) as oracle. Completes the maintainability taxonomy
   (see ``queries_mv.py``) with a sixth strategy: bitmap-mergeable
   exact.
+- ``mv_stream_bitmap_distinct`` — the streamed version: micro-batches
+  write bitmap partials via ``foreachBatch``; the view is their
+  OR-union. Identical topology to ``mv_stream_hll_distinct``, but
+  exact — so it carries a full oracle where the HLL view is
+  necessarily rows-only.
 
 Scale: ``agg_bitmap_distinct`` shuffles (key, bucket) bitmap partials
 (≤4 KiB each) instead of raw keys — the state per group is bounded by
@@ -325,4 +330,66 @@ def mv_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
               .groupBy("event_type", "bkt")
               .agg(F.bitmap_or_agg("bm").alias("bm")))
     return (merged.groupBy("event_type")
+            .agg(F.sum(F.bitmap_count("bm")).alias("n_users")))
+
+
+@register(
+    "mv_stream_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("mv", "stream", "bitmap", "distinct", "exact"),
+)
+def mv_stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained EXACT distinct view: the event feed
+    drains as four micro-batches; each foreachBatch writes its own
+    (event_type, bucket) bitmap partials; the view is the OR-union of
+    partials, popcounted. This is ``mv_stream_hll_distinct`` with the
+    sketch swapped for bitmap state — and the decisive difference is
+    that the result is exact, so the query carries a full DuckDB
+    oracle (batch COUNT(DISTINCT) over all events) where the HLL view
+    could only ever be rows-only. A 100 TB deployment keeps per-day
+    bitmap columns and answers any-range distinct counts exactly by
+    OR-ing them, never re-scanning raw history.
+
+    Scale: per-batch state is |types| x |touched buckets| bitmaps
+    (<= 4 KiB each) regardless of batch row count; the terminal union
+    moves bitmaps, not user ids. Exactly-once via per-batch overwrite
+    + checkpoint resume, same as the decimal-partial views; scratch
+    dirs are content-keyed so repeats reuse the drained checkpoint.
+    """
+    from .queries_ext import _scratch, source_fingerprint, staged_parquet
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id")
+    work = _scratch(f"bmstream_{source_fingerprint(sf_dir)}")
+    state_dir = f"{work}/state"
+    in_dir = staged_parquet(ev, "bmstream", sf_dir, 4)
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        (batch
+         .withColumn("bkt", F.bitmap_bucket_number("user_id"))
+         .groupBy("event_type", "bkt")
+         .agg(F.bitmap_construct_agg(
+             F.bitmap_bit_position("user_id")).alias("bm"))
+         .write.mode("overwrite")
+         .parquet(f"{state_dir}/batch={batch_id}"))
+
+    q = (spark.readStream
+         .schema("event_id long, event_type string, user_id long")
+         .option("maxFilesPerTrigger", "1")
+         .parquet(in_dir)
+         .writeStream.foreachBatch(fold_batch)
+         .option("checkpointLocation", f"{work}/ck")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    partials = spark.read.option("basePath", state_dir).parquet(
+        f"{state_dir}/batch=*")
+    return (partials.groupBy("event_type", "bkt")
+            .agg(F.bitmap_or_agg("bm").alias("bm"))
+            .groupBy("event_type")
             .agg(F.sum(F.bitmap_count("bm")).alias("n_users")))

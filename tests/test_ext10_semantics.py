@@ -192,3 +192,21 @@ def test_mv_bitmap_distinct_split_invariant(spark):
                  F.col("event_id") % 2 == 0,
                  F.col("event_id") < 100):
         assert fold(pred) == exact
+
+
+def test_stream_bitmap_distinct_repeat_invariant(spark):
+    """Invoking the streamed bitmap view twice must give identical
+    exact counts: the second run resumes the drained content-keyed
+    checkpoint (0 new files) and re-reads the same partials — and
+    both equal the batch countDistinct."""
+    from event_streaming_bnpl_demo_spark.sources import load_table
+    name = "mv_stream_bitmap_distinct"
+    first = {r["event_type"]: r["n_users"]
+             for r in QUERIES[name].fn(spark, SF_SMOKE).collect()}
+    second = {r["event_type"]: r["n_users"]
+              for r in QUERIES[name].fn(spark, SF_SMOKE).collect()}
+    exact = {r["event_type"]: r["nd"]
+             for r in load_table(spark, SF_SMOKE, "events")
+             .groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("nd")).collect()}
+    assert first == second == exact
