@@ -413,3 +413,53 @@ def test_prefix_filter_matches_bruteforce(spark, docs):
     assert set(got) == set(want), (docs, got, want)
     for k, j in want.items():
         assert abs(got[k] - j) < 1e-6, (docs, k, j, got[k])
+
+
+_STREAK_ROWS = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=4),      # customer
+              st.integers(min_value=0, max_value=40)),    # epoch day
+    min_size=1, max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_STREAK_ROWS)
+def test_window_streaks_matches_bruteforce(spark, rows):
+    """The row_number-difference gaps-and-islands implementation equals
+    the O(n) per-customer definition — max/total/count of consecutive
+    runs over sorted distinct days — for ANY multiset of (customer,
+    day) rows, including duplicate days and singleton-only customers
+    (which must be filtered out)."""
+    import datetime as dt
+
+    from event_streaming_bnpl_demo_spark.plans import queries_ext10 as m
+
+    base = dt.date(1995, 1, 1)
+    df = spark.createDataFrame(
+        [(c, dt.datetime.combine(base + dt.timedelta(days=d),
+                                 dt.time(9))) for c, d in rows],
+        "o_custkey long, o_orderdate timestamp")
+
+    days = {}
+    for c, d in rows:
+        days.setdefault(c, set()).add(d)
+    want = {}
+    for c, ds in days.items():
+        sd = sorted(ds)
+        runs, cur = [], 1
+        for a, b in zip(sd, sd[1:]):
+            cur = cur + 1 if b - a == 1 else (runs.append(cur), 1)[1]
+        runs.append(cur)
+        if max(runs) >= 2:
+            want[c] = (max(runs), len(sd), len(runs))
+
+    orig = m.load_table
+    m.load_table = lambda spark, sf, name: df
+    try:
+        got = {r["o_custkey"]: (r["max_streak"], r["n_days"],
+                                r["n_streaks"])
+               for r in m.window_streaks(spark, "unused").collect()}
+    finally:
+        m.load_table = orig
+    assert got == want
