@@ -85,6 +85,9 @@ _DEFERRED: tuple[str, ...] = (
     # slots only — no budgeted name is evicted.
     "agg_bitmap_distinct", "window_streaks", "ts_dow_seasonal",
     "scalar_url_parse", "mv_bitmap_distinct", "mv_stream_bitmap_distinct",
+    # ext11 (late round 7): the modern Spark 4 SQL surface
+    "sql_pipe_syntax", "sql_udf_scalar", "sql_session_variables",
+    "sql_exec_immediate", "scalar_collation",
 )
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —
@@ -287,4 +290,5 @@ def _load() -> None:
     from . import queries_ext8      # noqa: F401
     from . import queries_ext9      # noqa: F401
     from . import queries_ext10     # noqa: F401
+    from . import queries_ext11     # noqa: F401
     _LOADED = True

@@ -1,0 +1,220 @@
+"""Round-7 ext11 pack: the modern Spark 4 SQL surface.
+
+Five queries that pin ENGINE SURFACE rather than new operator
+semantics — the features a user migrating onto this engine would
+reach for when writing new SQL, each oracled so the surface's
+SEMANTICS (not just its parseability) are continuously checked:
+
+- ``sql_pipe_syntax`` — SQL pipe syntax (``FROM t |> WHERE ... |>
+  AGGREGATE ...``): the same logical plan as the classic form, so the
+  oracle is the classic ANSI rendition — equivalence of the two
+  syntaxes is the checked fact.
+- ``sql_udf_scalar`` — a SQL-language scalar UDF (``CREATE FUNCTION
+  ... RETURNS ... RETURN expr``). Catalyst INLINES the body, so the
+  abstraction is free: no serialization boundary, stays inside
+  whole-stage codegen — the opposite cost profile of a Python UDF,
+  completing the UDF cost ladder (queries_udf.py) at its zero-cost
+  end.
+- ``sql_session_variables`` — ``DECLARE VARIABLE`` + ``SET VAR ... =
+  (scalar subquery)``: a DATA-DERIVED session parameter driving a
+  filter, the two-step workflow (compute a threshold, reuse it across
+  statements) that otherwise needs driver-side collect-and-format.
+- ``sql_exec_immediate`` — ``EXECUTE IMMEDIATE ... USING`` with bind
+  parameters: parameterized SQL without string interpolation.
+- ``scalar_collation`` — Spark 4 collations: grouping a deliberately
+  case-mangled column under ``COLLATE UTF8_LCASE`` must agree with
+  the oracle's explicit ``lower()`` normalization — collation
+  semantics checked against an independent formulation, same doctrine
+  as ``scalar_url_parse``.
+
+All five are sub-second aggregates; determinism follows the repo
+doctrine (integer cents, exact counts).
+
+Reference parity note: the reference's query surface is two SQL
+strings over its MySQL projection (main.go:214,:241); this pack is
+part of the SURVEY.md §2.2 capability superset for the 100 TB tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources import load_table
+from .catalog import register
+from .queries_ext7 import _CENTS
+
+_L_CENTS = _CENTS.format(col="l_extendedprice")
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM({_L_CENTS}) AS BIGINT) AS rev_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    GROUP BY l_returnflag
+    """,
+    tags=("sql", "pipe-syntax", "surface"),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipe-syntax rendition of a scan-filter-aggregate. Pipe
+    operators desugar to the identical logical plan as the classic
+    form, so Catalyst's pushdown/pruning/codegen all apply unchanged —
+    the oracle (classic ANSI) checks that claim continuously rather
+    than trusting the parser."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "ext11_lineitem")
+    return spark.sql(f"""
+        FROM ext11_lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_items,
+                     CAST(SUM({_L_CENTS}) AS BIGINT) AS rev_cents
+           GROUP BY l_returnflag
+    """)
+
+
+@register(
+    "sql_udf_scalar",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                    // 100) AS BIGINT) AS whole_dollars
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql", "udf", "surface"),
+)
+def sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A SQL-language scalar UDF (exact double→cents conversion)
+    declared once and reused. Catalyst inlines the body into the plan
+    — the function never leaves the JVM or breaks whole-stage codegen,
+    which is the entire point versus a Python UDF: SQL UDFs are the
+    zero-cost end of the measured UDF ladder. DuckDB has no
+    ``CREATE FUNCTION``-compatible surface here, so the oracle inlines
+    the identical expression — same-answer-by-construction is exactly
+    the inlining semantics being pinned."""
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION ext11_cents(x DOUBLE)
+        RETURNS BIGINT
+        RETURN CAST(FLOOR(x * 100 + 0.5) AS BIGINT)
+    """)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "ext11_orders")
+    return spark.sql("""
+        SELECT o_orderpriority,
+               CAST(SUM(ext11_cents(o_totalprice) DIV 100) AS BIGINT)
+                 AS whole_dollars
+        FROM ext11_orders
+        GROUP BY o_orderpriority
+    """)
+
+
+@register(
+    "sql_session_variables",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_above
+    FROM customer
+    WHERE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+          >= (SELECT CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5)
+                                   AS BIGINT)) // COUNT(*) AS BIGINT)
+              FROM customer)
+    GROUP BY c_mktsegment
+    """,
+    tags=("sql", "session-variable", "surface"),
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A DATA-DERIVED session variable: the mean balance (exact
+    integer cents, floor-divided) is computed once with ``SET VAR ...
+    = (scalar subquery)`` and then drives a filter in a later
+    statement — the compute-then-reuse workflow that otherwise forces
+    a driver-side collect and string-format. The oracle inlines the
+    subquery; agreement pins that variable binding captures the value,
+    not the expression."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "ext11_customer")
+    spark.sql("DECLARE OR REPLACE VARIABLE ext11_thr BIGINT")
+    spark.sql("""
+        SET VAR ext11_thr =
+          (SELECT CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+                       DIV COUNT(*) AS BIGINT)
+           FROM ext11_customer)
+    """)
+    return spark.sql("""
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_above
+        FROM ext11_customer
+        WHERE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) >= ext11_thr
+        GROUP BY c_mktsegment
+    """)
+
+
+@register(
+    "sql_exec_immediate",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderpriority = '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+    tags=("sql", "parameterized", "surface"),
+)
+def sql_exec_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL via ``EXECUTE IMMEDIATE ... USING``: the
+    bind parameters arrive as typed values, never via string
+    interpolation — the injection-safe path for templated analytics.
+    The oracle runs the same statement with the constants in place."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "ext11_orders_ei")
+    return spark.sql("""
+        EXECUTE IMMEDIATE
+          'SELECT o_orderstatus,
+                  CAST(COUNT(*) AS BIGINT) AS n_orders
+           FROM ext11_orders_ei
+           WHERE o_orderdate >= ? AND o_orderpriority = ?
+           GROUP BY o_orderstatus'
+        USING TIMESTAMP '1996-01-01', '1-URGENT'
+    """)
+
+
+@register(
+    "scalar_collation",
+    oracle="""
+    WITH mangled AS (
+      SELECT p_partkey,
+             CASE WHEN p_partkey % 2 = 0 THEN UPPER(p_type)
+                  ELSE p_type END AS t
+      FROM part
+    )
+    SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS n_binary,
+           CAST(COUNT(DISTINCT lower(t)) AS BIGINT) AS n_ci
+    FROM mangled
+    """,
+    tags=("scalar", "collation", "surface"),
+)
+def scalar_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collations: a deliberately case-mangled type column
+    counted distinct under binary collation versus ``COLLATE
+    UTF8_LCASE``. The oracle normalizes with an explicit ``lower()``
+    instead of a collation, so the collation's equality semantics are
+    checked against an independent formulation (the construction
+    guarantees pure-ASCII case mangling, where UTF8_LCASE and lower()
+    provably agree)."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView(
+        "ext11_part")
+    return spark.sql("""
+        WITH mangled AS (
+          SELECT p_partkey,
+                 CASE WHEN p_partkey % 2 = 0 THEN UPPER(p_type)
+                      ELSE p_type END AS t
+          FROM ext11_part
+        )
+        SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS n_binary,
+               CAST(COUNT(DISTINCT CAST(t AS STRING COLLATE UTF8_LCASE))
+                    AS BIGINT) AS n_ci
+        FROM mangled
+    """)
