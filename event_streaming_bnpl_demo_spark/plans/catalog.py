@@ -87,7 +87,7 @@ _DEFERRED: tuple[str, ...] = (
     "scalar_url_parse", "mv_bitmap_distinct", "mv_stream_bitmap_distinct",
     # ext11 (late round 7): the modern Spark 4 SQL surface
     "sql_pipe_syntax", "sql_udf_scalar", "sql_session_variables",
-    "sql_exec_immediate", "scalar_collation",
+    "sql_exec_immediate", "scalar_collation", "llm_url_dedup_canonical",
 )
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —

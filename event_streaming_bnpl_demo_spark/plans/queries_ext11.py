@@ -1,7 +1,8 @@
 """Round-7 ext11 pack: the modern Spark 4 SQL surface.
 
-Five queries that pin ENGINE SURFACE rather than new operator
-semantics — the features a user migrating onto this engine would
+Six queries: five that pin ENGINE SURFACE rather than new operator
+semantics, plus the URL-canonicalization dedup pass that composes the
+surface into a real curation operator — the features a user migrating onto this engine would
 reach for when writing new SQL, each oracled so the surface's
 SEMANTICS (not just its parseability) are continuously checked:
 
@@ -27,8 +28,15 @@ SEMANTICS (not just its parseability) are continuously checked:
   semantics checked against an independent formulation, same doctrine
   as ``scalar_url_parse``.
 
-All five are sub-second aggregates; determinism follows the repo
-doctrine (integer cents, exact counts).
+- ``llm_url_dedup_canonical`` — crawl-style URL canonicalization
+  (case, default port, trailing slash, tracking params, fragments)
+  collapsing per-page URL variants into canonical dedup clusters,
+  with cluster sizes derivable by the oracle from id arithmetic — so
+  any canonicalization miss on any row fragments a cluster and fails
+  the gate.
+
+All are sub-second aggregates; determinism follows the repo doctrine
+(integer cents, exact counts).
 
 Reference parity note: the reference's query surface is two SQL
 strings over its MySQL projection (main.go:214,:241); this pack is
@@ -218,3 +226,68 @@ def scalar_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS n_ci
         FROM mangled
     """)
+
+
+@register(
+    "llm_url_dedup_canonical",
+    oracle="""
+    WITH clusters AS (
+      SELECT doc_id // 2 AS canon_key, COUNT(*) AS csize
+      FROM documents
+      GROUP BY doc_id // 2
+    )
+    SELECT csize,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(csize) AS BIGINT) AS n_docs
+    FROM clusters
+    GROUP BY csize
+    """,
+    tags=("llm", "dedup", "url", "canonical"),
+)
+def llm_url_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus URL canonicalization → dedup: every document gets a
+    crawl-style URL for the SAME logical page as its doc_id-div-2
+    sibling, but mangled per doc_id%4 with the noise real crawls
+    carry — uppercase host, explicit default port, trailing slash,
+    utm_* tracking params, reordered query keys, a #fragment. The
+    canonicalizer (lowercase host via ``parse_url HOST``, strip the
+    :443 port, trim the trailing slash, keep ONLY the ``page`` query
+    key via ``parse_url QUERY page``, fragment implicitly dropped)
+    must collapse all four mangles to one canonical string or clusters
+    FRAGMENT and the histogram shifts — the oracle derives cluster
+    sizes straight from doc_id arithmetic, so any canonicalization
+    miss on any row is visible. Output: cluster-size histogram of the
+    canonical-URL groups. Pure narrow map + one groupBy pair — the
+    pre-dedup normalization pass of a web-crawl pipeline at 100 TB.
+    """
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    page = F.expr("doc_id DIV 2")
+    variant = F.col("doc_id") % 4
+    url = (
+        F.when(variant == 0,
+               F.concat(F.lit("https://DOCS.Example.org/item?page="),
+                        page.cast("string")))
+        .when(variant == 1,
+              F.concat(F.lit("https://docs.example.org/item/?page="),
+                       page.cast("string"),
+                       F.lit("&utm_source=feed&utm_campaign=x")))
+        .when(variant == 2,
+              F.concat(F.lit("https://docs.example.org/item"
+                             "?utm_medium=social&page="),
+                       page.cast("string"), F.lit("#frag")))
+        .otherwise(
+            F.concat(F.lit("https://docs.example.org:443/item?page="),
+                     page.cast("string"))))
+    canon = F.concat(
+        F.regexp_replace(
+            F.lower(F.parse_url(url, F.lit("HOST"))), ":?443$", ""),
+        F.regexp_replace(F.parse_url(url, F.lit("PATH")), "/$", ""),
+        F.lit("?page="),
+        F.parse_url(url, F.lit("QUERY"), F.lit("page")))
+    clusters = (docs.select(canon.alias("canon"))
+                .groupBy("canon").agg(F.count(F.lit(1)).alias("csize")))
+    return (clusters.groupBy("csize")
+            .agg(F.count(F.lit(1)).alias("n_clusters"),
+                 F.sum("csize").alias("n_docs")))
