@@ -253,6 +253,31 @@ class LakeTable:
             return self.read(version).limit(0)
         return self._read_paths(paths, m)
 
+    def prune_files_box(self, preds: dict,
+                        version: int | None = None) -> tuple[list[str], int]:
+        """Multi-column (conjunctive box) scan planning: a file
+        survives only if EVERY predicate column's [min, max] intersects
+        its [lo, hi] — the planning rule that makes Z-order clustering
+        pay off, since interleaving keeps several columns' per-file
+        ranges narrow simultaneously. ``preds`` maps col -> (lo, hi)."""
+        keep: set[str] | None = None
+        total = 0
+        for col, (lo, hi) in preds.items():
+            paths, total = self.prune_files(col, lo, hi, version)
+            keep = set(paths) if keep is None else keep & set(paths)
+        m = self.manifest(version)
+        ordered = [f["path"] for f in m["files"]
+                   if keep is not None and f["path"] in keep]
+        return ordered, total
+
+    def read_pruned_box(self, preds: dict,
+                        version: int | None = None) -> DataFrame:
+        paths, _ = self.prune_files_box(preds, version)
+        m = self.manifest(version)
+        if not paths:
+            return self.read(version).limit(0)
+        return self._read_paths(paths, m)
+
     # -- maintenance -------------------------------------------------------
 
     def expire(self, keep_last: int) -> dict:

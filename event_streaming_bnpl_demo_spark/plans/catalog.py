@@ -88,6 +88,7 @@ _DEFERRED: tuple[str, ...] = (
     # ext11 (late round 7): the modern Spark 4 SQL surface
     "sql_pipe_syntax", "sql_udf_scalar", "sql_session_variables",
     "sql_exec_immediate", "scalar_collation", "llm_url_dedup_canonical",
+    "lake_zorder_prune", "join_count_product_rewrite",
 )
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —

@@ -291,3 +291,54 @@ def llm_url_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (clusters.groupBy("csize")
             .agg(F.count(F.lit(1)).alias("n_clusters"),
                  F.sum("csize").alias("n_docs")))
+
+
+@register(
+    "join_count_product_rewrite",
+    oracle="""
+    WITH j AS (
+      SELECT p.p_brand, COUNT(*) AS ordered_pairs
+      FROM lineitem a
+      JOIN lineitem b ON a.l_partkey = b.l_partkey
+      JOIN part p ON p.p_partkey = a.l_partkey
+      GROUP BY p.p_brand
+    ), n AS (
+      SELECT p.p_brand, COUNT(*) AS nrows
+      FROM lineitem JOIN part p ON p.p_partkey = l_partkey
+      GROUP BY p.p_brand
+    )
+    SELECT j.p_brand,
+           CAST((j.ordered_pairs - n.nrows) // 2 AS BIGINT) AS n_pairs
+    FROM j JOIN n ON j.p_brand = n.p_brand
+    """,
+    tags=("join", "optimizer-pattern", "rewrite", "cardinality"),
+)
+def join_count_product_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality-by-algebra, the ext7 optimizer-pattern genre:
+    counting co-purchase line pairs per part brand NEVER materializes
+    the self-join. The unordered pair count decomposes per part as
+    C(c_part, 2), so the plan is one map-side-combinable groupBy
+    (per-part multiplicities), a ``c*(c-1) DIV 2`` projection, a
+    co-keyed join to the part dim for the brand, and a ~|parts|-row
+    rollup — the shuffle carries one row per PART where the naive plan
+    shuffles one row per PAIR (quadratic in per-key multiplicity; the
+    exact shape that detonates on skewed keys at 100 TB). The oracle
+    IS the naive self-join — it materializes every ordered pair and
+    subtracts the self-pairs — so the rewrite's equivalence, including
+    the choose-2 bookkeeping, is a continuously checked fact. (The
+    oracle deliberately counts pairs of ROWS, not pairs of key tuples:
+    this table carries duplicate (orderkey, linenumber) rows, and a
+    first formulation keyed on them was caught off-by-one per brand by
+    the value-multiset gate — row identity is not expressible in the
+    join, but ordered-pairs-minus-selfs is.)"""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_part = (li.groupBy("l_partkey")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .withColumn("pairs", F.expr("c * (c - 1) DIV 2")))
+    return (per_part.join(part,
+                          per_part.l_partkey == part.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.sum("pairs").alias("n_pairs")))

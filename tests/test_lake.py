@@ -131,3 +131,57 @@ def test_schema_evolution_nulls_for_old_files(spark, tmp_path):
     assert "p_retailprice" in merged.columns
     nulls = merged.filter(F.col("p_retailprice").isNull())
     assert nulls.count() == p.filter(F.col("p_partkey") % 2 == 0).count()
+
+
+def test_zorder_box_prunes_multiplicatively(spark, tmp_path):
+    """The Z-order claims: (1) the 2-D box prune reads STRICTLY fewer
+    files than pruning on either single dimension, (2) every dimension
+    alone already prunes below the total (locality held for both
+    columns simultaneously), and (3) the pruned+filtered rows equal
+    the full-table filter exactly."""
+    import datetime as dt
+
+    from event_streaming_bnpl_demo_spark.plans.queries_lake import (
+        _interleave_sql)
+
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus")
+    b = o.agg(F.max("o_custkey").alias("mx"),
+              F.min(F.to_date("o_orderdate")).alias("d0"),
+              F.max(F.to_date("o_orderdate")).alias("d1")).collect()[0]
+    mx, d0 = int(b["mx"]), b["d0"]
+    span = (b["d1"] - d0).days + 1
+    zx = f"(o_custkey * 1024) DIV {mx + 1}"
+    zy = (f"(datediff(o_orderdate, DATE '{d0.isoformat()}') * 1024)"
+          f" DIV {span}")
+    oz = o.withColumn("zval",
+                      F.expr(_interleave_sql(f"({zx})", f"({zy})")))
+
+    t = LakeTable(spark, str(tmp_path / "z"),
+                  stat_cols=("o_custkey", "o_orderdate"))
+    t.create(oz, n_files=16)
+    t.cluster(by=["zval"], n_files=16)
+
+    lo_k, hi_k = (mx * 2) // 10, (mx * 3) // 10
+    lo_d, hi_d = dt.datetime(1995, 7, 1), dt.datetime(1996, 7, 1)
+    k_files, total = t.prune_files("o_custkey", lo_k, hi_k)
+    d_files, _ = t.prune_files("o_orderdate", lo_d, hi_d)
+    box_files, _ = t.prune_files_box({"o_custkey": (lo_k, hi_k),
+                                      "o_orderdate": (lo_d, hi_d)})
+    assert len(k_files) < total and len(d_files) < total, \
+        "each dimension alone must prune (locality on both columns)"
+    assert len(box_files) < min(len(k_files), len(d_files)), \
+        "the 2-D box must prune multiplicatively, not min-of-1-D"
+
+    pruned = (t.read_pruned_box({"o_custkey": (lo_k, hi_k),
+                                 "o_orderdate": (lo_d, hi_d)})
+              .filter((F.col("o_custkey") >= lo_k)
+                      & (F.col("o_custkey") <= hi_k)
+                      & (F.col("o_orderdate") >= F.lit(lo_d))
+                      & (F.col("o_orderdate") < F.lit(hi_d))))
+    full = o.filter((F.col("o_custkey") >= lo_k)
+                    & (F.col("o_custkey") <= hi_k)
+                    & (F.col("o_orderdate") >= F.lit(lo_d))
+                    & (F.col("o_orderdate") < F.lit(hi_d)))
+    assert sorted(r["o_orderkey"] for r in pruned.collect()) == \
+        sorted(r["o_orderkey"] for r in full.collect())
