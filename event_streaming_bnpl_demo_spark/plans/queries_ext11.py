@@ -342,3 +342,71 @@ def join_count_product_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
                           per_part.l_partkey == part.p_partkey)
             .groupBy("p_brand")
             .agg(F.sum("pairs").alias("n_pairs")))
+
+
+
+def _pcont_sql(table: str, intdiv: str) -> str:
+    """ANSI PERCENTILE_CONT(p) at p = 1/4, 2/4, 3/4 over l_quantity per
+    return flag, restated as the two-order-statistic formula over a
+    VALUE HISTOGRAM — textually identical for both engines except the
+    integer-division token (Spark ``DIV``, DuckDB ``//``). With
+    0-based rank pos = (n-1)·p: k = floor(pos), g = pos − k, result =
+    v[k] + g·(v[k+1] − v[k]). Here num = (n-1)·p4 (p = p4/4), so
+    k = num div 4 and g = (num mod 4)/4 — exact quarter fractions, and
+    l_quantity is integer-valued, so every interpolation is exact in
+    binary: the twin formulas agree to the last bit."""
+    ranks = []
+    for lbl, p4 in (("p25", 1), ("p50", 2), ("p75", 3)):
+        k = f"(((n - 1) * {p4}) {intdiv} 4)"
+        g = f"((((n - 1) * {p4}) % 4) / 4.0)"
+        ranks.append(
+            f"MIN(CASE WHEN cum >= {k} + 1 THEN v END)"
+            f" + {g} * (MIN(CASE WHEN cum >= "
+            f"(CASE WHEN {k} + 2 > n THEN n ELSE {k} + 2 END)"
+            f" THEN v END)"
+            f" - MIN(CASE WHEN cum >= {k} + 1 THEN v END)) AS {lbl}")
+    sel = ",\n           ".join(ranks)
+    return f"""
+    WITH hist AS (
+      SELECT l_returnflag AS flag, l_quantity AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM {table}
+      GROUP BY l_returnflag, l_quantity
+    ), cum AS (
+      SELECT flag, v,
+             CAST(SUM(c) OVER (PARTITION BY flag ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+             CAST(SUM(c) OVER (PARTITION BY flag) AS BIGINT) AS n
+      FROM hist
+    )
+    SELECT flag AS l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           {sel}
+    FROM cum
+    GROUP BY flag, n
+    """
+
+
+@register(
+    "agg_percentile_cont",
+    oracle=_pcont_sql("lineitem", "//"),
+    tags=("agg", "percentile", "exact", "histogram"),
+)
+def agg_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ``PERCENTILE_CONT`` (linear interpolation between the two
+    bracketing order statistics) at the quartiles, computed WITHOUT a
+    global sort: l_quantity takes ~50 distinct values, so the plan is
+    a map-side-combinable (flag, value) histogram, a window over the
+    ~150-row histogram for cumulative counts, and a conditional-MIN
+    selection of the bracketing values — O(distinct values) after the
+    first combine, which is THE way to take percentiles of bounded-
+    domain columns at 100 TB (a global per-group sort would shuffle
+    every row to one task per group). The quartile positions make
+    every interpolation fraction an exact quarter and the data is
+    integer-valued, so Spark and DuckDB (running the textually
+    identical formula, ``DIV`` vs ``//``) agree to the last bit — no
+    tolerance anywhere, per the repo's determinism doctrine."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "ext11_li_pcont")
+    return spark.sql(_pcont_sql("ext11_li_pcont", "DIV"))

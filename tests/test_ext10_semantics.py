@@ -210,3 +210,22 @@ def test_stream_bitmap_distinct_repeat_invariant(spark):
              .groupBy("event_type")
              .agg(F.countDistinct("user_id").alias("nd")).collect()}
     assert first == second == exact
+
+
+def test_percentile_cont_matches_builtin(spark):
+    """The histogram-order-statistic formula must implement ANSI
+    PERCENTILE_CONT, not merely agree with its DuckDB twin: compare
+    against Spark's builtin exact interpolating percentile() at the
+    same quartiles."""
+    from event_streaming_bnpl_demo_spark.sources import load_table
+    got = {r["l_returnflag"]: (r["p25"], r["p50"], r["p75"])
+           for r in QUERIES["agg_percentile_cont"].fn(
+               spark, SF_SMOKE).collect()}
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    ref = {r["l_returnflag"]: tuple(r["ps"])
+           for r in li.groupBy("l_returnflag")
+           .agg(F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75))")
+                .alias("ps")).collect()}
+    assert set(got) == set(ref) and len(got) == 3
+    for k in got:
+        assert got[k] == ref[k], (k, got[k], ref[k])
