@@ -89,7 +89,8 @@ _DEFERRED: tuple[str, ...] = (
     "sql_pipe_syntax", "sql_udf_scalar", "sql_session_variables",
     "sql_exec_immediate", "scalar_collation", "llm_url_dedup_canonical",
     "lake_zorder_prune", "join_count_product_rewrite",
-    "agg_percentile_cont",
+    "agg_percentile_cont", "ts_changepoint_cusum",
+    "agg_kendall_concordance",
 )
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —

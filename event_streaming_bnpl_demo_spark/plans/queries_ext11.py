@@ -410,3 +410,138 @@ def agg_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
         "ext11_li_pcont")
     return spark.sql(_pcont_sql("ext11_li_pcont", "DIV"))
+
+
+
+def _cusum_sql(table: str, strtype: str) -> str:
+    """CUSUM changepoint scan over daily revenue, division-free and
+    exact: with n days and total T, the cumulative deviation from the
+    mean, S_k = sum_{d<=k}(x_d - T/n), is scaled by n into the integer
+    S'_k = n*cum_k - k*T (same argmax). Computed in DECIMAL(38,0) /
+    HUGEINT so the identity survives any scale factor; the ranking
+    value crosses the engine boundary as a digit string.
+    ``strtype`` is the string type token (Spark ``STRING``, DuckDB
+    ``VARCHAR``)."""
+    dec = "DECIMAL(38,0)"
+    return f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM {table}
+      GROUP BY CAST(o_orderdate AS DATE)
+    ), cum AS (
+      SELECT d,
+             CAST(SUM(x) OVER (ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS {dec}) AS cx,
+             CAST(ROW_NUMBER() OVER (ORDER BY d) AS {dec}) AS k,
+             CAST(COUNT(*) OVER () AS {dec}) AS n,
+             CAST(SUM(x) OVER () AS {dec}) AS t
+      FROM daily
+    )
+    SELECT * FROM (
+      SELECT CAST(d AS {strtype}) AS d,
+             CAST(n * cx - k * t AS {strtype}) AS s_scaled
+      FROM cum
+      ORDER BY CASE WHEN n * cx - k * t < 0
+                    THEN -(n * cx - k * t)
+                    ELSE n * cx - k * t END DESC,
+               d
+      LIMIT 5
+    ) z
+    """
+
+
+@register(
+    "ts_changepoint_cusum",
+    oracle=_cusum_sql("orders", "VARCHAR").replace(
+        "CAST(d AS VARCHAR)", "strftime(d, '%Y-%m-%d')"),
+    tags=("ts", "changepoint", "cusum", "exact"),
+)
+def ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on daily revenue: the day k
+    maximizing |sum_{d<=k}(x_d − mean)| is where the series' level
+    most plausibly shifted (the classic offline CUSUM statistic).
+    Division-free per the repo doctrine: the deviation sum is scaled
+    by n into the exact integer ``n·cum_k − k·T`` (same argmax), and
+    because n·cum can exceed BIGINT at extreme scale the arithmetic
+    runs in DECIMAL(38,0) vs DuckDB HUGEINT with the statistic
+    crossing the engine boundary as a DIGIT STRING — the
+    agg_linear_trend treatment applied to a windowed scan. One daily
+    rollup (map-side combinable), one ordered window over ~|calendar|
+    rows: the heavy stage touches each fact row once.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "ext11_orders_cusum")
+    return spark.sql(_cusum_sql("ext11_orders_cusum", "STRING").replace(
+        "CAST(d AS STRING)", "date_format(d, 'yyyy-MM-dd')"))
+
+
+
+def _kendall_sql(orders: str, customer: str) -> str:
+    """Kendall concordance of (order date, order value) per nation —
+    one shared SQL text for both engines: integer cents, exact
+    classification, no division anywhere."""
+    cents_a = "CAST(FLOOR(a.o_totalprice * 100 + 0.5) AS BIGINT)"
+    cents_b = "CAST(FLOOR(b.o_totalprice * 100 + 0.5) AS BIGINT)"
+    return f"""
+    WITH pairs AS (
+      SELECT c.c_nationkey AS nation,
+             CASE
+               WHEN (a.o_orderdate < b.o_orderdate
+                     AND {cents_a} < {cents_b})
+                 OR (a.o_orderdate > b.o_orderdate
+                     AND {cents_a} > {cents_b}) THEN 1
+               WHEN (a.o_orderdate < b.o_orderdate
+                     AND {cents_a} > {cents_b})
+                 OR (a.o_orderdate > b.o_orderdate
+                     AND {cents_a} < {cents_b}) THEN -1
+               ELSE 0
+             END AS sgn
+      FROM {orders} a
+      JOIN {orders} b
+        ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+      JOIN {customer} c ON c.c_custkey = a.o_custkey
+    )
+    SELECT nation,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS concordant,
+           CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS discordant,
+           CAST(SUM(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS ties,
+           CAST(SUM(sgn) AS BIGINT) AS tau_num
+    FROM pairs
+    GROUP BY nation
+    """
+
+
+@register(
+    "agg_kendall_concordance",
+    oracle=_kendall_sql("orders", "customer"),
+    tags=("agg", "rank-statistics", "kendall", "exact"),
+)
+def agg_kendall_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall concordance (the tau numerator C − D, plus the C/D/tie
+    census) of order DATE vs order VALUE within each customer's
+    purchase history, aggregated per nation — the rank-correlation
+    complement to the catalog's Pearson tier (``agg_stats_corr``),
+    exact by construction: pair classification is integer-cents
+    comparison, the statistic is a signed count, and no division or
+    sqrt appears (tau's denominator is derivable downstream if
+    wanted). The pair expansion is BOUNDED: pairs join on the customer
+    key (co-partitioned equi-join, never all-pairs) and each customer
+    contributes C(orders, 2) with per-customer order counts bounded by
+    the calendar — the same bounded-block family as
+    ``join_fuzzy_blocked`` and ``graph_triangle_count``. Spark and the
+    oracle run the IDENTICAL SQL text (engine-neutral by
+    construction), so the check pins the engine's join/aggregate
+    semantics on a non-trivial three-way shape.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "ext11_orders_kt")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "ext11_customer_kt")
+    return spark.sql(_kendall_sql("ext11_orders_kt", "ext11_customer_kt"))
