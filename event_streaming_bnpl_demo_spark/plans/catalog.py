@@ -90,7 +90,7 @@ _DEFERRED: tuple[str, ...] = (
     "sql_exec_immediate", "scalar_collation", "llm_url_dedup_canonical",
     "lake_zorder_prune", "join_count_product_rewrite",
     "agg_percentile_cont", "ts_changepoint_cusum",
-    "agg_kendall_concordance",
+    "agg_kendall_concordance", "llm_multimodal_dedup",
 )
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —

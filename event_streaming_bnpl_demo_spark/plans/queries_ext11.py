@@ -1,10 +1,13 @@
 """Round-7 ext11 pack: the modern Spark 4 SQL surface.
 
-Six queries: five that pin ENGINE SURFACE rather than new operator
-semantics, plus the URL-canonicalization dedup pass that composes the
-surface into a real curation operator — the features a user migrating onto this engine would
-reach for when writing new SQL, each oracled so the surface's
-SEMANTICS (not just its parseability) are continuously checked:
+Late-round-7 pack, two themes. First, the modern Spark 4 SQL
+surface — five queries pinning features a user migrating onto this
+engine would reach for, each oracled so the surface's SEMANTICS (not
+just its parseability) are continuously checked — plus the
+URL-canonicalization dedup pass composing that surface into a real
+curation operator. Second, closing analytics staples: sort-free
+interpolated percentiles, a CUSUM changepoint scan, Kendall
+concordance, and the count-product join rewrite:
 
 - ``sql_pipe_syntax`` — SQL pipe syntax (``FROM t |> WHERE ... |>
   AGGREGATE ...``): the same logical plan as the classic form, so the
@@ -545,3 +548,108 @@ def agg_kendall_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView(
         "ext11_customer_kt")
     return spark.sql(_kendall_sql("ext11_orders_kt", "ext11_customer_kt"))
+
+
+
+@register(
+    "llm_multimodal_dedup",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id FROM documents WHERE doc_id % 10 = 0
+    ), c AS (
+      SELECT doc_id // 20 AS g,
+             COUNT(*) AS csize,
+             COUNT(DISTINCT doc_id) AS npayload
+      FROM s GROUP BY doc_id // 20
+    )
+    SELECT CAST(csize AS BIGINT) AS csize,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(csize) AS BIGINT) AS n_docs,
+           CAST(SUM(npayload) AS BIGINT) AS n_distinct_payloads
+    FROM c GROUP BY csize
+    """,
+    tags=("llm", "multimodal", "dedup", "content-hash"),
+)
+def llm_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decoded-content image dedup — the multimodal member of the
+    dedup family: sampled documents get REAL PPM(P6) images whose
+    PIXELS are identical within a sibling pair (parameterized by
+    ``doc_id DIV 20``) while their container BYTES all differ (a
+    per-document PPM comment line in the header). Byte-exact dedup
+    (``llm_dedup_exact``'s move) therefore finds NOTHING — the
+    operator must decode through the container and hash the pixel
+    content to collapse the pairs, which is the actual shape of
+    image dedup in a crawl pipeline (same JPEG re-encoded with
+    different metadata). Decode + content hash run entirely in an
+    Arrow-batched ``mapInPandas`` stage with a comment-tolerant P6
+    header parse. The oracle derives the cluster-size histogram AND
+    the per-cluster distinct-payload count from id arithmetic — an
+    operator that over-merges, under-merges (decode bug), or a
+    synthesis that accidentally equalizes bytes each breaks a
+    different output column.
+
+    Cross-group content collisions are impossible in domain: two
+    groups share pixels only if g coincides mod 377 (dims), mod 256
+    (green level), and mod w (stripe column) — CRT floor ~96512
+    groups, i.e. ~1.9M sampled documents, documented the same way as
+    the prefix filter's asymptote.
+
+    Scale: payload bytes never leave the executors; the driver sees
+    only (content-hash, byte-hash) pairs; the dedup itself is one
+    groupBy on the content hash — the image-corpus shape of
+    llm_dedup_exact.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 10 == 0).select("doc_id"))
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = {"asset_id": [], "ahash": [], "sha": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g = d // 20
+                w = 8 + (g % 29) * 2
+                h = 6 + (g % 13) * 2
+                y, x = np.mgrid[0:h, 0:w]
+                arr = np.empty((h, w, 3), dtype=np.uint8)
+                arr[..., 0] = np.where((x + y) % 2 == 0, 200, 100)
+                arr[..., 1] = (g * 7) % 256
+                arr[..., 2] = (2 * x).astype(np.uint8)
+                arr[:, g % w, 2] = 255          # position-coded stripe
+                payload = (b"P6\n# v%d\n%d %d\n255\n"
+                           % (d, w, h)) + arr.tobytes()
+                # decode: comment-tolerant P6 parse, from the BYTES
+                parts, idx = [], 3
+                while len(parts) < 3:
+                    nl = payload.index(b"\n", idx)
+                    line = payload[idx:nl]
+                    idx = nl + 1
+                    if not line.startswith(b"#"):
+                        parts.extend(line.split())
+                dw, dh = int(parts[0]), int(parts[1])
+                px = payload[idx:]
+                content = hashlib.sha256(
+                    b"%dx%d:" % (dw, dh) + px).hexdigest()
+                rows["asset_id"].append(d)
+                rows["ahash"].append(content)
+                rows["sha"].append(
+                    hashlib.sha256(payload).hexdigest())
+            yield pd.DataFrame(rows)
+
+    hashed = docs.mapInPandas(
+        run, schema="asset_id long, ahash string, sha string")
+    clusters = (hashed.groupBy("ahash")
+                .agg(F.count(F.lit(1)).alias("csize"),
+                     F.countDistinct("sha").alias("npayload")))
+    return (clusters.groupBy("csize")
+            .agg(F.count(F.lit(1)).alias("n_clusters"),
+                 F.sum("csize").alias("n_docs"),
+                 F.sum("npayload").alias("n_distinct_payloads")))
