@@ -653,3 +653,60 @@ def llm_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_clusters"),
                  F.sum("csize").alias("n_docs"),
                  F.sum("npayload").alias("n_distinct_payloads")))
+
+
+
+@register(
+    "sql_table_function",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(4 * COUNT(*) AS BIGINT) AS n_installments,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) // 4
+                    + CASE WHEN CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                     AS BIGINT) % 4 > 0
+                           THEN 1 ELSE 0 END)
+                AS BIGINT) AS first_installment_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql", "table-function", "surface", "bnpl"),
+)
+def sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A SQL-language TABLE function (``CREATE FUNCTION ... RETURNS
+    TABLE``) applied via correlated LATERAL — the declarative sibling
+    of the Python UDTF (``udf_python_udtf``), completing the
+    user-defined-function matrix: scalar/table x Python/SQL. The
+    function is the reference domain's core arithmetic — split a
+    purchase into n installments with the remainder distributed one
+    cent at a time to the earliest installments, so every order's
+    installments sum EXACTLY to its total (the invariant the oracle's
+    ``SUM(total_cents)`` column checks corpus-wide) and the first
+    installment carries ``total DIV n + (1 if total mod n > 0)`` (the
+    column that breaks if the remainder logic is wrong). Like the SQL
+    scalar UDF, the body inlines into the plan: the LATERAL explode
+    stays JVM-side, whole-stage-codegen, no serialization boundary.
+    """
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION ext11_installments(
+            total BIGINT, n INT)
+        RETURNS TABLE (i INT, amount BIGINT)
+        RETURN SELECT pos + 1 AS i,
+               total DIV n
+                 + CASE WHEN pos < total % n THEN 1 ELSE 0 END AS amount
+        FROM (SELECT explode(sequence(0, n - 1)) AS pos)
+    """)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "ext11_orders_tvf")
+    return spark.sql("""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_installments,
+               CAST(SUM(t.amount) AS BIGINT) AS total_cents,
+               CAST(SUM(CASE WHEN t.i = 1 THEN t.amount ELSE 0 END)
+                    AS BIGINT) AS first_installment_cents
+        FROM ext11_orders_tvf,
+             LATERAL ext11_installments(
+                 CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT), 4) t
+        GROUP BY o_orderpriority
+    """)
