@@ -174,6 +174,11 @@ HEADLINE = [
     # the gaps-and-islands window idiom; both sub-second at sf0.1
     "agg_bitmap_distinct",
     "window_streaks",
+    # ext11 closers: histogram-based percentile_cont (the sort-free
+    # order-statistic plan) and the count-product join rewrite (one
+    # row per part instead of one per pair); both sub-second
+    "agg_percentile_cont",
+    "join_count_product_rewrite",
 ]
 
 #: Headline queries excluded from the sf1 section only, each with the

@@ -710,3 +710,68 @@ def sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT), 4) t
         GROUP BY o_orderpriority
     """)
+
+
+
+def _acf_sql(table: str, dateadd: str, strtype: str) -> str:
+    """Lag-k autocovariance numerators of daily revenue, k = 1..7,
+    division-free: with n days and total T, the mean-centered product
+    (x_a − T/n)(x_b − T/n) is scaled by n² into the exact integer
+    (n·x_a − T)(n·x_b − T), accumulated in DECIMAL(38,0)/HUGEINT and
+    emitted as a digit string. The lag is CALENDAR days (join on
+    d + k), not row offset — gap-safe, the ``ts_yoy_growth`` rule.
+    ``dateadd`` is the d-plus-k expression (Spark ``date_add(a.d, k)``,
+    DuckDB ``a.d + k``); ``strtype`` the string type token."""
+    dec = "DECIMAL(38,0)"
+    return f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM {table}
+      GROUP BY CAST(o_orderdate AS DATE)
+    ), stats AS (
+      SELECT d, CAST(x AS {dec}) AS x,
+             CAST(COUNT(*) OVER () AS {dec}) AS n,
+             CAST(SUM(x) OVER () AS {dec}) AS t
+      FROM daily
+    ), lags AS (
+      SELECT 1 AS k UNION ALL SELECT 2 UNION ALL SELECT 3
+      UNION ALL SELECT 4 UNION ALL SELECT 5
+      UNION ALL SELECT 6 UNION ALL SELECT 7
+    )
+    SELECT CAST(lags.k AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM((a.n * a.x - a.t) * (b.n * b.x - b.t))
+                AS {strtype}) AS num_str
+    FROM stats a
+    JOIN lags ON 1 = 1
+    JOIN stats b ON b.d = {dateadd}
+    GROUP BY lags.k
+    """
+
+
+@register(
+    "ts_autocorr_lags",
+    oracle=_acf_sql("orders", "a.d + lags.k", "VARCHAR"),
+    tags=("ts", "autocorrelation", "exact"),
+)
+def ts_autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation structure of daily revenue at calendar lags
+    1..7 — the ACF diagnostic behind every seasonality decision (its
+    lag-7 spike is what justifies ``ts_dow_seasonal``'s weekly
+    profile). Exact per the repo doctrine: the mean-centered product
+    is scaled by n² into the integer ``(n·x_a − T)(n·x_b − T)``,
+    accumulated in DECIMAL(38,0) vs DuckDB HUGEINT, and the numerator
+    crosses the engine boundary as a DIGIT STRING (normalizing to the
+    actual autocorrelation is one double division downstream). Lags
+    join on CALENDAR day d+k — a missing day drops the pair rather
+    than sliding the comparison (the gap-safe rule of
+    ``ts_yoy_growth``). Plan shape: one map-side-combinable daily
+    rollup, window-marginalized n/T over the tiny daily relation, a
+    7-row lag spine, and one co-keyed self-join on date arithmetic.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "ext11_orders_acf")
+    return spark.sql(_acf_sql("ext11_orders_acf",
+                              "date_add(a.d, lags.k)", "STRING"))
