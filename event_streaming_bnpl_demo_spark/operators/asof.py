@@ -31,8 +31,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
     group: ``direction="backward"`` (default) takes the latest right
     row with ``right_ts <= left_ts``; ``direction="forward"`` the
     earliest with ``right_ts >= left_ts`` (strict inequalities when
-    ``allow_exact_matches=False``) — pandas merge_asof semantics, same
-    ONE-shuffle sort-merge plan either way. Forward sorts the union by
+    ``allow_exact_matches=False``); ``direction="nearest"`` whichever
+    of those two is temporally closer, equal distances breaking to the
+    backward row — pandas merge_asof semantics, same ONE-shuffle
+    sort-merge plan in every direction (nearest adds only a second
+    per-partition sort over the same exchange). Forward sorts the union by
     DESCENDING time and keeps the identical linear running frame
     ([unboundedPreceding, currentRow] + ``last(..., ignorenulls)``),
     so both directions execute O(n) per key partition — a
@@ -47,8 +50,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
     backward keeps the field-wise MAX struct, forward the field-wise
     MIN (the row the in-frame sort meets first in each case).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward: {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest: {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     right_cols = right_cols or [c for c in right.columns
                                 if c not in keys + [right_ts]]
@@ -78,6 +82,46 @@ def asof_join(left: DataFrame, right: DataFrame, on: str | list[str],
     # frames start at it (right must sort AFTER left). The trailing
     # struct comparison makes the winner among equal-timestamp right
     # rows deterministic instead of partition-order-dependent.
+    if direction == "nearest":
+        # pandas merge_asof direction="nearest": both candidates from
+        # ONE exchange (the two Windows share the hash partitioning —
+        # only a second per-partition sort is added), then the closer
+        # wins; equal distances break to the BACKWARD row, matching
+        # the documented backward/forward tie structs on each side.
+        tie = F.col("_is_left") if allow_exact_matches else -F.col("_is_left")
+        wb = (Window.partitionBy(*keys)
+              .orderBy(F.col("_ts"), tie, F.col("_r"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        wf = (Window.partitionBy(*keys)
+              .orderBy(F.col("_ts").desc(), tie, F.col("_r").desc())
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        merged = (
+            lhs.unionByName(rhs)
+            .withColumn("_rb", F.last("_r", ignorenulls=True).over(wb))
+            .withColumn("_rf", F.last("_r", ignorenulls=True).over(wf))
+            .filter(F.col("_is_left") == 1)
+        )
+        if tolerance is not None:
+            merged = (merged
+                      .withColumn("_rb", F.when(
+                          F.col("_rb._rts") >= F.col("_ts") - tolerance,
+                          F.col("_rb")))
+                      .withColumn("_rf", F.when(
+                          F.col("_rf._rts") <= F.col("_ts") + tolerance,
+                          F.col("_rf"))))
+        # timestamp subtraction yields a day-time interval — directly
+        # comparable at microsecond precision, and type-agnostic
+        # across TIMESTAMP and TIMESTAMP_NTZ (unix_micros is not)
+        chosen = (
+            F.when(F.col("_rb").isNull(), F.col("_rf"))
+            .when(F.col("_rf").isNull(), F.col("_rb"))
+            .when((F.col("_ts") - F.col("_rb._rts"))
+                  <= (F.col("_rf._rts") - F.col("_ts")),
+                  F.col("_rb"))
+            .otherwise(F.col("_rf")))
+        merged = merged.withColumn("_last_r", chosen)
+        return merged.select("_l.*", *[
+            F.col(f"_last_r.{c}").alias(c) for c in right_cols])
     if direction == "backward":
         tie = F.col("_is_left") if allow_exact_matches else -F.col("_is_left")
         w = (Window.partitionBy(*keys).orderBy(F.col("_ts"), tie, F.col("_r"))

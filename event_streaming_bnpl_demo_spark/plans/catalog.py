@@ -91,7 +91,7 @@ _DEFERRED: tuple[str, ...] = (
     "lake_zorder_prune", "join_count_product_rewrite",
     "agg_percentile_cont", "ts_changepoint_cusum",
     "agg_kendall_concordance", "llm_multimodal_dedup",
-    "sql_table_function", "ts_autocorr_lags",
+    "sql_table_function", "ts_autocorr_lags", "join_asof_nearest",
 )
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —

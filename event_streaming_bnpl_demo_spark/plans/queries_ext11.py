@@ -775,3 +775,66 @@ def ts_autocorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ext11_orders_acf")
     return spark.sql(_acf_sql("ext11_orders_acf",
                               "date_add(a.d, lags.k)", "STRING"))
+
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ), v AS (
+      SELECT event_id AS view_id, user_id, ts AS v_ts
+      FROM events WHERE event_type = 'view'
+    ), cand AS (
+      SELECT p.purchase_id, p.user_id, v.view_id, p.p_ts, v.v_ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.purchase_id
+               ORDER BY ABS(date_diff('microsecond', v.v_ts, p.p_ts)),
+                        CASE WHEN v.v_ts <= p.p_ts THEN 0 ELSE 1 END,
+                        CASE WHEN v.v_ts <= p.p_ts THEN -v.view_id
+                             ELSE v.view_id END
+             ) AS rn
+      FROM p JOIN v ON p.user_id = v.user_id
+    )
+    SELECT purchase_id, user_id, view_id,
+           CAST(date_diff('second', v_ts, p_ts) AS BIGINT)
+             AS seconds_offset
+    FROM cand WHERE rn = 1
+    """,
+    tags=("join", "asof", "nearest"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, ``direction="nearest"`` — each purchase matched to
+    the temporally CLOSEST view by the same user, before or after,
+    equal distances breaking to the prior view. Completes the as-of
+    direction set (backward ``join_asof``, forward
+    ``join_asof_forward``, tolerance ``join_asof_tolerance``) to full
+    pandas ``merge_asof`` parity. The operator computes both
+    directional candidates from ONE exchange (two Windows over the
+    same user partitioning — the second direction costs a
+    per-partition sort, not a shuffle) and picks per row; the oracle
+    is the quadratic candidate rank over every (purchase, view) pair
+    with the side-specific tie structs spelled out — backward keeps
+    the field-wise MAX struct, forward the MIN, so the ROW_NUMBER
+    tiebreak encodes sign-flipped view ids per side.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("p_ts"))
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"))
+    merged = asof_join(p, v, on="user_id", left_ts="p_ts",
+                       right_ts="v_ts", right_cols=["view_id", "v_ts"],
+                       direction="nearest")
+    return (merged.filter(F.col("view_id").isNotNull())
+            .select("purchase_id", "user_id", "view_id",
+                    (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts"))
+                    .cast("bigint").alias("seconds_offset")))

@@ -463,3 +463,43 @@ def test_window_streaks_matches_bruteforce(spark, rows):
     finally:
         m.load_table = orig
     assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(left=_JOIN_ROWS, right=_JOIN_ROWS)
+def test_asof_nearest_matches_bruteforce(spark, left, right):
+    """direction="nearest" == the definition: per left row, the closer
+    of the backward pick (latest r_ts <= l_ts, ties to max struct) and
+    the forward pick (earliest r_ts >= l_ts, ties to min struct),
+    equal distances breaking to the backward row."""
+    from event_streaming_bnpl_demo_spark.operators.asof import asof_join
+
+    def key(t):
+        return tuple(-1 if v is None else v for v in t)
+
+    ldf = _ts_df(spark, left, "l_ts", "lval")
+    rdf = _ts_df(spark, right, "r_ts", "rval")
+    got = sorted(((r["user_id"], r["lval"], r["rval"])
+                  for r in asof_join(ldf, rdf, "user_id", "l_ts", "r_ts",
+                                     direction="nearest")
+                  .select("user_id", "lval", "rval").collect()), key=key)
+    want = []
+    for lk, lt, lv in left:
+        back = [(rt, rv) for rk, rt, rv in right if rk == lk and rt <= lt]
+        fwd = [(rt, rv) for rk, rt, rv in right if rk == lk and rt >= lt]
+        b = f = None
+        if back:
+            bt = max(rt for rt, _ in back)
+            b = (bt, max(rv for rt, rv in back if rt == bt))
+        if fwd:
+            ft = min(rt for rt, _ in fwd)
+            f = (ft, min(rv for rt, rv in fwd if rt == ft))
+        if b is None and f is None:
+            rv = None
+        elif f is None or (b is not None and lt - b[0] <= f[0] - lt):
+            rv = b[1]
+        else:
+            rv = f[1]
+        want.append((lk, lv, rv))
+    assert got == sorted(want, key=key)
