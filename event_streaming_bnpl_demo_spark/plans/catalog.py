@@ -92,6 +92,7 @@ _DEFERRED: tuple[str, ...] = (
     "agg_percentile_cont", "ts_changepoint_cusum",
     "agg_kendall_concordance", "llm_multimodal_dedup",
     "sql_table_function", "ts_autocorr_lags", "join_asof_nearest",
+    "window_ntile",
 )
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —

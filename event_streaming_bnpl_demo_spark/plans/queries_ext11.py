@@ -838,3 +838,32 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("purchase_id", "user_id", "view_id",
                     (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts"))
                     .cast("bigint").alias("seconds_offset")))
+
+
+@register(
+    "window_ntile",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(NTILE(4) OVER (
+             PARTITION BY c_mktsegment
+             ORDER BY c_acctbal DESC, c_custkey) AS INT) AS quartile
+    FROM customer
+    """,
+    tags=("window", "ntile"),
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE(4) — equal-height bucketing of customers by balance
+    within segment, the one distribution window function the window
+    tier had not yet pinned (percent_rank/cume_dist/nth_value live in
+    ``window_distribution``). Both engines implement the ANSI rule —
+    earlier buckets absorb the remainder rows — and the (balance DESC,
+    custkey) total order makes every assignment deterministic, so the
+    check is exact with no rounding anywhere."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select("c_custkey", "c_mktsegment",
+                    F.ntile(4).over(w).cast("int").alias("quartile"))
