@@ -93,6 +93,14 @@ _DEFERRED: tuple[str, ...] = (
     "agg_kendall_concordance", "llm_multimodal_dedup",
     "sql_table_function", "ts_autocorr_lags", "join_asof_nearest",
     "window_ntile",
+    # ext12 (round 6/8 session): appended after every earlier deferred
+    # name — the earlier packs keep their queue positions; these fill
+    # whatever leftover/rerun slots remain and evict nothing.
+    "geo_grid_knn", "geo_grid_blocked_join", "agg_chi2_independence",
+    "ts_cross_correlation", "window_rolling_median",
+    "sort_keyset_pagination", "etl_surrogate_keys", "ts_bitemporal_pit",
+    "llm_text_readability", "dq_sequence_gaps", "agg_trimmed_winsorized",
+    "scalar_jaro_winkler",
 )
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —
@@ -296,4 +304,5 @@ def _load() -> None:
     from . import queries_ext9      # noqa: F401
     from . import queries_ext10     # noqa: F401
     from . import queries_ext11     # noqa: F401
+    from . import queries_ext12     # noqa: F401
     _LOADED = True
