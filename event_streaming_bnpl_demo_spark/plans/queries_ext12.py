@@ -366,24 +366,23 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     division and one sqrt, both correctly-rounded single operations,
     so the result hashes bit-equal with no decimal scaffolding.
 
-    Scale: the raw events reduce to one row per (day, type) in the
-    first map-side-combined groupBy; everything after operates on the
-    tiny daily series (self-join on shifted date x 4 lags, then a
-    6-sum aggregate). The classic moments trick: correlation at any
-    lag set costs ONE pass over the reduced series, never a re-scan of
-    the events.
+    Scale: the raw events reduce to one row per day in a SINGLE
+    map-side-combined conditional aggregation (the spine and both
+    zero-filled series fall out of one pass — a spine + two filtered
+    joins would re-scan the events three times), and the tiny daily
+    series is localCheckpointed before the lag self-join so its two
+    consumers read the materialized rows, not the lineage: exactly ONE
+    scan of the events table in the final plan (pinned in
+    tests/test_plans.py). The classic moments trick: correlation at
+    any lag set costs one pass over the reduced series.
     """
     ev = load_table(spark, sf_dir, "events")
-    daily = (ev.groupBy(F.to_date("ts").alias("d"), "event_type")
-             .agg(F.count(F.lit(1)).cast("bigint").alias("v")))
-    spine = daily.select("d").distinct()
-    x = daily.filter(F.col("event_type") == "view").select("d", "v")
-    y = daily.filter(F.col("event_type") == "purchase").select("d", "v")
-    series = (spine.join(x.withColumnRenamed("v", "xv"), "d", "left")
-              .join(y.withColumnRenamed("v", "yv"), "d", "left")
-              .select("d",
-                      F.coalesce("xv", F.lit(0)).alias("xv"),
-                      F.coalesce("yv", F.lit(0)).alias("yv")))
+    series = (ev.groupBy(F.to_date("ts").alias("d"))
+              .agg(F.sum(F.when(F.col("event_type") == "view", 1)
+                         .otherwise(0)).cast("bigint").alias("xv"),
+                   F.sum(F.when(F.col("event_type") == "purchase", 1)
+                         .otherwise(0)).cast("bigint").alias("yv"))
+              .localCheckpoint(eager=True))
     lags = spark.range(4).select(F.col("id").cast("int").alias("lag"))
     a = series.select(F.col("d").alias("ad"), F.col("xv").alias("x"))
     b = series.select(F.col("d").alias("bd"), F.col("yv").alias("y"))
@@ -710,13 +709,18 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the anti-joins shuffle only the 8-byte key column; the
     boundary sets are |gaps|-sized (data-quality-small by assumption),
-    so the as-of pairing is near-free. The oracle uses the lag form —
-    same result, different algebra, which is exactly what makes it a
-    strong check.
+    so the as-of pairing is near-free. The projected key column is
+    localCheckpointed ONCE before its four consumers (two anti-join
+    sides each way) — without it each consumer re-plans the scan, 6
+    parquet passes instead of 1 (caught by tools/plan_audit.py; same
+    fix as the graph operators' edge materialization). The oracle uses
+    the lag form — same result, different algebra, which is exactly
+    what makes it a strong check.
     """
     o = load_table(spark, sf_dir, "orders")
     keys = (o.filter(F.col("o_orderstatus") == "F")
-            .select(F.col("o_orderkey").alias("k")))
+            .select(F.col("o_orderkey").alias("k"))
+            .localCheckpoint(eager=True))
     bounds = keys.agg(F.min("k").alias("kmin"), F.max("k").alias("kmax"))
     succ_missing = (keys.join(keys.select((F.col("k") - 1).alias("k")),
                               "k", "left_anti")
@@ -865,11 +869,11 @@ def scalar_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
     @pandas_udf("double")
     def jw_udf(s1, s2):
         def jaro(a: str, b: str) -> float:
-            if a == b:
-                return 1.0
             l1, l2 = len(a), len(b)
             if l1 == 0 or l2 == 0:
-                return 0.0
+                return 0.0      # DuckDB: empty beats equal ("","") = 0
+            if a == b:
+                return 1.0
             win = max(l1, l2) // 2 - 1
             m1 = [False] * l1
             m2 = [False] * l2

@@ -1104,3 +1104,51 @@ def test_ext10_plan_shapes(spark):
     assert "Exchange" not in tree, "url parse must stay a narrow map"
     assert "text" not in plan.split("ReadSchema")[1].split("\n")[0], \
         "the wide text column must be pruned from the scan"
+
+
+def test_ext12_plan_shapes(spark):
+    """ext12 pins: keyset pagination pushes the composite cursor
+    predicate into the parquet scan and fetches the page as
+    TakeOrdered (zero exchanges — the whole point vs OFFSET); the
+    grid-blocked spatial join is an EQUI-join (never a cartesian); the
+    kNN probe side broadcasts; cross-correlation and sequence-gaps
+    read their base table exactly once via a materialized subtree
+    (the plan_audit shared-subtree rule); the surrogate-key dimension
+    re-joins the fact table by broadcast."""
+    plan = plan_of(spark, "sort_keyset_pagination")
+    tree = plan.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
+    assert "Exchange" not in tree, "keyset page must not shuffle"
+    assert "Or(GreaterThan(o_orderdate" in plan, \
+        "the composite cursor predicate must reach the scan"
+
+    plan = plan_of(spark, "geo_grid_blocked_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, \
+        "cell blocking must make the spatial join an equi-join"
+    assert plan.count("customer.parquet") == 1
+    assert plan.count("supplier.parquet") == 1
+
+    plan = plan_of(spark, "geo_grid_knn")
+    assert "CartesianProduct" not in plan, \
+        "the bounded probe set must broadcast"
+    assert "BroadcastExchange" in plan
+    assert "LessThan(c_custkey,200)" in plan, \
+        "the probe bound must reach the scan"
+
+    plan = plan_of(spark, "ts_cross_correlation")
+    assert plan.count("events.parquet") == 0, \
+        "the daily series must be materialized once (one events pass)"
+    assert "ExistingRDD" in plan
+
+    plan = plan_of(spark, "dq_sequence_gaps")
+    assert plan.count("orders.parquet") == 0, \
+        "the key column must be materialized once (one orders pass)"
+    assert "ExistingRDD" in plan
+    assert "TakeOrderedAndProject" in plan
+
+    plan = plan_of(spark, "etl_surrogate_keys")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree, \
+        "the dimension must broadcast back onto the facts"
+    assert plan.count("lineitem.parquet") == 1
