@@ -179,6 +179,13 @@ HEADLINE = [
     # row per part instead of one per pair); both sub-second
     "agg_percentile_cont",
     "join_count_product_rewrite",
+    # ext12: the grid-blocked spatial join (blocking IS its value
+    # proposition, like the prefix-filter dedup), keyset pagination
+    # (pushdown + TakeOrdered — the O(page) claim is a perf claim),
+    # and the windowless sequence-gap scan (anti-join + tiny as-of)
+    "geo_grid_blocked_join",
+    "sort_keyset_pagination",
+    "dq_sequence_gaps",
 ]
 
 #: Headline queries excluded from the sf1 section only, each with the

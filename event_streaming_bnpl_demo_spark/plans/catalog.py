@@ -101,6 +101,9 @@ _DEFERRED: tuple[str, ...] = (
     "sort_keyset_pagination", "etl_surrogate_keys", "ts_bitemporal_pit",
     "llm_text_readability", "dq_sequence_gaps", "agg_trimmed_winsorized",
     "scalar_jaro_winkler",
+    # ext13 (same session, after ext12)
+    "ts_holt_linear", "graph_kcore", "stat_bootstrap_ci",
+    "dq_schema_drift", "er_resolve_pipeline", "agg_hhi_concentration",
 )
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —
@@ -305,4 +308,5 @@ def _load() -> None:
     from . import queries_ext10     # noqa: F401
     from . import queries_ext11     # noqa: F401
     from . import queries_ext12     # noqa: F401
+    from . import queries_ext13     # noqa: F401
     _LOADED = True

@@ -97,6 +97,63 @@ def _lon_m(key: str, dialect: str) -> str:
     return f"({_h48(key, 'lon', dialect)} % 360001) - 180000"
 
 
+def jaro_winkler_udf():
+    """Arrow-batched Jaro-Winkler pandas UDF, bit-equal to DuckDB's
+    ``jaro_winkler_similarity`` (law-tested on arbitrary strings in
+    tests/test_ext12_semantics.py). Shared by scalar_jaro_winkler and
+    the entity-resolution pipeline (queries_ext13)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def jw_udf(s1, s2):
+        def jaro(a: str, b: str) -> float:
+            l1, l2 = len(a), len(b)
+            if l1 == 0 or l2 == 0:
+                return 0.0      # DuckDB: empty beats equal ("","") = 0
+            if a == b:
+                return 1.0
+            win = max(l1, l2) // 2 - 1
+            m1 = [False] * l1
+            m2 = [False] * l2
+            m = 0
+            for i, ch in enumerate(a):
+                lo, hi = max(0, i - win), min(l2, i + win + 1)
+                for j in range(lo, hi):
+                    if not m2[j] and b[j] == ch:
+                        m1[i] = m2[j] = True
+                        m += 1
+                        break
+            if m == 0:
+                return 0.0
+            t = 0
+            j = 0
+            for i in range(l1):
+                if m1[i]:
+                    while not m2[j]:
+                        j += 1
+                    if a[i] != b[j]:
+                        t += 1
+                    j += 1
+            t //= 2
+            return (m / l1 + m / l2 + (m - t) / m) / 3.0
+
+        def jw(a: str, b: str) -> float:
+            s = jaro(a, b)
+            if s > 0.7:
+                pl = 0
+                for x, y in zip(a[:4], b[:4]):
+                    if x != y:
+                        break
+                    pl += 1
+                s = s + pl * 0.1 * (1.0 - s)
+            return s
+
+        return pd.Series([jw(a, b) for a, b in zip(s1, s2)], dtype="float64")
+
+    return jw_udf
+
+
 _KNN_PROBES = 200   # bounded probe set: the 200 lowest customer keys
 _KNN_K = 3
 
@@ -860,58 +917,10 @@ def scalar_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
     one Python worker call per batch (~10k rows), no shuffle. The
     self-join on key+1 is a broadcast-range pairing bounded at 300
     probe rows by construction — fuzzy ALL-PAIRS matching at scale
-    goes through blocking first (join_fuzzy_blocked), exactly like
-    dedup.
+    goes through blocking first (join_fuzzy_blocked,
+    er_resolve_pipeline), exactly like dedup.
     """
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def jw_udf(s1, s2):
-        def jaro(a: str, b: str) -> float:
-            l1, l2 = len(a), len(b)
-            if l1 == 0 or l2 == 0:
-                return 0.0      # DuckDB: empty beats equal ("","") = 0
-            if a == b:
-                return 1.0
-            win = max(l1, l2) // 2 - 1
-            m1 = [False] * l1
-            m2 = [False] * l2
-            m = 0
-            for i, ch in enumerate(a):
-                lo, hi = max(0, i - win), min(l2, i + win + 1)
-                for j in range(lo, hi):
-                    if not m2[j] and b[j] == ch:
-                        m1[i] = m2[j] = True
-                        m += 1
-                        break
-            if m == 0:
-                return 0.0
-            t = 0
-            j = 0
-            for i in range(l1):
-                if m1[i]:
-                    while not m2[j]:
-                        j += 1
-                    if a[i] != b[j]:
-                        t += 1
-                    j += 1
-            t //= 2
-            return (m / l1 + m / l2 + (m - t) / m) / 3.0
-
-        def jw(a: str, b: str) -> float:
-            s = jaro(a, b)
-            if s > 0.7:
-                pl = 0
-                for x, y in zip(a[:4], b[:4]):
-                    if x != y:
-                        break
-                    pl += 1
-                s = s + pl * 0.1 * (1.0 - s)
-            return s
-
-        return pd.Series([jw(a, b) for a, b in zip(s1, s2)], dtype="float64")
-
+    jw_udf = jaro_winkler_udf()
     part = load_table(spark, sf_dir, "part")
     a = (part.filter(F.col("p_partkey") < 300)
          .select(F.col("p_partkey").alias("key_a"),
