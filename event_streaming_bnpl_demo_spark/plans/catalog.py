@@ -104,6 +104,9 @@ _DEFERRED: tuple[str, ...] = (
     # ext13 (same session, after ext12)
     "ts_holt_linear", "graph_kcore", "stat_bootstrap_ci",
     "dq_schema_drift", "er_resolve_pipeline", "agg_hhi_concentration",
+    # ext14 (same session, after ext13)
+    "lake_bloom_point_lookup", "stat_cuped_adjustment",
+    "llm_hellinger_sources", "stream_interval_join",
 )
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —
@@ -309,4 +312,5 @@ def _load() -> None:
     from . import queries_ext11     # noqa: F401
     from . import queries_ext12     # noqa: F401
     from . import queries_ext13     # noqa: F401
+    from . import queries_ext14     # noqa: F401
     _LOADED = True
