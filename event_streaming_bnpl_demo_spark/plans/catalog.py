@@ -107,6 +107,7 @@ _DEFERRED: tuple[str, ...] = (
     # ext14 (same session, after ext13)
     "lake_bloom_point_lookup", "stat_cuped_adjustment",
     "llm_hellinger_sources", "stream_interval_join",
+    "stream_interval_join_outer",
 )
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —

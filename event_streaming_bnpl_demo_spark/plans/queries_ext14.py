@@ -376,3 +376,124 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "CAST(unix_seconds(p_ts) - unix_seconds(v_ts)"
                         " AS BIGINT) AS secs_after")
             .orderBy("view_id", "p_id"))
+
+
+@register(
+    "stream_interval_join_outer",
+    oracle="""
+    SELECT v.event_id AS view_id, v.user_id,
+           p.event_id AS p_id,
+           CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS secs_after
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = v.user_id
+     AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    ORDER BY view_id, p_id
+    """,
+    tags=("stream", "join", "interval", "outer", "stateful"),
+)
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join: every view
+    emits — matched within the hour, or null-extended once the
+    watermark proves no purchase can still arrive. Outer results only
+    exist because state CLOSES: the engine must prove absence, which
+    pure stream replay can't do without watermark progress. Two
+    ingredients make the availableNow run exact against the batch
+    oracle (the argument, checkable: with files range-partitioned by
+    TIME and watermark delay >= the join interval, no legitimate row
+    is ever late — batch i+1's min ts >= batch i's max ts >= the
+    post-batch-i watermark + delay — and every buffered view outlives
+    any purchase that could still match it):
+
+    - the staged files are TIME-ORDERED (repartitionByRange on ts,
+      mtimes pinned ascending so the file source replays them in
+      order) — unlike stream_interval_join's deliberately scrambled
+      shards, because outer emission NEEDS a moving watermark, and a
+      moving watermark plus unordered arrival would drop legitimate
+      rows;
+    - a sentinel view+purchase pair (user_id -1, one day past the log)
+      rides in a final file to push the watermark past every real
+      view's join bound, so the last hour's unmatched views emit too;
+      sentinels are filtered AFTER the memory sink (a filter inside
+      the streaming query would push below the watermark operator and
+      stall it).
+
+    Scale: same state-store posture as stream_interval_join, PLUS the
+    eviction guarantee actually exercised — state is bounded by
+    interval width x arrival rate even on an unbounded stream, which
+    is the whole reason outer stream joins are usable at 100 TB/day.
+    """
+    import os
+    import uuid as _uuid
+
+    from ..operators.interval import interval_join
+    from .queries_ext import _scratch, source_fingerprint, stage_once
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase"))
+
+    def write_fn(tmp: str) -> None:
+        base = (ev.select("event_id", "user_id", "event_type",
+                          F.col("ts").cast("timestamp").alias("ts")))
+        (base.repartitionByRange(4, "ts")
+         .write.mode("overwrite").parquet(os.path.join(tmp, "d")))
+        hi = base.agg(F.max("ts").alias("m")).collect()[0]["m"]
+        sent = spark.createDataFrame(
+            [(-1, -1, "view"), (-2, -1, "purchase")],
+            "event_id bigint, user_id bigint, event_type string"
+        ).select("event_id", "user_id", "event_type",
+                 (F.lit(hi) + F.expr("INTERVAL 1 DAY")).alias("ts"))
+        sent.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(tmp, "s"))
+        # one flat dir, mtimes ascending in time order; the file
+        # source admits oldest-mtime first (maxFilesPerTrigger=1)
+        import shutil
+        import time as _time
+        out = os.path.join(tmp, "in")
+        os.makedirs(out)
+        parts = sorted(os.listdir(os.path.join(tmp, "d")))
+        parts = [p for p in parts if p.endswith(".parquet")]
+        t0 = _time.time() - 600
+        for i, p in enumerate(parts):
+            dst = os.path.join(out, f"{i:02d}.parquet")
+            shutil.copy(os.path.join(tmp, "d", p), dst)
+            os.utime(dst, (t0 + i * 10, t0 + i * 10))
+        sp = [p for p in os.listdir(os.path.join(tmp, "s"))
+              if p.endswith(".parquet")][0]
+        dst = os.path.join(out, "99.parquet")
+        shutil.copy(os.path.join(tmp, "s", sp), dst)
+        os.utime(dst, (t0 + 500, t0 + 500))
+        shutil.rmtree(os.path.join(tmp, "d"))
+        shutil.rmtree(os.path.join(tmp, "s"))
+
+    root = stage_once(f"sivjo_{source_fingerprint(sf_dir)}", write_fn)
+    in_dir = os.path.join(root, "in")
+    name = f"sivjo_{_uuid.uuid4().hex[:8]}"
+    work = _scratch(f"sivjo_{_uuid.uuid4().hex[:8]}")
+    stream = (spark.readStream
+              .schema("event_id bigint, user_id bigint, "
+                      "event_type string, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    views = (stream.filter(F.col("event_type") == "view")
+             .select("user_id", F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("v_ts"))
+             .withWatermark("v_ts", "2 hours"))
+    purch = (stream.filter(F.col("event_type") == "purchase")
+             .select(F.col("user_id").alias("p_user"),
+                     F.col("event_id").alias("p_id"),
+                     F.col("ts").alias("p_ts")))
+    purch = (purch.withColumnRenamed("p_user", "user_id")
+             .withWatermark("p_ts", "2 hours"))
+    joined = interval_join(views, purch, "user_id", "v_ts", "p_ts",
+                           "1 HOUR", how="left_outer")
+    q = (joined.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", f"{work}/ck")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .filter(F.col("user_id") >= 0)      # drop the sentinel pair
+            .selectExpr("view_id", "user_id", "p_id",
+                        "CAST(unix_seconds(p_ts) - unix_seconds(v_ts)"
+                        " AS BIGINT) AS secs_after")
+            .orderBy("view_id", "p_id"))

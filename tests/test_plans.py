@@ -1152,3 +1152,37 @@ def test_ext12_plan_shapes(spark):
     assert "BroadcastHashJoin" in tree, \
         "the dimension must broadcast back onto the facts"
     assert plan.count("lineitem.parquet") == 1
+
+
+def test_ext13_ext14_plan_shapes(spark):
+    """ext13/14 pins: Holt's fold is one pruned scan with no UDF and
+    no extra exchange beyond the two aggregations; the bootstrap's
+    40x expansion happens against a BROADCAST replicate spine over a
+    materialized per-user table (no re-scan of events, no shuffle of
+    expanded rows before partial aggregation); Hellinger reads its
+    materialized count table, not the documents; k-core's final
+    degree count runs over the checkpointed peeled edges."""
+    plan = plan_of(spark, "ts_holt_linear")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, \
+        "the Holt fold must stay inside codegen (no Python UDF)"
+    assert plan.count("orders.parquet") == 1
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "o_orderdate" in read and "o_totalprice" in read
+    assert "o_custkey" not in read, "scan must prune to the two columns"
+
+    plan = plan_of(spark, "stat_bootstrap_ci")
+    assert plan.count("events.parquet") == 0, \
+        "per-user pre/post pairs must be materialized once"
+    assert "ExistingRDD" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, \
+        "the 40-row replicate spine must broadcast"
+
+    plan = plan_of(spark, "llm_hellinger_sources")
+    assert plan.count("documents.parquet") == 0, \
+        "token counts must be materialized once"
+    assert "ExistingRDD" in plan
+
+    plan = plan_of(spark, "graph_kcore")
+    assert plan.count("lineitem.parquet") == 0, \
+        "peeled edges must come from the checkpointed relation"
+    assert "ExistingRDD" in plan
