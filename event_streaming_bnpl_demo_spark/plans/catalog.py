@@ -108,6 +108,8 @@ _DEFERRED: tuple[str, ...] = (
     "lake_bloom_point_lookup", "stat_cuped_adjustment",
     "llm_hellinger_sources", "stream_interval_join",
     "stream_interval_join_outer",
+    # ext15 (same session, after ext14)
+    "q_segment_migration", "q_cohort_ltv_curve", "er_blocking_quality",
 )
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —
@@ -314,4 +316,5 @@ def _load() -> None:
     from . import queries_ext12     # noqa: F401
     from . import queries_ext13     # noqa: F401
     from . import queries_ext14     # noqa: F401
+    from . import queries_ext15     # noqa: F401
     _LOADED = True
