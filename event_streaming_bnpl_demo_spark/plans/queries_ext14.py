@@ -43,20 +43,13 @@ from .queries_ext7 import _CENTS
 _O_CENTS = _CENTS.format(col="o_totalprice")
 
 # ---------------------------------------------------------------------------
-# Bloom manifest: K=2 hash rows x M=4096 buckets per file, stored as
-# the SET-BIT POSITIONS (file, row, bucket) — a real implementation
-# packs them into a bitmap blob; positions keep the oracle-side math
-# visible. Same md5 arithmetic both engines (the count-min idiom).
+# Bloom index: built and probed by operators/laketable.py (build_bloom /
+# bloom_candidates / read_point) — K=2 hash rows x M=4096 buckets per
+# file, packed hex bitmaps in the manifest, md5-bucket arithmetic shared
+# with the count-min idiom.
 # ---------------------------------------------------------------------------
 
-_BLOOM_M = 4096
 _BLOOM_PROBE_KEY = 421  # an o_orderkey; exists at every SF (>=1500 orders)
-
-
-def _bloom_bucket(key: str, row: str) -> str:
-    return (f"CAST(conv(substring(md5(concat(CAST({key} AS STRING), ':', "
-            f"CAST({row} AS STRING))), 1, 6), 16, 10) AS BIGINT)"
-            f" % {_BLOOM_M}")
 
 
 @register(
@@ -84,50 +77,30 @@ def lake_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter; pruning effectiveness (some files skipped at every SF) is
     pinned in tests/test_ext14_semantics.py.
 
-    Scale: the manifest is built once per table version with one
-    grouped pass (distinct (file, row, bucket) — bounded by 2M bits
-    per file regardless of rows) and is metadata-sized thereafter; a
-    lookup consults the manifest (tiny) and opens only surviving
-    files. The candidate file list is collected driver-side —
-    bounded by |files|, the same metadata a format like Iceberg/Delta
-    ships to the planner, never data rows.
+    Scale: the bloom index is a first-class LakeTable maintenance
+    commit (``operators/laketable.py:build_bloom`` — one grouped pass
+    per version, bounded by k*m bits per file regardless of rows,
+    unit-tested for no-false-negatives and actual skipping in
+    tests/test_lake.py); a lookup consults the manifest bitmaps
+    driver-side — the same KB-sized metadata an Iceberg/Delta planner
+    ships — and opens only surviving files.
     """
-    import os
-
-    from .queries_ext import source_fingerprint, stage_once
+    from ..operators.laketable import LakeTable  # noqa: F401 (doc link)
+    from .queries_lake import _staged_table
 
     o = load_table(spark, sf_dir, "orders")
 
-    def write_fn(tmp: str) -> None:
+    def build(t) -> None:
         # cluster by DATE into 8 files -> every file's orderkey
-        # min/max straddles any probe key (zone maps useless)
-        (o.repartitionByRange(8, "o_orderdate")
-         .write.mode("overwrite").parquet(os.path.join(tmp, "data")))
+        # min/max straddles any probe key (zone maps useless); then
+        # commit the bloom index over the orderkey
+        t.create(o, n_files=8)
+        t.cluster(["o_orderdate"], n_files=8)
+        t.build_bloom("o_orderkey")
 
-    root = stage_once(f"bloomlake_{source_fingerprint(sf_dir)}", write_fn)
-    data = os.path.join(root, "data")
-    files = spark.read.parquet(data).select(
-        F.input_file_name().alias("f"), "o_orderkey")
-    manifest = (files.selectExpr(
-        "f", "explode(array(0, 1)) AS hrow", "o_orderkey")
-        .selectExpr("f", "hrow",
-                    f"{_bloom_bucket('o_orderkey', 'hrow')} AS bucket")
-        .distinct())
-    probe_bits = [(h, int(spark.sql(
-        f"SELECT {_bloom_bucket(str(_BLOOM_PROBE_KEY), str(h))}")
-        .collect()[0][0])) for h in (0, 1)]
-    cand = manifest
-    for h, b in probe_bits:
-        hits = (manifest.filter((F.col("hrow") == h)
-                                & (F.col("bucket") == b)).select("f"))
-        cand = cand.join(hits, "f", "left_semi")
-    paths = [r["f"] for r in cand.select("f").distinct().collect()]
-    # no candidate files => the key is provably absent (no false
-    # negatives); read the table root so the empty result keeps its
-    # schema rather than failing inference on a zero-path read
-    src = spark.read.parquet(*paths) if paths else spark.read.parquet(data)
-    return (src
-            .filter(F.col("o_orderkey") == _BLOOM_PROBE_KEY)
+    t = _staged_table(spark, sf_dir, "bloomidx_v1", build,
+                      stat_cols=("o_orderdate",))
+    return (t.read_point("o_orderkey", _BLOOM_PROBE_KEY)
             .selectExpr("o_orderkey", "o_custkey",
                         "date_format(o_orderdate, 'yyyy-MM-dd') AS odate",
                         f"{_O_CENTS} AS total_cents"))

@@ -14,48 +14,31 @@ from .conftest import SF_SMOKE
 
 
 def test_bloom_manifest_prunes_files(spark):
-    """At least one of the 8 date-clustered files must be skipped for
-    the probe key, and every file containing the key must survive
-    (no false negatives, per-file ground truth)."""
-    from event_streaming_bnpl_demo_spark.plans.queries_ext import (
-        source_fingerprint, stage_once)
+    """The catalog query's staged bloom index must skip files for the
+    probe key (zone maps cannot — the table is date-clustered) while
+    returning exactly the full filter's rows. The LakeTable-level
+    no-false-negative law is unit-tested in test_lake.py; this pins
+    the staged catalog instance at the driver's smoke SF."""
     from event_streaming_bnpl_demo_spark.plans.queries_ext14 import (
-        _BLOOM_PROBE_KEY, _bloom_bucket, lake_bloom_point_lookup)
+        _BLOOM_PROBE_KEY, lake_bloom_point_lookup)
+    from event_streaming_bnpl_demo_spark.plans.queries_lake import (
+        _staged_table)
     from event_streaming_bnpl_demo_spark.sources import load_table
 
-    # run the query once so the staged table exists
-    lake_bloom_point_lookup(spark, SF_SMOKE).collect()
-    root = stage_once(f"bloomlake_{source_fingerprint(SF_SMOKE)}",
-                      lambda tmp: None)
-    data = os.path.join(root, "data")
-    files = spark.read.parquet(data).select(
-        F.input_file_name().alias("f"), "o_orderkey")
-    manifest = (files.selectExpr(
-        "f", "explode(array(0, 1)) AS hrow", "o_orderkey")
-        .selectExpr("f", "hrow",
-                    f"{_bloom_bucket('o_orderkey', 'hrow')} AS bucket")
-        .distinct())
-    probe_bits = {h: int(spark.sql(
-        f"SELECT {_bloom_bucket(str(_BLOOM_PROBE_KEY), str(h))}")
-        .collect()[0][0]) for h in (0, 1)}
-    cand = None
-    for h, b in probe_bits.items():
-        hits = {r["f"] for r in manifest.filter(
-            (F.col("hrow") == h) & (F.col("bucket") == b))
-            .select("f").collect()}
-        cand = hits if cand is None else cand & hits
-    all_files = {r["f"] for r in files.select("f").distinct().collect()}
-    truth = {r["f"] for r in files.filter(
-        F.col("o_orderkey") == _BLOOM_PROBE_KEY)
-        .select("f").distinct().collect()}
-    assert truth <= cand, "bloom must never skip a file holding the key"
-    assert len(cand) < len(all_files), \
-        f"bloom pruned nothing: {len(cand)}/{len(all_files)} files read"
-    # cross-check the catalog query's result against the direct filter
-    got = lake_bloom_point_lookup(spark, SF_SMOKE).count()
-    want = (load_table(spark, SF_SMOKE, "orders")
-            .filter(F.col("o_orderkey") == _BLOOM_PROBE_KEY).count())
-    assert got == want
+    # run the query once so the staged table exists (idempotent)
+    got = sorted(r["o_orderkey"] for r in
+                 lake_bloom_point_lookup(spark, SF_SMOKE).collect())
+    t = _staged_table(spark, SF_SMOKE, "bloomidx_v1", lambda t: None,
+                      stat_cols=("o_orderdate",))
+    cand, total = t.bloom_candidates("o_orderkey", _BLOOM_PROBE_KEY)
+    assert total == 8
+    assert len(cand) < total, \
+        f"bloom pruned nothing: {len(cand)}/{total} files read"
+    want = sorted(r["o_orderkey"] for r in
+                  load_table(spark, SF_SMOKE, "orders")
+                  .filter(F.col("o_orderkey") == _BLOOM_PROBE_KEY)
+                  .collect())
+    assert got == want and len(got) == 1
 
 
 def test_cuped_reduces_variance(spark):

@@ -185,3 +185,29 @@ def test_zorder_box_prunes_multiplicatively(spark, tmp_path):
                     & (F.col("o_orderdate") < F.lit(hi_d)))
     assert sorted(r["o_orderkey"] for r in pruned.collect()) == \
         sorted(r["o_orderkey"] for r in full.collect())
+
+
+def test_bloom_index_point_lookup(spark, tmp_path):
+    """The bloom index must (a) never produce false negatives — the
+    point read equals the full filter for every probed key, including
+    absent ones — and (b) actually skip files for a needle key on a
+    date-clustered table where zone maps cannot."""
+    o = _orders(spark)
+    t = LakeTable(spark, str(tmp_path / "t"), stat_cols=("o_orderdate",))
+    t.create(o, n_files=6)
+    t.cluster(["o_orderdate"], n_files=6)   # orderkey spans every file
+    t.build_bloom("o_orderkey")
+
+    probe = 421
+    cand, total = t.bloom_candidates("o_orderkey", probe)
+    assert total == 6
+    assert len(cand) < total, "bloom must skip files for a needle key"
+    got = sorted(r["o_orderkey"] for r in
+                 t.read_point("o_orderkey", probe).collect())
+    want = sorted(r["o_orderkey"] for r in
+                  o.filter(F.col("o_orderkey") == probe).collect())
+    assert got == want and len(got) == 1
+    # absent key: no false negatives means provably-empty is correct
+    assert t.read_point("o_orderkey", 10**9).count() == 0
+    # the bloom commit is a new snapshot; the parent still reads clean
+    assert t.read(version=t.latest() - 1).count() == o.count()
