@@ -48,18 +48,20 @@ _REGISTRY: dict[str, Query] = {}
 # Catalog iteration order. The driver's correctness harness budgets ~50
 # queries per round, taken in dict order. Cumulative driver-green after
 # round 5: 220 of 225 oracled names (CORRECTNESS_r01..r05.json), zero
-# wrong answers ever; the round-6 driver run left no CORRECTNESS_r06
-# artifact, so its queue carries forward into round 7 unchanged.
-# Round-7 tier 1 = the 5 oracled names with no driver row since round
-# 5 (text/binaryFile source scans, the k-means IVF trainer, weighted
-# SSSP, CEP-lite pattern matching); the round-6 lakehouse/ext6 packs
-# (13), the round-7 ext7 pack (21) and the closing ext8 pack (5)
-# follow as `fresh` in module
-# order — 44 names total, all with sf0.001+sf0.01 gate evidence,
-# inside the ~50 budget with rerun slots to spare. Rotation is a
-# round-close invariant, guarded by tests/test_catalog_rotation.py:
-# every name in the latest CORRECTNESS_r*.json must be folded into
-# _DRIVER_CHECKED and no _PRIORITY name may already have a green row.
+# wrong answers ever; later driver rounds left no CORRECTNESS artifact,
+# so the queue carries forward. Tier 1 = the 5 oracled names with no
+# driver row since round 5 (text/binaryFile source scans, the k-means
+# IVF trainer, weighted SSSP, CEP-lite pattern matching); the
+# lakehouse/ext6 packs (13), ext7 (21) and ext8 (5) follow as `fresh`
+# in module order — 44 names filling the ~50 budget; everything
+# registered after a budget was already full sits in _DEFERRED in
+# arrival order (ext9 through ext15, queue positions 45-97), taking
+# leftover/rerun slots without evicting a budgeted name. Every queued
+# name has sf0.001+sf0.01 gate evidence; the ext9+ tail also sf0.1 and
+# the regenerated sf1 10x replica. Rotation is a round-close
+# invariant, guarded by tests/test_catalog_rotation.py: every name in
+# the latest CORRECTNESS_r*.json must be folded into _DRIVER_CHECKED
+# and no _PRIORITY name may already have a green row.
 _PRIORITY: tuple[str, ...] = (
     # never driver-checked (deferred past the full round-5 budget)
     "source_text_scan", "source_binaryfile_scan",
