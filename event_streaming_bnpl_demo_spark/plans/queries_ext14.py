@@ -337,13 +337,18 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("ts").alias("p_ts")))
     purch = (purch.withColumnRenamed("p_user", "user_id")
              .withWatermark("p_ts", "90 days"))
-    joined = interval_join(views, purch, "user_id", "v_ts", "p_ts",
-                           "1 HOUR")
-    q = (joined.writeStream.format("memory").queryName(name)
-         .outputMode("append")
-         .option("checkpointLocation", f"{work}/ck")
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    from ..session import scoped_shuffle_partitions
+
+    # fresh-checkpoint stateful query: size the state store for the
+    # keyspace, not the batch default (session.scoped_shuffle_partitions)
+    with scoped_shuffle_partitions(spark, 8):
+        joined = interval_join(views, purch, "user_id", "v_ts", "p_ts",
+                               "1 HOUR")
+        q = (joined.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", f"{work}/ck")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
     return (spark.table(name)
             .selectExpr("view_id", "p_id", "user_id",
                         "CAST(unix_seconds(p_ts) - unix_seconds(v_ts)"
@@ -457,13 +462,16 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("ts").alias("p_ts")))
     purch = (purch.withColumnRenamed("p_user", "user_id")
              .withWatermark("p_ts", "2 hours"))
-    joined = interval_join(views, purch, "user_id", "v_ts", "p_ts",
-                           "1 HOUR", how="left_outer")
-    q = (joined.writeStream.format("memory").queryName(name)
-         .outputMode("append")
-         .option("checkpointLocation", f"{work}/ck")
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
+    from ..session import scoped_shuffle_partitions
+
+    with scoped_shuffle_partitions(spark, 8):
+        joined = interval_join(views, purch, "user_id", "v_ts", "p_ts",
+                               "1 HOUR", how="left_outer")
+        q = (joined.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", f"{work}/ck")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
     return (spark.table(name)
             .filter(F.col("user_id") >= 0)      # drop the sentinel pair
             .selectExpr("view_id", "user_id", "p_id",
