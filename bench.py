@@ -217,14 +217,22 @@ def stream_throughput(spark: SparkSession, sf_dir: str) -> dict:
     """End-to-end BNPL pipeline ingest rate: the sf events table mapped
     to purchase envelopes (inputs grounded in the driver testdata),
     streamed file-source -> parse -> archive -> cascade -> projections
-    under availableNow in 4 micro-batches. The reference's structural
-    ceiling is ~1k events/s written / ~10k read (BASELINE.md: single
-    Kinesis shard, constant partition key, 1 s poll)."""
+    under availableNow in 4 micro-batches. Two runs, best reported
+    (the first pays pipeline codegen — same min-of-N policy as the
+    headline queries; both walls are in the dict). Each run gets a
+    fresh out_dir/checkpoint, so the per-query state-store sizing
+    applies (session.scoped_shuffle_partitions — measured 56k -> 68k
+    events/s at sf0.1 going 32 -> 8 partitions). The reference's
+    structural ceiling is ~1k events/s written / ~10k read
+    (BASELINE.md: single Kinesis shard, constant partition key, 1 s
+    poll)."""
     import shutil
     import tempfile
 
     from pyspark.sql import functions as F
 
+    from event_streaming_bnpl_demo_spark.session import \
+        scoped_shuffle_partitions
     from event_streaming_bnpl_demo_spark.sources import load_table
     from event_streaming_bnpl_demo_spark.streaming.pipeline import BnplPipeline
 
@@ -232,7 +240,7 @@ def stream_throughput(spark: SparkSession, sf_dir: str) -> dict:
     n = ev.count()
     work = tempfile.mkdtemp(prefix="bench_stream_")
     try:
-        in_dir, out_dir = os.path.join(work, "in"), os.path.join(work, "out")
+        in_dir = os.path.join(work, "in")
         (ev.select(
             F.lit("PurchaseCompletedEvent").alias("event_type"),
             F.concat(F.lit("order-"), F.col("user_id").cast("string"))
@@ -243,13 +251,20 @@ def stream_throughput(spark: SparkSession, sf_dir: str) -> dict:
              .alias("ingest_ts"))
          .select(F.to_json(F.struct("*")).alias("value"))
          .coalesce(4).write.mode("overwrite").text(in_dir))
-        t0 = time.perf_counter()
-        BnplPipeline(spark, in_dir, out_dir,
-                     projection_mode="incremental").run_stream(
-            available_now=True)
-        wall = time.perf_counter() - t0
+        walls = []
+        with scoped_shuffle_partitions(spark, 8):
+            for i in range(2):
+                out_dir = os.path.join(work, f"out{i}")
+                t0 = time.perf_counter()
+                BnplPipeline(spark, in_dir, out_dir,
+                             projection_mode="incremental").run_stream(
+                    available_now=True)
+                walls.append(time.perf_counter() - t0)
+        wall = min(walls)
         return {"events": n, "wall_sec": round(wall, 2),
                 "events_per_sec": round(n / wall),
+                "n_runs": len(walls),
+                "first_run_sec": round(walls[0], 2),
                 "projection_mode": "incremental"}
     finally:
         shutil.rmtree(work, ignore_errors=True)
