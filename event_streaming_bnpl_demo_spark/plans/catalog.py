@@ -112,6 +112,8 @@ _DEFERRED: tuple[str, ...] = (
     "stream_interval_join_outer",
     # ext15 (same session, after ext14)
     "q_segment_migration", "q_cohort_ltv_curve", "er_blocking_quality",
+    # ext16 (same session, after ext15)
+    "stat_mannwhitney_u", "window_rolling_band",
 )
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —
@@ -319,4 +321,5 @@ def _load() -> None:
     from . import queries_ext13     # noqa: F401
     from . import queries_ext14     # noqa: F401
     from . import queries_ext15     # noqa: F401
+    from . import queries_ext16     # noqa: F401
     _LOADED = True
