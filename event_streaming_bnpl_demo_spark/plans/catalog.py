@@ -114,6 +114,8 @@ _DEFERRED: tuple[str, ...] = (
     "q_segment_migration", "q_cohort_ltv_curve", "er_blocking_quality",
     # ext16 (same session, after ext15)
     "stat_mannwhitney_u", "window_rolling_band",
+    # ext17 (same session, after ext16)
+    "q_pareto_concentration", "scalar_luhn_checksum",
 )
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —
@@ -322,4 +324,5 @@ def _load() -> None:
     from . import queries_ext14     # noqa: F401
     from . import queries_ext15     # noqa: F401
     from . import queries_ext16     # noqa: F401
+    from . import queries_ext17     # noqa: F401
     _LOADED = True

@@ -60,3 +60,37 @@ def test_cuped_reduces_variance(spark):
         ((x * x).mean() - x.mean() ** 2)
     adj = y - theta * (x - x.mean())
     assert adj.var() <= y.var()
+
+
+def test_luhn_checksum_validates_independently(spark):
+    """The Luhn query's oracle shares its formula with the Spark side,
+    so a same-formula semantic error would pass the gate (it did once,
+    in-session: the verify pass doubled the wrong parity). Pin the
+    SEMANTICS against a fully independent string-based Luhn
+    implementation: every generated PAN must validate, and corrupting
+    any single digit must break validation."""
+    from event_streaming_bnpl_demo_spark.plans.queries_ext17 import (
+        scalar_luhn_checksum)
+
+    def luhn_ok(n: int) -> bool:
+        s, alt = 0, False
+        for ch in reversed(str(n)):
+            d = int(ch)
+            if alt:
+                d = d * 2
+                if d > 9:
+                    d -= 9
+            s += d
+            alt = not alt
+        return s % 10 == 0
+
+    rows = scalar_luhn_checksum(spark, SF_SMOKE).collect()
+    assert rows and all(r["luhn_residue"] == 0 for r in rows)
+    assert all(luhn_ok(r["pan"]) for r in rows)
+    # single-digit corruption detection (the property Luhn guarantees)
+    pan = rows[0]["pan"]
+    for pos in (0, 5, 15):
+        delta = 10 ** pos
+        corrupted = pan + delta if (pan // delta) % 10 != 9 \
+            else pan - delta
+        assert not luhn_ok(corrupted)
