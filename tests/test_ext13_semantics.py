@@ -1,0 +1,119 @@
+"""Semantic law tests for the ext13 pack: the Holt fixed-point fold
+and the k-core peel checked against independent pure-Python references
+(a third implementation — the DuckDB oracle shares only the recurrence
+DEFINITION, so an error in the shared formulation would pass the gate;
+these pin the math itself, hypothesis-driven).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from .conftest import SF_SMOKE
+
+
+# --- Holt fixed-point fold ---------------------------------------------------
+
+def _holt_py(vals: list[int]) -> tuple[int, int]:
+    """Reference fold: alpha=1/5, beta=3/10, truncating division
+    toward zero (Spark DIV / DuckDB // semantics)."""
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    level, trend = vals[0], 0
+    for x in vals[1:]:
+        nl = tdiv(x + 4 * (level + trend), 5)
+        trend = tdiv(3 * (nl - level) + 7 * trend, 10)
+        level = nl
+    return level, trend
+
+
+@given(st.lists(st.integers(0, 10**12), min_size=1, max_size=30))
+@settings(max_examples=60, deadline=None)
+def test_holt_fold_matches_python_reference(spark, vals):
+    arr = ", ".join(f"{v}L" for v in vals)
+    row = spark.sql(f"""
+      SELECT aggregate(
+        slice(vals, 2, size(vals) - 1),
+        named_struct('l', element_at(vals, 1), 't', CAST(0 AS BIGINT)),
+        (acc, x) -> named_struct(
+          'l', (x + 4 * (acc.l + acc.t)) DIV 5,
+          't', (3 * (((x + 4 * (acc.l + acc.t)) DIV 5) - acc.l)
+                + 7 * acc.t) DIV 10)) AS s
+      FROM (SELECT array({arr}) AS vals)
+    """).collect()[0]["s"]
+    assert (row["l"], row["t"]) == _holt_py(vals)
+
+
+def test_holt_trend_laws(spark):
+    """Constant series => trend settles at 0 and level at the
+    constant; a linearly growing series => positive trend."""
+    const = [1000] * 20
+    assert _holt_py(const) == (1000, 0)
+    rising = [1000 + 100 * i for i in range(30)]
+    level, trend = _holt_py(rising)
+    assert trend > 0 and level > 1000
+
+
+# --- k-core peel -------------------------------------------------------------
+
+def _kcore_py(edges: set[tuple[int, int]], k: int) -> dict[int, int]:
+    """Reference peel to fixpoint; returns surviving node ->
+    core-subgraph degree. Edges are undirected distinct pairs."""
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    return {n: len(ns) for n, ns in adj.items() if ns}
+
+
+@given(st.sets(st.tuples(st.integers(0, 14), st.integers(0, 14))
+               .map(lambda p: (min(p), max(p)))
+               .filter(lambda p: p[0] != p[1]),
+               max_size=40))
+@settings(max_examples=40, deadline=None)
+def test_kcore_peel_fixpoint_properties(edges):
+    core = _kcore_py(edges, 3)
+    # every surviving node has degree >= k within the core
+    assert all(d >= 3 for d in core.values())
+    # maximality: no removed node has >= k neighbors inside the core
+    removed = ({n for e in edges for n in e}) - set(core)
+    for n in removed:
+        inside = sum(1 for a, b in edges
+                     if (a == n and b in core) or (b == n and a in core))
+        assert inside < 3 or not core, (n, inside)
+
+
+def test_kcore_spark_matches_python_reference(spark):
+    """The catalog query's 8-round peel equals the Python fixpoint on
+    the actual smoke graph (rounds-to-converge <= 8 there)."""
+    from pyspark.sql import functions as F
+
+    from event_streaming_bnpl_demo_spark.plans.queries_ext13 import (
+        graph_kcore)
+    from event_streaming_bnpl_demo_spark.sources import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    sel = (li.filter(F.col("l_quantity") >= 45)
+           .select("l_orderkey", "l_suppkey"))
+    a, b = sel.alias("a"), sel.alias("b")
+    pairs = {(r["s1"], r["s2"]) for r in
+             (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                     & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
+              .select(F.col("a.l_suppkey").alias("s1"),
+                      F.col("b.l_suppkey").alias("s2"))
+              .distinct().collect())}
+    want = _kcore_py(pairs, 3)
+    got = {r["node"]: r["core_degree"]
+           for r in graph_kcore(spark, SF_SMOKE).collect()}
+    assert got == want
