@@ -116,6 +116,8 @@ _DEFERRED: tuple[str, ...] = (
     "stat_mannwhitney_u", "window_rolling_band",
     # ext17 (same session, after ext16)
     "q_pareto_concentration", "scalar_luhn_checksum",
+    # ext18 (same session, after ext17)
+    "q_market_basket_rules", "ts_theilsen_slope",
 )
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —
@@ -325,4 +327,5 @@ def _load() -> None:
     from . import queries_ext15     # noqa: F401
     from . import queries_ext16     # noqa: F401
     from . import queries_ext17     # noqa: F401
+    from . import queries_ext18     # noqa: F401
     _LOADED = True
