@@ -199,3 +199,45 @@ def ts_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == F.expr("CAST(CEIL(np / 2.0) AS BIGINT)"),
                      F.col("m")))
         .alias("theilsen_slope_cents_per_day"))
+
+
+@register(
+    "graph_mst_boruvka",
+    oracle=None,        # iterative forest: law-tested vs a reference
+    tags=("graph", "iterative", "rows-only"),
+)
+def graph_mst_boruvka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest (Borůvka) of the heavy-quantity
+    supplier co-purchase graph under deterministic md5-derived edge
+    weights — the backbone-extraction primitive (cheapest network
+    connecting every co-purchase cluster). Borůvka is the MST
+    formulation that distributes: every component selects its
+    cheapest outgoing edge per round (components at least halve,
+    <= log2(V) rounds of O(E) joins), where Kruskal's global
+    edge sort + serial union-find cannot scale out. Rows-only by
+    necessity (an iterative forest has no single-statement SQL
+    equivalent); semantics are pinned against an independent Python
+    Kruskal under the identical strict (weight, src, dst) edge order
+    in tests/test_ext13_semantics.py, which makes the forest unique
+    and the check exact.
+
+    Scale: see operators/mst.py — per-round label broadcasts under
+    the components gate, grouped min_by per component, contracted-
+    graph label merge whose input halves every round.
+    """
+    from ..operators.mst import boruvka_msf
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sel = (li.filter(F.col("l_quantity") >= 45)
+           .select("l_orderkey", "l_suppkey"))
+    a, b = sel.alias("a"), sel.alias("b")
+    edges = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
+             .select(F.col("a.l_suppkey").alias("src"),
+                     F.col("b.l_suppkey").alias("dst")).distinct()
+             .selectExpr("src", "dst",
+                         "CAST(conv(substring(md5(concat(CAST(src AS"
+                         " STRING), ':', CAST(dst AS STRING))), 1, 12),"
+                         " 16, 10) AS BIGINT) AS weight"))
+    forest = boruvka_msf(spark, edges)
+    return forest.orderBy("src", "dst")

@@ -117,3 +117,57 @@ def test_kcore_spark_matches_python_reference(spark):
     got = {r["node"]: r["core_degree"]
            for r in graph_kcore(spark, SF_SMOKE).collect()}
     assert got == want
+
+
+def test_mst_boruvka_matches_kruskal(spark):
+    """The Borůvka forest equals an independent Python Kruskal under
+    the identical strict (weight, src, dst) edge order — exact edge-set
+    equality, not just total weight (the strict order makes the forest
+    unique even under weight ties)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from event_streaming_bnpl_demo_spark.plans.queries_ext18 import (
+        graph_mst_boruvka)
+    from event_streaming_bnpl_demo_spark.sources import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    sel = (li.filter(F.col("l_quantity") >= 45)
+           .select("l_orderkey", "l_suppkey"))
+    a, b = sel.alias("a"), sel.alias("b")
+    pairs = {(r["s1"], r["s2"]) for r in
+             (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                     & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
+              .select(F.col("a.l_suppkey").alias("s1"),
+                      F.col("b.l_suppkey").alias("s2"))
+              .distinct().collect())}
+
+    def w(s, d):
+        return int(hashlib.md5(f"{s}:{d}".encode()).hexdigest()[:12], 16)
+
+    # reference Kruskal with union-find under the same strict order
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    want = set()
+    for wt, s, d in sorted((w(s, d), s, d) for s, d in pairs):
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rs] = rd
+            want.add((s, d, wt))
+
+    got = {(r["src"], r["dst"], r["weight"])
+           for r in graph_mst_boruvka(spark, SF_SMOKE).collect()}
+    assert got == want
+    # forest laws: |edges| = |nodes| - |components|, and acyclic by
+    # construction of the reference equality above
+    nodes = {n for e in pairs for n in e}
+    n_comp = len({find(n) for n in nodes})
+    assert len(got) == len(nodes) - n_comp
