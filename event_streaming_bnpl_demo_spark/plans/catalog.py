@@ -118,8 +118,9 @@ _DEFERRED: tuple[str, ...] = (
     "q_pareto_concentration", "scalar_luhn_checksum",
     # ext18 (same session, after ext17)
     "q_market_basket_rules", "ts_theilsen_slope",
-    # rows-only (law-tested) — sorts dead last like all rows-only names
-    "graph_mst_boruvka",
+    # (graph_mst_boruvka is rows-only: _ordered_names routes every
+    # rows-only name dead last automatically — listing it here would
+    # emit it twice)
 )
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —
