@@ -47,47 +47,23 @@ _REGISTRY: dict[str, Query] = {}
 
 # Catalog iteration order. The driver's correctness harness budgets ~50
 # queries per round, taken in dict order. Cumulative driver-green after
-# round 5: 220 of 225 oracled names (CORRECTNESS_r01..r05.json), zero
-# wrong answers ever; later driver rounds left no CORRECTNESS artifact,
-# so the queue carries forward. Tier 1 = the 5 oracled names with no
-# driver row since round 5 (text/binaryFile source scans, the k-means
-# IVF trainer, weighted SSSP, CEP-lite pattern matching); the
-# lakehouse/ext6 packs (13), ext7 (21) and ext8 (5) follow as `fresh`
-# in module order — 44 names filling the ~50 budget; everything
-# registered after a budget was already full sits in _DEFERRED in
-# arrival order (ext9 through ext15, queue positions 45-97), taking
-# leftover/rerun slots without evicting a budgeted name. Every queued
-# name has sf0.001+sf0.01 gate evidence; the ext9+ tail also sf0.1 and
-# the regenerated sf1 10x replica. Rotation is a round-close
-# invariant, guarded by tests/test_catalog_rotation.py: every name in
-# the latest CORRECTNESS_r*.json must be folded into _DRIVER_CHECKED
-# and no _PRIORITY name may already have a green row.
+# round 6: 270 of 323 oracled names (CORRECTNESS_r01..r06.json), zero
+# standing failures. Tier 1 = the 53 oracled names with no driver row
+# yet (ext10 tail through ext18 + the deferred stream interval joins),
+# in their original queue order — with a ~50 budget, round 7 closes 50
+# and round 8 the remaining 3, reaching 323/323 driver-green. Every
+# queued name has sf0.001+sf0.01 gate evidence (53/53 green on the
+# round-6 judge's replica of the driver gate) plus sf0.1 and the
+# regenerated sf1 10x replica. Rotation is a round-close invariant,
+# guarded by tests/test_catalog_rotation.py: every name in the latest
+# CORRECTNESS_r*.json must be folded into _DRIVER_CHECKED and no
+# _PRIORITY name may already have a green row.
 _PRIORITY: tuple[str, ...] = (
-    # never driver-checked (deferred past the full round-5 budget)
-    "source_text_scan", "source_binaryfile_scan",
-    "llm_ivf_train_kmeans", "graph_sssp_weighted",
-    "events_pattern_match",
-)
-
-# Second tier: empty — every previously-queued name is in tier 1 now.
-_PRIORITY2: tuple[str, ...] = ()
-
-# Names registered AFTER a round's check budget is already full: held at
-# the very end of the fresh ordering so they cannot evict a budgeted
-# name (fresh order is otherwise module-registration order — without
-# this tier a late addition in an early-loading module would land
-# mid-budget and push a budgeted name out). The ext9 pack landed after
-# the round-7 fresh tier reached 44 names: deferring it fills the ~6
-# leftover rerun slots (positions 45-49) instead of evicting anything.
-_DEFERRED: tuple[str, ...] = (
-    "llm_dedup_prefix_filter", "ts_yoy_growth", "events_stickiness",
-    "dq_fd_violations", "scalar_business_days",
-    # ext10 (late round 7): appended AFTER the ext9 five so those keep
-    # budget positions 45-49; these land at 50+ and take leftover/rerun
-    # slots only — no budgeted name is evicted.
-    "agg_bitmap_distinct", "window_streaks", "ts_dow_seasonal",
+    # ext10 remainder (the first 6 of the old deferred queue went green
+    # in CORRECTNESS_r06.json and rotated out)
+    "window_streaks", "ts_dow_seasonal",
     "scalar_url_parse", "mv_bitmap_distinct", "mv_stream_bitmap_distinct",
-    # ext11 (late round 7): the modern Spark 4 SQL surface
+    # ext11: the modern Spark 4 SQL surface
     "sql_pipe_syntax", "sql_udf_scalar", "sql_session_variables",
     "sql_exec_immediate", "scalar_collation", "llm_url_dedup_canonical",
     "lake_zorder_prune", "join_count_product_rewrite",
@@ -95,33 +71,37 @@ _DEFERRED: tuple[str, ...] = (
     "agg_kendall_concordance", "llm_multimodal_dedup",
     "sql_table_function", "ts_autocorr_lags", "join_asof_nearest",
     "window_ntile",
-    # ext12 (round 6/8 session): appended after every earlier deferred
-    # name — the earlier packs keep their queue positions; these fill
-    # whatever leftover/rerun slots remain and evict nothing.
+    # ext12
     "geo_grid_knn", "geo_grid_blocked_join", "agg_chi2_independence",
     "ts_cross_correlation", "window_rolling_median",
     "sort_keyset_pagination", "etl_surrogate_keys", "ts_bitemporal_pit",
     "llm_text_readability", "dq_sequence_gaps", "agg_trimmed_winsorized",
     "scalar_jaro_winkler",
-    # ext13 (same session, after ext12)
+    # ext13
     "ts_holt_linear", "graph_kcore", "stat_bootstrap_ci",
     "dq_schema_drift", "er_resolve_pipeline", "agg_hhi_concentration",
-    # ext14 (same session, after ext13)
+    # ext14
     "lake_bloom_point_lookup", "stat_cuped_adjustment",
     "llm_hellinger_sources", "stream_interval_join",
     "stream_interval_join_outer",
-    # ext15 (same session, after ext14)
+    # ext15
     "q_segment_migration", "q_cohort_ltv_curve", "er_blocking_quality",
-    # ext16 (same session, after ext15)
+    # ext16
     "stat_mannwhitney_u", "window_rolling_band",
-    # ext17 (same session, after ext16)
+    # ext17
     "q_pareto_concentration", "scalar_luhn_checksum",
-    # ext18 (same session, after ext17)
+    # ext18
     "q_market_basket_rules", "ts_theilsen_slope",
-    # (graph_mst_boruvka is rows-only: _ordered_names routes every
-    # rows-only name dead last automatically — listing it here would
-    # emit it twice)
 )
+
+# Second tier: empty — every never-checked name is in tier 1 now.
+_PRIORITY2: tuple[str, ...] = ()
+
+# Names registered AFTER a round's check budget is already full: held at
+# the very end of the fresh ordering so they cannot evict a budgeted
+# name. Empty after the round-7 rotation — the whole unchecked queue
+# fits in _PRIORITY; new packs registered mid-round land here first.
+_DEFERRED: tuple[str, ...] = ()
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —
 # cumulative (122 currently-registered names, zero red; 121 oracled +
@@ -227,6 +207,27 @@ _DRIVER_CHECKED: frozenset[str] = frozenset({
     "snapshot_time_travel", "llm_temperature_mix", "ts_anomaly_mad",
     "llm_type_token_ratio",
     "dq_benford_digits", "llm_split_cluster_safe",
+    # round 6 additions (CORRECTNESS_r06.json: 50/50 green — second
+    # consecutive perfect round; cumulative 270/323 oracled names)
+    "source_text_scan", "source_binaryfile_scan", "llm_ivf_train_kmeans",
+    "graph_sssp_weighted", "events_pattern_match",
+    "lake_snapshot_append_reads", "lake_compaction_preserves",
+    "lake_vacuum_retention", "lake_cluster_prune_scan",
+    "lake_merge_on_read_deletes", "lake_schema_evolution_read",
+    "lake_incremental_read",
+    "dq_column_profile", "agg_weighted_median", "graph_common_neighbors",
+    "events_sliding_conversion", "llm_text_bytes_ratio", "agg_hist2d",
+    "join_bloom_reduced", "join_preagg_pushdown", "join_corr_agg_rewrite",
+    "agg_union_partial", "agg_linear_trend", "agg_contingency_lift",
+    "graph_jaccard_links", "llm_dedup_incremental",
+    "llm_dup_rate_by_source", "llm_quality_gate_median", "llm_bigram_lift",
+    "events_markov_topnext", "join_range_banded", "join_dpp_partitioned",
+    "ts_rolling_cov", "window_topk_ties", "stream_session_dynamic_gap",
+    "join_map_literal_decode", "dq_distribution_drift", "scalar_try_ops",
+    "udf_arrow_scalar", "llm_dedup_recall_eval", "llm_source_diversity",
+    "dq_skew_profile", "ts_ewma_daily", "q_order_cadence",
+    "llm_dedup_prefix_filter", "ts_yoy_growth", "events_stickiness",
+    "dq_fd_violations", "scalar_business_days", "agg_bitmap_distinct",
 })
 
 
