@@ -325,6 +325,7 @@ class LakeTable:
         stores only its path (the Iceberg puffin design).
         """
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         v = self.latest() + 1
         parent = self.manifest()
@@ -332,6 +333,21 @@ class LakeTable:
         df = (self.spark.read.option("mergeSchema", "true")
               .parquet(*(os.path.join(self.root, p) for p in paths))
               .select(F.input_file_name().alias("_f"), col))
+        # No-false-negative guarantee requires the build-side hash input
+        # (Spark CAST(col AS STRING)) to equal the probe-side input
+        # (Python str(value)). That holds for integrals and strings but
+        # NOT doubles ('1.0E-7' vs '1e-07'), booleans ('true' vs
+        # 'True'), or timestamps — refuse those at build time rather
+        # than silently dropping rows at read_point.
+        dt = df.schema[col].dataType
+        ok = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+              T.StringType)
+        if not isinstance(dt, ok):
+            raise ValueError(
+                f"build_bloom({col!r}): unsupported key type "
+                f"{dt.simpleString()} — bloom keys must be integer or "
+                "string so build-side CAST(col AS STRING) and "
+                "probe-side str(value) hash identically")
         ks = ", ".join(str(i) for i in range(k))
         bits = (df.selectExpr("_f", f"explode(array({ks})) AS hrow", col)
                 .selectExpr("_f", "hrow",
@@ -364,6 +380,11 @@ class LakeTable:
         """Files whose bloom for ``col`` contains every probe bit of
         ``value`` (no false negatives: a file without the index is
         always a candidate). Driver cost: the manifest JSON only."""
+        if isinstance(value, bool) or not isinstance(value, (int, str)):
+            raise TypeError(
+                f"bloom probe value must be int or str (got "
+                f"{type(value).__name__}) — other types hash differently "
+                "on the Spark build side; see build_bloom")
         m = self.manifest(version)
         keep = []
         for f in m["files"]:

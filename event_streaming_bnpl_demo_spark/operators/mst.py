@@ -65,7 +65,13 @@ def boruvka_msf(spark: SparkSession, edges: DataFrame,
     # labels: node -> current component id (min node id in component)
     labels = nodes.select("id", F.col("id").alias("comp"))
     forest = None
-    for _ in range(max_rounds):
+    # max_rounds + 1: convergence is only observable as an empty pick on
+    # the round AFTER the forest completes, so a graph needing exactly
+    # max_rounds merge rounds gets one extra observation round before
+    # the non-convergence error fires (keeps the documented 2^max_rounds
+    # component capacity instead of silently halving it). The extra
+    # round may only observe: a non-empty pick there is over budget.
+    for rnd in range(max_rounds + 1):
         lab_s = F.broadcast(labels.select(F.col("id").alias("src"),
                                           F.col("comp").alias("cs")))
         lab_d = F.broadcast(labels.select(F.col("id").alias("dst"),
@@ -89,9 +95,16 @@ def boruvka_msf(spark: SparkSession, edges: DataFrame,
             picked = sel_rows.collect()        # <= |components| rows
             if not picked:
                 break
+            if rnd == max_rounds:
+                raise RuntimeError(
+                    f"MSF did not converge in {max_rounds} rounds")
+            # schema comes from the canonical edge list, not a literal:
+            # the contract is any (src, dst, weight) typing (float
+            # weights, non-long ids), and forest.union below requires
+            # the driver path to match the distributed path exactly
             sel = spark.createDataFrame(
                 [(r["src"], r["dst"], r["weight"]) for r in picked],
-                "src long, dst long, weight long")
+                sel_rows.select("src", "dst", "weight").schema)
             # driver-side union-find over the contracted graph
             parent: dict = {}
 
@@ -125,6 +138,9 @@ def boruvka_msf(spark: SparkSession, edges: DataFrame,
                 .localCheckpoint(eager=True)
             if sel.isEmpty():
                 break
+            if rnd == max_rounds:
+                raise RuntimeError(
+                    f"MSF did not converge in {max_rounds} rounds")
             comp_nodes = labels.select(F.col("comp").alias("id")) \
                 .distinct()
             comp_edges = sel_rows.select(F.col("cs").alias("src"),
@@ -138,6 +154,8 @@ def boruvka_msf(spark: SparkSession, edges: DataFrame,
             n_components = labels.select("comp").distinct().count()
         forest = sel if forest is None else \
             forest.union(sel).distinct().localCheckpoint(eager=True)
+        if n_components <= 1:
+            break  # fully connected: next round's pick is provably empty
     else:
         raise RuntimeError(f"MSF did not converge in {max_rounds} rounds")
     if forest is None:

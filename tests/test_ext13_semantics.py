@@ -171,3 +171,29 @@ def test_mst_boruvka_matches_kruskal(spark):
     nodes = {n for e in pairs for n in e}
     n_comp = len({find(n) for n in nodes})
     assert len(got) == len(nodes) - n_comp
+
+
+def test_mst_boruvka_float_weights_and_exact_round_budget(spark):
+    """Contract regressions from the round-6 advice: (a) the driver-merge
+    path must honor the input's edge typing (float weights used to hit a
+    hardcoded 'weight long' schema), and (b) a forest completing exactly
+    on round max_rounds must converge — the empty pick is only observable
+    one round later, so the loop gets max_rounds+1 iterations."""
+    from event_streaming_bnpl_demo_spark.operators.mst import boruvka_msf
+
+    # barbell: two cheap clusters joined by one expensive bridge. Round
+    # 1 every node picks its cluster edge -> components {0,1} and
+    # {2,3}; round 2 both pick the bridge -> one component. Exactly 2
+    # merge rounds (a plain path collapses in 1: the union-find chains).
+    edges = spark.createDataFrame(
+        [(0, 1, 0.5), (2, 3, 0.25), (1, 2, 10.75)],
+        "src long, dst long, weight double")
+    forest = boruvka_msf(spark, edges, max_rounds=2)
+    assert forest.schema["weight"].dataType.simpleString() == "double"
+    got = {(r["src"], r["dst"], r["weight"]) for r in forest.collect()}
+    assert got == {(0, 1, 0.5), (2, 3, 0.25), (1, 2, 10.75)}
+
+    # the safety net still fires for a genuinely over-budget graph
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        boruvka_msf(spark, edges, max_rounds=1)

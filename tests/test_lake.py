@@ -211,3 +211,27 @@ def test_bloom_index_point_lookup(spark, tmp_path):
     assert t.read_point("o_orderkey", 10**9).count() == 0
     # the bloom commit is a new snapshot; the parent still reads clean
     assert t.read(version=t.latest() - 1).count() == o.count()
+
+
+def test_bloom_index_refuses_mismatched_key_types(spark, tmp_path):
+    """The no-false-negative guarantee holds only when the build-side
+    Spark CAST(col AS STRING) equals the probe-side Python str(value):
+    true for integers and strings, false for doubles ('1.0E-7' vs
+    '1e-07'), booleans, timestamps. Both ends must refuse the unsafe
+    types instead of silently dropping rows at read_point."""
+    o = _orders(spark)
+    t = LakeTable(spark, str(tmp_path / "t"))
+    t.create(o, n_files=3)
+    with pytest.raises(ValueError, match="unsupported key type"):
+        t.build_bloom("o_totalprice")          # double column
+    t.build_bloom("o_orderkey")                # bigint: allowed
+    t.build_bloom("o_orderstatus")             # string: allowed
+    with pytest.raises(TypeError, match="probe value"):
+        t.bloom_candidates("o_orderkey", 421.0)
+    with pytest.raises(TypeError, match="probe value"):
+        t.bloom_candidates("o_orderkey", True)
+    # string keys round-trip exactly like ints
+    cand, total = t.bloom_candidates("o_orderstatus", "F")
+    assert 0 < len(cand) <= total
+    got = t.read_point("o_orderstatus", "F").count()
+    assert got == o.filter(F.col("o_orderstatus") == "F").count()

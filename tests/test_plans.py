@@ -1171,8 +1171,10 @@ def test_ext13_ext14_plan_shapes(spark):
     assert "o_custkey" not in read, "scan must prune to the two columns"
 
     plan = plan_of(spark, "stat_bootstrap_ci")
-    assert plan.count("events.parquet") == 0, \
+    assert plan.count("orders.parquet") == 0, \
         "per-user pre/post pairs must be materialized once"
+    assert plan.count("customer.parquet") == 0, \
+        "the 40x replicate must not re-scan the base tables"
     assert "ExistingRDD" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, \
         "the 40-row replicate spine must broadcast"
