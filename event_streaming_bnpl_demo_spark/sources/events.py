@@ -45,28 +45,61 @@ def read_event_batch(spark: SparkSession, path: str) -> DataFrame:
     return _parse_envelope(raw)
 
 
+def kafka_source_options(bootstrap_servers: str, topic: str,
+                         starting_offsets: str = "earliest",
+                         max_offsets_per_trigger: int | None = None,
+                         ) -> dict[str, str]:
+    """Reader options for the Kafka source, exposed as a pure function
+    so the contract is pinned by test without a live broker:
+
+    - ``startingOffsets='earliest'`` + checkpoint replaces the
+      reference's Latest-iterator restart data loss
+      (consumer/consumer.go:64);
+    - ``maxOffsetsPerTrigger`` is the backpressure bound the reference
+      lacked (consumer/consumer.go:76-78) — serialized as a string, the
+      form the DataStreamReader option API requires.
+    """
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def kafka_records_to_envelope(raw: DataFrame) -> DataFrame:
+    """Kafka wire records -> typed envelope: the post-``load()`` stage of
+    the Kafka path, shared-by-code (not by convention) with the file
+    sources. Takes any DataFrame having Kafka's binary ``value`` column
+    (key/topic/partition/offset/timestamp ride along and are dropped),
+    casts to string, and applies the same ``_parse_envelope`` every
+    other source uses — so a contract test can feed it a batch
+    DataFrame with the Kafka wire schema and assert the output schema
+    is byte-identical to ``read_event_batch``'s, no broker needed.
+    """
+    return _parse_envelope(
+        raw.select(F.col("value").cast("string").alias("value")))
+
+
 def read_kafka_stream(spark: SparkSession, bootstrap_servers: str,
                       topic: str, starting_offsets: str = "earliest",
                       max_offsets_per_trigger: int | None = None) -> DataFrame:
     """Kafka event source (SURVEY §2.2 'Kafka source'): identical
     downstream envelope to the file source — swap the reader, keep every
     transform. Requires the spark-sql-kafka package jar at submit time;
-    no broker exists in this environment, so this path is exercised only
-    by construction (the parse stage is shared with the tested sources).
-
-    ``startingOffsets='earliest'`` + checkpoint replaces the reference's
-    Latest-iterator data loss (consumer/consumer.go:64);
-    ``maxOffsetsPerTrigger`` is the backpressure bound the reference
-    lacked (consumer/consumer.go:76-78).
+    no broker exists in this environment, so ``load()`` itself is
+    exercised only by construction — but the reader options
+    (``kafka_source_options``) and the post-load parse
+    (``kafka_records_to_envelope``) are both pinned by contract tests.
     """
-    reader = (spark.readStream.format("kafka")
-              .option("kafka.bootstrap.servers", bootstrap_servers)
-              .option("subscribe", topic)
-              .option("startingOffsets", starting_offsets))
-    if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
-    raw = reader.load().select(F.col("value").cast("string").alias("value"))
-    return _parse_envelope(raw)
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(
+            bootstrap_servers, topic, starting_offsets,
+            max_offsets_per_trigger).items():
+        reader = reader.option(k, v)
+    return kafka_records_to_envelope(reader.load())
 
 
 def read_event_stream(spark: SparkSession, path: str,

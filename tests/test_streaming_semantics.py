@@ -816,3 +816,59 @@ def test_dynamic_gap_session_stream_matches_batch(spark, tmp_path):
     assert streamed
     for k, v in streamed.items():
         assert batch[k] == v
+
+
+def test_kafka_source_contract_no_broker(spark, tmp_path):
+    """SURVEY §2.2 'Kafka source' regression guard (no broker in this
+    environment): pins (a) the constructed reader options — earliest
+    offsets + checkpoint is what fixes the reference's Latest-iterator
+    restart loss (consumer/consumer.go:64), maxOffsetsPerTrigger is the
+    backpressure bound it lacked (consumer/consumer.go:76-78) — and
+    (b) that the Kafka post-load stage produces a post-parse schema
+    byte-identical to the tested file path's, by feeding it a batch
+    DataFrame with Kafka's wire schema. If the Kafka branch ever drifts
+    from the file branch (different parse, dropped column, changed
+    nullability), this fails without needing a broker."""
+    from pyspark.sql import functions as F
+
+    from event_streaming_bnpl_demo_spark.sources.events import (
+        kafka_records_to_envelope, kafka_source_options, read_event_batch)
+
+    # (a) reader options contract
+    opts = kafka_source_options("broker1:9092,broker2:9092", "bnpl-events")
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "bnpl-events",
+        "startingOffsets": "earliest",
+    }
+    opts = kafka_source_options("b:9092", "t", starting_offsets="latest",
+                                max_offsets_per_trigger=5000)
+    assert opts["startingOffsets"] == "latest"
+    # string-serialized, as the DataStreamReader option API requires
+    assert opts["maxOffsetsPerTrigger"] == "5000"
+
+    # (b) schema handoff: Kafka wire records -> envelope must be
+    # byte-identical to the file path's post-parse schema
+    payload = json.dumps({
+        "event_type": "PurchaseCompletedEvent", "order_id": "o-77",
+        "user_id": "u-9", "amount": 1500,
+        "ingest_ts": "2026-01-01T00:00:00.000Z"})
+    wire = spark.createDataFrame(
+        [("k1".encode(), payload.encode(), "bnpl-events", 0, 42)],
+        "key binary, value binary, topic string, partition int, offset long",
+    ).withColumn("timestamp", F.current_timestamp()) \
+     .withColumn("timestampType", F.lit(0))
+    via_kafka = kafka_records_to_envelope(wire)
+
+    log = tmp_path / "events.jsonl"
+    log.write_text(payload + "\n")
+    via_file = read_event_batch(spark, str(log))
+
+    assert via_kafka.schema == via_file.schema, (
+        f"kafka branch drifted from file branch:\n"
+        f"kafka: {via_kafka.schema}\nfile:  {via_file.schema}")
+    krow = via_kafka.select("event_type", "order_id", "user_id",
+                            "amount").first()
+    frow = via_file.select("event_type", "order_id", "user_id",
+                           "amount").first()
+    assert krow == frow
