@@ -186,6 +186,14 @@ HEADLINE = [
     "geo_grid_blocked_join",
     "sort_keyset_pagination",
     "dq_sequence_gaps",
+    # ext19 (round-7 session): growth accounting (one log scan +
+    # checkpointed user-month state), the Kaplan-Meier estimator
+    # (calendar-bounded KM table), and the bigram-LM perplexity gate
+    # (the heaviest — two corpus scans + a token-mass join; its sf1
+    # ratio is the number to watch)
+    "events_growth_accounting",
+    "agg_survival_km",
+    "llm_perplexity_filter",
 ]
 
 #: Headline queries excluded from the sf1 section only, each with the

@@ -99,9 +99,16 @@ _PRIORITY2: tuple[str, ...] = ()
 
 # Names registered AFTER a round's check budget is already full: held at
 # the very end of the fresh ordering so they cannot evict a budgeted
-# name. Empty after the round-7 rotation — the whole unchecked queue
-# fits in _PRIORITY; new packs registered mid-round land here first.
-_DEFERRED: tuple[str, ...] = ()
+# name. The round-7 session's ext19 pack lands here: the 53 promoted
+# names own the driver-r7 budget; these five ride leftover slots or
+# wait for r8.
+_DEFERRED: tuple[str, ...] = (
+    "events_growth_accounting",
+    "events_active_days_hist",
+    "agg_survival_km",
+    "llm_perplexity_filter",
+    "llm_zipf_slope",
+)
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —
 # cumulative (122 currently-registered names, zero red; 121 oracled +
@@ -332,4 +339,5 @@ def _load() -> None:
     from . import queries_ext16     # noqa: F401
     from . import queries_ext17     # noqa: F401
     from . import queries_ext18     # noqa: F401
+    from . import queries_ext19     # noqa: F401
     _LOADED = True
