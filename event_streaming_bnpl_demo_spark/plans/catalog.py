@@ -108,6 +108,7 @@ _DEFERRED: tuple[str, ...] = (
     "agg_survival_km",
     "llm_perplexity_filter",
     "llm_zipf_slope",
+    "mv_stream_growth_accounting",
 )
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —

@@ -118,6 +118,16 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.year("ts") * 12 + F.month("ts") - 1).cast("bigint").alias("midx"))
         .distinct())
+    return _growth_from_act(act)
+
+
+def _growth_from_act(act: DataFrame) -> DataFrame:
+    """Growth-accounting classification over the minimal sufficient
+    state: the distinct (user_id, midx) activity set. Shared by the
+    batch query and the continuously-maintained view — the streamed
+    twin maintains exactly this set, so sharing the classifier by code
+    makes "incremental == batch" a property of the state merge alone.
+    """
     w = Window.partitionBy("user_id").orderBy("midx")
     flags = act.select(
         "midx",
@@ -456,3 +466,60 @@ def llm_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / (n * F.sum(F.col("lx") * F.col("lx"))
                             - F.sum("lx") * F.sum("lx")), 4)
                   .alias("zipf_slope")))
+
+
+# ---------------------------------------------------------------------------
+# mv_stream_growth_accounting
+
+
+@register("mv_stream_growth_accounting", oracle=_GROWTH_ORACLE,
+          tags=("mv", "stream", "events", "retention"))
+def mv_stream_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained growth accounting: the event feed drains
+    as four micro-batches; each ``foreachBatch`` writes its batch's
+    DISTINCT (user, month-index) pairs as a state partial, and the view
+    recomputes the new/retained/resurrected/churned classification from
+    the set-union of partials — the SAME classifier, by code, as the
+    batch query (``_growth_from_act``), so incremental == batch reduces
+    to the state merge being a set union (idempotent, commutative,
+    associative: replayed batches and shuffled arrival orders cannot
+    change the view). The oracle is the batch growth accounting over
+    ALL events, verbatim.
+
+    Scale: per-batch state is the batch's distinct user-month pairs —
+    duplicates collapse inside the batch before anything is written,
+    re-activity across batches collapses in the union's distinct. The
+    classification pass runs over the state set (|users| x |months|),
+    never over raw history; a 100 TB deployment stores the state
+    partitioned by month and reclassifies only users whose state
+    changed. Exactly-once via per-batch overwrite + checkpoint resume,
+    same as the bitmap/decimal-partial views.
+    """
+    from .queries_ext import _scratch, source_fingerprint, staged_parquet
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.year("ts") * 12 + F.month("ts") - 1).cast("bigint").alias("midx"))
+    work = _scratch(f"growthstream_{source_fingerprint(sf_dir)}")
+    state_dir = f"{work}/state"
+    in_dir = staged_parquet(ev, "growthstream", sf_dir, 4)
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        (batch.select("user_id", "midx").distinct()
+         .write.mode("overwrite")
+         .parquet(f"{state_dir}/batch={batch_id}"))
+
+    q = (spark.readStream
+         .schema("event_id long, user_id long, midx long")
+         .option("maxFilesPerTrigger", "1")
+         .parquet(in_dir)
+         .writeStream.foreachBatch(fold_batch)
+         .option("checkpointLocation", f"{work}/ck")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    act = (spark.read.option("basePath", state_dir)
+           .parquet(f"{state_dir}/batch=*")
+           .select("user_id", "midx").distinct())
+    return _growth_from_act(act)
