@@ -293,6 +293,14 @@ def agg_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .otherwise(F.datediff("nxt", "o_orderdate")).alias("dur"),
                 F.when(F.col("nxt").isNull(), 0).otherwise(1)
                  .alias("observed")))
+    return _km_from_durs(durs)
+
+
+def _km_from_durs(durs: DataFrame) -> DataFrame:
+    """Kaplan-Meier table from a (dur, observed) spell DataFrame —
+    factored so law tests can feed synthetic censoring patterns (with
+    no censoring, KM must equal the plain empirical survival function
+    ``survivors / total``)."""
     per_t = durs.groupBy("dur").agg(
         F.count(F.lit(1)).alias("n_all"),
         F.sum("observed").alias("n_event")).localCheckpoint(eager=True)
