@@ -1188,3 +1188,41 @@ def test_ext13_ext14_plan_shapes(spark):
     assert plan.count("lineitem.parquet") == 0, \
         "peeled edges must come from the checkpointed relation"
     assert "ExistingRDD" in plan
+
+
+def test_ext19_plan_shapes(spark):
+    """ext19 pins: growth accounting reads the event log exactly ONCE
+    (classification, churn, horizon, and month domain all come from the
+    checkpointed user-month state); the KM table's cumulative product
+    windows over the checkpointed per-duration aggregate with only the
+    two column-pruned orders scans (horizon + gap derivation); the
+    perplexity LM derives left-context counts and vocabulary from the
+    checkpointed bigram table, so the corpus is scanned exactly twice
+    (LM build + scoring stream); everything stays inside codegen —
+    no Python UDF anywhere in the pack."""
+    plan = plan_of(spark, "events_growth_accounting")
+    assert plan.count("events.parquet") == 0, \
+        "all four consumers must read the checkpointed user-month " \
+        "state, never the log (the single log scan ran at checkpoint)"
+    assert "ExistingRDD" in plan, \
+        "the user-month state must be checkpointed"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    plan = plan_of(spark, "agg_survival_km")
+    assert plan.count("orders.parquet") == 0, \
+        "total and survival windows must read the checkpointed " \
+        "per-duration KM table, never re-derive the gaps"
+    assert "ExistingRDD" in plan, \
+        "the per-duration KM table must be checkpointed"
+
+    plan = plan_of(spark, "llm_perplexity_filter")
+    assert plan.count("documents.parquet") == 1, \
+        "only the scoring stream reads the corpus in the final plan " \
+        "(the LM build ran at checkpoint); c1/vocab derive from c2"
+    assert "ExistingRDD" in plan, "the bigram LM must be checkpointed"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    plan = plan_of(spark, "llm_zipf_slope")
+    assert plan.count("documents.parquet") == 1
+    assert "WindowGroupLimit" in plan, \
+        "the top-100 rank cut must prune per-partition before the sort"
