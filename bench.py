@@ -194,6 +194,11 @@ HEADLINE = [
     "events_growth_accounting",
     "agg_survival_km",
     "llm_perplexity_filter",
+    # ext20: the DFT periodogram (trig over days x periods inside
+    # codegen) and the Welch moments join — the two non-trivial
+    # members of the information-theoretic tier
+    "ts_periodogram_dft",
+    "stat_welch_ttest",
 ]
 
 #: Headline queries excluded from the sf1 section only, each with the

@@ -109,6 +109,10 @@ _DEFERRED: tuple[str, ...] = (
     "llm_perplexity_filter",
     "llm_zipf_slope",
     "mv_stream_growth_accounting",
+    "ts_periodogram_dft",
+    "agg_entropy_mix",
+    "stat_welch_ttest",
+    "llm_token_entropy_by_source",
 )
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —
@@ -341,4 +345,5 @@ def _load() -> None:
     from . import queries_ext17     # noqa: F401
     from . import queries_ext18     # noqa: F401
     from . import queries_ext19     # noqa: F401
+    from . import queries_ext20     # noqa: F401
     _LOADED = True
