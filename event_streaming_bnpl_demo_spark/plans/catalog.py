@@ -113,6 +113,13 @@ _DEFERRED: tuple[str, ...] = (
     "agg_entropy_mix",
     "stat_welch_ttest",
     "llm_token_entropy_by_source",
+    # the round-7 session's ext21 pack (physical-layout + intake tiers)
+    "join_bucketed_colocated",
+    "etl_range_boundaries",
+    "ts_downsample_m4",
+    "scalar_ip_cidr",
+    "agg_ecdf_points",
+    "llm_dataset_card",
 )
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —
@@ -346,4 +353,5 @@ def _load() -> None:
     from . import queries_ext18     # noqa: F401
     from . import queries_ext19     # noqa: F401
     from . import queries_ext20     # noqa: F401
+    from . import queries_ext21     # noqa: F401
     _LOADED = True
