@@ -199,6 +199,14 @@ HEADLINE = [
     # members of the information-theoretic tier
     "ts_periodogram_dft",
     "stat_welch_ttest",
+    # ext21: the co-bucketed zero-shuffle join (its staging is
+    # content-keyed stage_once, so the bench times the co-located read,
+    # never the one-time layout write), M4 downsampling, the IP/CIDR
+    # subnet rollup, and the always-on corpus intake card
+    "join_bucketed_colocated",
+    "ts_downsample_m4",
+    "scalar_ip_cidr",
+    "llm_dataset_card",
 ]
 
 #: Headline queries excluded from the sf1 section only, each with the
