@@ -120,6 +120,10 @@ _DEFERRED: tuple[str, ...] = (
     "scalar_ip_cidr",
     "agg_ecdf_points",
     "llm_dataset_card",
+    # ext22 (retrieval / rules / sampling-error)
+    "llm_bm25_topk",
+    "dq_rule_engine",
+    "agg_sampled_sum_error",
 )
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —
@@ -354,4 +358,5 @@ def _load() -> None:
     from . import queries_ext19     # noqa: F401
     from . import queries_ext20     # noqa: F401
     from . import queries_ext21     # noqa: F401
+    from . import queries_ext22     # noqa: F401
     _LOADED = True
