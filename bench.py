@@ -207,6 +207,13 @@ HEADLINE = [
     "ts_downsample_m4",
     "scalar_ip_cidr",
     "llm_dataset_card",
+    # ext22/ext23: lexical retrieval ranking, the fused batch rule
+    # gate and its incrementally-maintained streaming twin, and the
+    # all-integer seasonal decomposition
+    "llm_bm25_topk",
+    "dq_rule_engine",
+    "mv_stream_rule_engine",
+    "ts_seasonal_decompose",
 ]
 
 #: Headline queries excluded from the sf1 section only, each with the

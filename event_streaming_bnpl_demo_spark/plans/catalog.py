@@ -124,6 +124,9 @@ _DEFERRED: tuple[str, ...] = (
     "llm_bm25_topk",
     "dq_rule_engine",
     "agg_sampled_sum_error",
+    # ext23 (seasonal decomposition / streaming rule gate)
+    "ts_seasonal_decompose",
+    "mv_stream_rule_engine",
 )
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —
@@ -359,4 +362,5 @@ def _load() -> None:
     from . import queries_ext20     # noqa: F401
     from . import queries_ext21     # noqa: F401
     from . import queries_ext22     # noqa: F401
+    from . import queries_ext23     # noqa: F401
     _LOADED = True
