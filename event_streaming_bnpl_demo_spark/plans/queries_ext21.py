@@ -236,9 +236,12 @@ def ts_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderdate", "o_totalprice")
+    # two consumers (spine + bucketing) read the daily rollup:
+    # materialize it once or the fact scan runs twice
     daily = (o.groupBy(F.to_date("o_orderdate").alias("d"))
              .agg(F.sum(F.expr(_CENTS.format(col="o_totalprice")))
-                  .alias("x")))
+                  .alias("x"))
+             .localCheckpoint(eager=True))
     spine = daily.agg(
         F.min("d").alias("d0"),
         (F.datediff(F.max("d"), F.min("d")) + 1).alias("span"))

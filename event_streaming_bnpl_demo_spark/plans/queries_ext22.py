@@ -104,7 +104,11 @@ def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal IN pushed below the aggregate), so the shuffled relation is
     |matching postings|, not |corpus tokens|; df and the corpus length
     spine are tiny broadcast sides, and the final top-k is a
-    TakeOrdered with a total tie-break (score desc, doc_id).
+    TakeOrdered with a total tie-break (score desc, doc_id). The corpus
+    DOES scan twice (once for the length spine, once for postings) —
+    deliberately: checkpointing the full corpus to skip one scan would
+    write 100 TB to local disk, and a production deployment precomputes
+    (n_docs, total_len) at ingest anyway.
     """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks"))

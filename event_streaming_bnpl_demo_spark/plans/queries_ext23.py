@@ -101,11 +101,15 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS s7",
         "COUNT(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)"
         " AS c7")
+    # t feeds both the seasonal means and the final join: materialize
+    # the (tiny, |days|-row) table once or the whole fact-scan + window
+    # chain executes twice
     t = (w.filter("c7 = 7")
          .selectExpr("d", "x",
                      "(s7 * 1000000) DIV 7 AS trend_micro",
                      "x * 1000000 - (s7 * 1000000) DIV 7 AS detr_micro",
-                     f"{_DOW_SPARK} AS dow"))
+                     f"{_DOW_SPARK} AS dow")
+         .localCheckpoint(eager=True))
     s = t.groupBy("dow").agg(
         F.expr("SUM(detr_micro) DIV COUNT(*)").alias("seasonal_micro"))
     return (t.join(F.broadcast(s), "dow")

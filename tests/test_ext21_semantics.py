@@ -52,6 +52,22 @@ def test_bucketed_catalog_join_is_shuffle_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_m4_and_decompose_materialize_the_daily_rollup(spark):
+    """Both seasonal/downsample queries feed the daily rollup to two
+    consumers; the rollup must be localCheckpointed so the ORDERS scan
+    runs once at build — the returned plan must not re-scan the fact
+    table (the stat_bootstrap_ci pin convention)."""
+    from event_streaming_bnpl_demo_spark.plans.queries_ext21 import \
+        ts_downsample_m4
+    from event_streaming_bnpl_demo_spark.plans.queries_ext23 import \
+        ts_seasonal_decompose
+
+    assert _plan_text(ts_downsample_m4(spark, SF)).count(
+        "orders.parquet") == 0
+    assert _plan_text(ts_seasonal_decompose(spark, SF)).count(
+        "orders.parquet") == 0
+
+
 def test_range_boundaries_balance_the_partition(spark):
     """Routing rows by the published boundaries (bucket i = first i
     with cents <= b_i, else k-1) must reproduce the exact rank split:
