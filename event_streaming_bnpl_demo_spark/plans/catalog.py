@@ -127,6 +127,9 @@ _DEFERRED: tuple[str, ...] = (
     # ext23 (seasonal decomposition / streaming rule gate)
     "ts_seasonal_decompose",
     "mv_stream_rule_engine",
+    # ext24 (training-set assembly planning)
+    "events_pit_features",
+    "llm_mix_epochs_planner",
 )
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —
@@ -363,4 +366,5 @@ def _load() -> None:
     from . import queries_ext21     # noqa: F401
     from . import queries_ext22     # noqa: F401
     from . import queries_ext23     # noqa: F401
+    from . import queries_ext24     # noqa: F401
     _LOADED = True
