@@ -130,6 +130,8 @@ _DEFERRED: tuple[str, ...] = (
     # ext24 (training-set assembly planning)
     "events_pit_features",
     "llm_mix_epochs_planner",
+    # ext25 (streaming feature store)
+    "mv_stream_pit_features",
 )
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —
@@ -367,4 +369,5 @@ def _load() -> None:
     from . import queries_ext22     # noqa: F401
     from . import queries_ext23     # noqa: F401
     from . import queries_ext24     # noqa: F401
+    from . import queries_ext25     # noqa: F401
     _LOADED = True
