@@ -214,6 +214,10 @@ HEADLINE = [
     "dq_rule_engine",
     "mv_stream_rule_engine",
     "ts_seasonal_decompose",
+    # ext24/ext25: the leakage-safe training-set assembly pair — batch
+    # point-in-time features and their streaming-maintained twin
+    "events_pit_features",
+    "mv_stream_pit_features",
 ]
 
 #: Headline queries excluded from the sf1 section only, each with the
