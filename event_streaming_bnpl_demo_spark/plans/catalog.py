@@ -132,6 +132,8 @@ _DEFERRED: tuple[str, ...] = (
     "llm_mix_epochs_planner",
     # ext25 (streaming feature store)
     "mv_stream_pit_features",
+    # ext26 (LSH tuning metrology)
+    "llm_lsh_band_sweep",
 )
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —
@@ -370,4 +372,5 @@ def _load() -> None:
     from . import queries_ext23     # noqa: F401
     from . import queries_ext24     # noqa: F401
     from . import queries_ext25     # noqa: F401
+    from . import queries_ext26     # noqa: F401
     _LOADED = True
