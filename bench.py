@@ -218,6 +218,9 @@ HEADLINE = [
     # point-in-time features and their streaming-maintained twin
     "events_pit_features",
     "mv_stream_pit_features",
+    # ext26: the banding sweep — one signature pass pricing every LSH
+    # layout's candidate mass (the dedup stage's tuning table)
+    "llm_lsh_band_sweep",
 ]
 
 #: Headline queries excluded from the sf1 section only, each with the
