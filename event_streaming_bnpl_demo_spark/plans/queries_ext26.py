@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import duckdb_tokens, shingles_col, tokens_col
-from ..sources import load_table
+from ..sources import load_table, spread
 from .catalog import register
 
 #: Banding layouts over the same 6 independent 20-bit sub-hashes
@@ -95,12 +95,15 @@ def llm_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed keys. The signature table is localCheckpointed once for the
     four layout consumers.
     """
-    toks = tokens_col("text")
-    shingles = shingles_col(toks, "spark")
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = d.select(
-        "doc_id",
-        F.explode(F.expr(f"array_distinct({shingles})")).alias("s")
+    # materialize the token array BEFORE shingling (the shingle lambda
+    # references its input multiple times — inlining split() there
+    # re-tokenizes once per shingle, measured 30x at sf1) and spread
+    # the scan so the hash stage parallelizes; both mirrors of
+    # llm_dedup_minhash's hot-loop discipline
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks_df = d.select("doc_id", F.expr(tokens_col("text")).alias("toks"))
+    sh = toks_df.select("doc_id", F.explode(
+        F.array_distinct(F.expr(shingles_col("toks", "spark")))).alias("s")
     ).select("doc_id", F.md5("s").alias("hs"))
     sig = (sh.groupBy("doc_id")
            .agg(*[F.min(F.substring("hs", p, w)).alias(f"h{i}")
