@@ -134,6 +134,8 @@ _DEFERRED: tuple[str, ...] = (
     "mv_stream_pit_features",
     # ext26 (LSH tuning metrology)
     "llm_lsh_band_sweep",
+    # ext27 (one-scan covariance matrix)
+    "agg_covariance_matrix",
 )
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —
@@ -373,4 +375,5 @@ def _load() -> None:
     from . import queries_ext24     # noqa: F401
     from . import queries_ext25     # noqa: F401
     from . import queries_ext26     # noqa: F401
+    from . import queries_ext27     # noqa: F401
     _LOADED = True
