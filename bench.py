@@ -221,6 +221,8 @@ HEADLINE = [
     # ext26: the banding sweep — one signature pass pricing every LSH
     # layout's candidate mass (the dedup stage's tuning table)
     "llm_lsh_band_sweep",
+    # ext27: the one-scan feature covariance matrix
+    "agg_covariance_matrix",
 ]
 
 #: Headline queries excluded from the sf1 section only, each with the
