@@ -77,22 +77,40 @@ def mv_stream_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_VCENTS).alias("vcents"))
     fp = source_fingerprint(sf_dir)
     work = _scratch(f"pitstream_v2_{fp}")
-    state_dir, out_dir = f"{work}/state", f"{work}/out"
 
     def write_slices(tmp: str) -> None:
-        sub = f"{tmp}/_parts"
-        (ev.repartitionByRange(_N_SLICES, "ts", "event_id")
-         .write.mode("overwrite").parquet(sub))
-        parts = sorted(_glob.glob(f"{sub}/part-*.parquet"))
-        base = 1_600_000_000
-        for k, p in enumerate(parts):
-            dst = f"{tmp}/{k:05d}.parquet"
-            os.rename(p, dst)
-            os.utime(dst, (base + k, base + k))   # pin schedule order
-        shutil.rmtree(sub)
+        stage_time_slices(ev, tmp)
 
     in_dir = stage_once(f"pitstream_in_v2_{fp}", write_slices)
+    return run_pit_stream(spark, in_dir, work)
 
+
+def stage_time_slices(ev: DataFrame, tmp: str,
+                      n_slices: int = _N_SLICES) -> None:
+    """Materialize the feed as time-RANGE slice files with explicit
+    range-ordered names and pinned, strictly-increasing mtimes — the
+    two properties FileStreamSource needs to schedule them in time
+    order (see module docstring, discipline 1)."""
+    sub = f"{tmp}/_parts"
+    (ev.repartitionByRange(n_slices, "ts", "event_id")
+     .write.mode("overwrite").parquet(sub))
+    parts = sorted(_glob.glob(f"{sub}/part-*.parquet"))
+    base = 1_600_000_000
+    for k, p in enumerate(parts):
+        dst = f"{tmp}/{k:05d}.parquet"
+        os.rename(p, dst)
+        os.utime(dst, (base + k, base + k))   # pin schedule order
+    shutil.rmtree(sub)
+
+
+def run_pit_stream(spark: SparkSession, in_dir: str, work: str) -> DataFrame:
+    """Drain every unprocessed slice file under ``in_dir`` through the
+    feature fold (checkpointed under ``work``) and return the current
+    view. Callable repeatedly: new slice files appended to ``in_dir``
+    are picked up incrementally on the next call; already-processed
+    slices are never re-read (exercised by the partial-feed resume law
+    in ``tests/test_ext25_semantics.py``)."""
+    state_dir, out_dir = f"{work}/state", f"{work}/out"
     agg_cols = ["c_all", *[f"c_{t}" for t in _TYPES], "v_cents"]
 
     def fold(batch: DataFrame, batch_id: int) -> None:

@@ -50,3 +50,50 @@ def test_streamed_pit_equals_batch_and_resumes_idempotently(spark):
     # second drain on the same checkpoint: nothing new, same view
     again = _rows(mv_stream_pit_features(spark, SF))
     assert again == streamed
+
+
+def test_stream_pit_incremental_arrival_is_immutable(spark, tmp_path):
+    """The real streaming contract: feed HALF the slices, drain, then
+    deliver the rest and drain again on the same checkpoint. Laws:
+    (a) features computed from the partial feed never CHANGE when the
+    future arrives (point-in-time features are immutable — the whole
+    anti-leakage promise), and (b) the final view equals the batch
+    query over the full feed."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from event_streaming_bnpl_demo_spark.plans.queries_ext24 import \
+        events_pit_features
+    from event_streaming_bnpl_demo_spark.plans.queries_ext25 import (
+        run_pit_stream, stage_time_slices)
+    from event_streaming_bnpl_demo_spark.sources import load_table
+
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "user_id", "event_type", "ts",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("vcents"))
+    staged = tmp_path / "staged"
+    stage_time_slices(ev, str(staged))
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    work = str(tmp_path / "work")
+    slices = sorted(p.name for p in staged.iterdir())
+    assert len(slices) == 4
+
+    for s in slices[:2]:                       # copy2 preserves mtimes
+        shutil.copy2(staged / s, in_dir / s)
+    early = {r["event_id"]: tuple(r)
+             for r in run_pit_stream(spark, str(in_dir), work).collect()}
+    assert early
+
+    for s in slices[2:]:
+        shutil.copy2(staged / s, in_dir / s)
+    final = {r["event_id"]: tuple(r)
+             for r in run_pit_stream(spark, str(in_dir), work).collect()}
+    # (a) immutability: every early feature row survives unchanged
+    for eid, row in early.items():
+        assert final[eid] == row, eid
+    # (b) incremental == batch over the full feed
+    batch = {r["event_id"]: tuple(r)
+             for r in events_pit_features(spark, SF).collect()}
+    assert final == batch
