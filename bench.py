@@ -223,6 +223,8 @@ HEADLINE = [
     "llm_lsh_band_sweep",
     # ext27: the one-scan feature covariance matrix
     "agg_covariance_matrix",
+    # ext28: the DiD experiment readout
+    "stat_diff_in_diff",
 ]
 
 #: Headline queries excluded from the sf1 section only, each with the

@@ -136,6 +136,8 @@ _DEFERRED: tuple[str, ...] = (
     "llm_lsh_band_sweep",
     # ext27 (one-scan covariance matrix)
     "agg_covariance_matrix",
+    # ext28 (difference-in-differences)
+    "stat_diff_in_diff",
 )
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —
@@ -376,4 +378,5 @@ def _load() -> None:
     from . import queries_ext25     # noqa: F401
     from . import queries_ext26     # noqa: F401
     from . import queries_ext27     # noqa: F401
+    from . import queries_ext28     # noqa: F401
     _LOADED = True
