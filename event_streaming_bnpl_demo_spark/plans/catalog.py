@@ -138,6 +138,8 @@ _DEFERRED: tuple[str, ...] = (
     "agg_covariance_matrix",
     # ext28 (difference-in-differences)
     "stat_diff_in_diff",
+    # ext29 (HITS centrality)
+    "graph_hits_bipartite",
 )
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —
@@ -379,4 +381,5 @@ def _load() -> None:
     from . import queries_ext26     # noqa: F401
     from . import queries_ext27     # noqa: F401
     from . import queries_ext28     # noqa: F401
+    from . import queries_ext29     # noqa: F401
     _LOADED = True

@@ -1,0 +1,126 @@
+"""ext29: HITS hub/authority centrality —
+
+``graph_hits_bipartite`` completes the centrality family (degree
+stats, PageRank, k-core, SSSP, k-hop, components, MST) with the
+Kleinberg hub/authority fixed point over the DIRECTED customer →
+supplier purchase graph: hubs are customers whose spend concentrates
+on authoritative suppliers, authorities are suppliers endorsed by
+strong hubs — the textbook bipartite HITS instance, and a different
+algebra from PageRank (two mutually-recursive score vectors, max-
+normalized per step, instead of one stochastic vector).
+
+Numerics follow the PageRank doctrine: 64-bit integer micro-score
+fixed point with truncating division (``x * 1e6 DIV max``), so all
+three iterations are bit-exact across engines and the oracle can
+unroll them as chained CTEs.
+
+Reference parity: none of this exists in the reference (615-LoC Go
+CQRS demo); SURVEY.md §2.2 capability-superset tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table, maybe_broadcast
+from .catalog import register
+
+_ITERS = 3
+_TOPK = 10
+
+_EDGES_DUCK = """
+  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+"""
+
+
+def _hits_oracle() -> str:
+    # MATERIALIZED: edges is referenced once per half-step (7x) — left
+    # to the inlining heuristic, DuckDB re-ran the 6M-row distinct join
+    # per reference and the sf1 oracle ran past 400 s
+    ctes = [f"edges AS MATERIALIZED ({_EDGES_DUCK})",
+            "h0 AS MATERIALIZED (SELECT src AS node, 1000000 AS h"
+            " FROM (SELECT DISTINCT src FROM edges))"]
+    prev_h = "h0"
+    for k in range(1, _ITERS + 1):
+        ctes.append(
+            f"a{k} AS MATERIALIZED (SELECT e.dst AS node, SUM(p.h) AS a FROM edges e"
+            f" JOIN {prev_h} p ON e.src = p.node GROUP BY e.dst)")
+        ctes.append(
+            f"a{k}n AS MATERIALIZED (SELECT node,"
+            f" a * 1000000 // (SELECT MAX(a) FROM a{k}) AS a FROM a{k})")
+        ctes.append(
+            f"h{k} AS MATERIALIZED (SELECT e.src AS node, SUM(p.a) AS h FROM edges e"
+            f" JOIN a{k}n p ON e.dst = p.node GROUP BY e.src)")
+        ctes.append(
+            f"h{k}n AS MATERIALIZED (SELECT node,"
+            f" h * 1000000 // (SELECT MAX(h) FROM h{k}) AS h FROM h{k})")
+        prev_h = f"h{k}n"
+    return f"""
+    WITH {', '.join(ctes)}
+    (SELECT 'authority' AS side, CAST(node AS BIGINT) AS node,
+            CAST(a AS BIGINT) AS score_micro
+     FROM a{_ITERS}n ORDER BY a DESC, node LIMIT {_TOPK})
+    UNION ALL
+    (SELECT 'hub' AS side, CAST(node AS BIGINT) AS node,
+            CAST(h AS BIGINT) AS score_micro
+     FROM h{_ITERS}n ORDER BY h DESC, node LIMIT {_TOPK})
+    """
+
+
+@register("graph_hits_bipartite", oracle=_hits_oracle(),
+          tags=("graph", "iterative", "centrality"))
+def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS ({_ITERS} iterations) over customer→supplier purchase
+    edges: authority(v) = Σ hub(u) over in-edges, hub(u) = Σ
+    authority(v) over out-edges, each vector max-normalized to integer
+    micro-scores per step (truncating DIV — probed identical to DuckDB
+    ``//``). Returns the top-{_TOPK} authorities and hubs with a total
+    (score desc, node) tie-break. The oracle unrolls the identical
+    three iterations as chained CTEs — the PageRank verification
+    doctrine applied to a two-vector recursion.
+
+    Scale: the distinct edge list materializes ONCE (localCheckpoint)
+    and every iteration is one edge-list join + groupBy per direction
+    — O(edges) per half-step, the same asymptote as PageRank; the max
+    normalizer is a single-row aggregate broadcast back. Score sums
+    fit comfortably: degree x 1e6 << 2^63 until ~9e12 edges per node.
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey")
+    edges = (li.join(maybe_broadcast(o, sf_dir, "orders"),
+                     li.l_orderkey == o.o_orderkey)
+             .select(F.col("o_custkey").alias("src"),
+                     F.col("l_suppkey").alias("dst"))
+             .distinct()
+             .localCheckpoint(eager=True))
+
+    def _normalize(df: DataFrame, col: str) -> DataFrame:
+        mx = df.agg(F.max(col).alias("mx"))
+        return (df.crossJoin(F.broadcast(mx))
+                .selectExpr("node", f"{col} * 1000000 DIV mx AS {col}")
+                .localCheckpoint(eager=True))
+
+    hub = (edges.select("src").distinct()
+           .select(F.col("src").alias("node"),
+                   F.lit(1_000_000).alias("h")))
+    auth = None
+    for _ in range(_ITERS):
+        auth = _normalize(
+            edges.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("a")), "a")
+        hub = _normalize(
+            edges.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("h")), "h")
+    top_a = (auth.orderBy(F.desc("a"), "node").limit(_TOPK)
+             .selectExpr("'authority' AS side",
+                         "CAST(node AS BIGINT) AS node",
+                         "CAST(a AS BIGINT) AS score_micro"))
+    top_h = (hub.orderBy(F.desc("h"), "node").limit(_TOPK)
+             .selectExpr("'hub' AS side", "CAST(node AS BIGINT) AS node",
+                         "CAST(h AS BIGINT) AS score_micro"))
+    return top_a.unionByName(top_h)
