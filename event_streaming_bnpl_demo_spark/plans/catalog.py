@@ -47,17 +47,19 @@ _REGISTRY: dict[str, Query] = {}
 
 # Catalog iteration order. The driver's correctness harness budgets ~50
 # queries per round, taken in dict order. Cumulative driver-green after
-# round 6: 270 of 323 oracled names (CORRECTNESS_r01..r06.json), zero
-# standing failures. Tier 1 = the 53 oracled names with no driver row
-# yet (ext10 tail through ext18 + the deferred stream interval joins),
-# in their original queue order — with a ~50 budget, round 7 closes 50
-# and round 8 the remaining 3, reaching 323/323 driver-green. Every
-# queued name has sf0.001+sf0.01 gate evidence (53/53 green on the
-# round-6 judge's replica of the driver gate) plus sf0.1 and the
-# regenerated sf1 10x replica. Rotation is a round-close invariant,
-# guarded by tests/test_catalog_rotation.py: every name in the latest
-# CORRECTNESS_r*.json must be folded into _DRIVER_CHECKED and no
-# _PRIORITY name may already have a green row.
+# round 6: 270 currently-registered of 351 oracled names
+# (CORRECTNESS_r01..r06.json), zero standing failures. Tier 1 = the 53
+# oracled names with no driver row yet at the r6 rotation (ext10 tail
+# through ext18 + the deferred stream interval joins), in their
+# original queue order; the round-7 session's 28 later additions
+# (ext19–ext29) sit in _DEFERRED behind them. With a ~50 budget, round
+# 7 closes the front of the queue and round 8 the remainder. Every
+# queued name passes the local replica of the driver gate at sf0.01 —
+# 351/351 in the round-7 session's closing --all run — most also at
+# sf0.1 and the regenerated sf1 10x replica. Rotation is a round-close
+# invariant, guarded by tests/test_catalog_rotation.py: every name in
+# the latest CORRECTNESS_r*.json must be folded into _DRIVER_CHECKED
+# and no _PRIORITY name may already have a green row.
 _PRIORITY: tuple[str, ...] = (
     # ext10 remainder (the first 6 of the old deferred queue went green
     # in CORRECTNESS_r06.json and rotated out)
@@ -99,9 +101,9 @@ _PRIORITY2: tuple[str, ...] = ()
 
 # Names registered AFTER a round's check budget is already full: held at
 # the very end of the fresh ordering so they cannot evict a budgeted
-# name. The round-7 session's ext19 pack lands here: the 53 promoted
-# names own the driver-r7 budget; these five ride leftover slots or
-# wait for r8.
+# name. The round-7 session's packs land here (ext19/ext20 from the
+# first session, ext21–ext29 from the second): the 53 promoted names
+# own the driver-r7 budget; these ride leftover slots or wait for r8.
 _DEFERRED: tuple[str, ...] = (
     "events_growth_accounting",
     "events_active_days_hist",
