@@ -98,20 +98,27 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
              .localCheckpoint(eager=True))
 
     def _normalize(df: DataFrame, col: str) -> DataFrame:
-        mx = df.agg(F.max(col).alias("mx"))
-        return (df.crossJoin(F.broadcast(mx))
-                .selectExpr("node", f"{col} * 1000000 DIV mx AS {col}")
-                .localCheckpoint(eager=True))
+        # window-marginalized max: one pass over the tiny score vector,
+        # so the iteration chain stays LINEAR — a separate MAX aggregate
+        # would consume each vector twice and double the re-planned
+        # subtree per half-step (2^6 by iteration 3) unless every step
+        # checkpoints; this needs no checkpoint at all
+        return df.selectExpr(
+            "node", f"{col} * 1000000 DIV (MAX({col}) OVER ()) AS {col}")
 
     hub = (edges.select("src").distinct()
            .select(F.col("src").alias("node"),
                    F.lit(1_000_000).alias("h")))
     auth = None
-    for _ in range(_ITERS):
+    for it in range(_ITERS):
         auth = _normalize(
             edges.join(hub.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("h").alias("a")), "a")
+        if it == _ITERS - 1:
+            # the final auth vector has two consumers (the last hub
+            # step + the top-k output): materialize it once
+            auth = auth.localCheckpoint(eager=True)
         hub = _normalize(
             edges.join(auth.withColumnRenamed("node", "dst"), "dst")
             .groupBy(F.col("src").alias("node"))
