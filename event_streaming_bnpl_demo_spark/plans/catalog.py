@@ -47,91 +47,35 @@ _REGISTRY: dict[str, Query] = {}
 
 # Catalog iteration order. The driver's correctness harness budgets ~50
 # queries per round, taken in dict order. Cumulative driver-green after
-# round 6: 270 currently-registered of 351 oracled names
-# (CORRECTNESS_r01..r06.json), zero standing failures. Tier 1 = the 53
-# oracled names with no driver row yet at the r6 rotation (ext10 tail
-# through ext18 + the deferred stream interval joins), in their
-# original queue order; the round-7 session's 28 later additions
-# (ext19–ext29) sit in _DEFERRED behind them. With a ~50 budget, round
-# 7 closes the front of the queue and round 8 the remainder. Every
-# queued name passes the local replica of the driver gate at sf0.01 —
-# 351/351 in the round-7 session's closing --all run — most also at
-# sf0.1 and the regenerated sf1 10x replica. Rotation is a round-close
-# invariant, guarded by tests/test_catalog_rotation.py: every name in
-# the latest CORRECTNESS_r*.json must be folded into _DRIVER_CHECKED
-# and no _PRIORITY name may already have a green row.
+# round 7: 321 currently-registered of 351 oracled names
+# (CORRECTNESS_r01..r07.json — 323 historical green rows, two of which
+# were renamed/absorbed), zero standing failures. Tier 1 = the 31
+# oracled names with no driver row yet at the r7 rotation: the 3
+# budget-bound leftovers from the old queue plus the 28 ext19–ext29
+# session additions, all of which passed the judge's replica of the
+# driver gate at sf0.01 (81/81 in the round-7 judging). 31 < the ~50
+# budget, so round 8 closes the catalog at 351/351 driver-verified.
+# Rotation is a round-close invariant, guarded by
+# tests/test_catalog_rotation.py: every name in the latest
+# CORRECTNESS_r*.json must be folded into _DRIVER_CHECKED and no
+# _PRIORITY name may already have a green row.
 _PRIORITY: tuple[str, ...] = (
-    # ext10 remainder (the first 6 of the old deferred queue went green
-    # in CORRECTNESS_r06.json and rotated out)
-    "window_streaks", "ts_dow_seasonal",
-    "scalar_url_parse", "mv_bitmap_distinct", "mv_stream_bitmap_distinct",
-    # ext11: the modern Spark 4 SQL surface
-    "sql_pipe_syntax", "sql_udf_scalar", "sql_session_variables",
-    "sql_exec_immediate", "scalar_collation", "llm_url_dedup_canonical",
-    "lake_zorder_prune", "join_count_product_rewrite",
-    "agg_percentile_cont", "ts_changepoint_cusum",
-    "agg_kendall_concordance", "llm_multimodal_dedup",
-    "sql_table_function", "ts_autocorr_lags", "join_asof_nearest",
-    "window_ntile",
-    # ext12
-    "geo_grid_knn", "geo_grid_blocked_join", "agg_chi2_independence",
-    "ts_cross_correlation", "window_rolling_median",
-    "sort_keyset_pagination", "etl_surrogate_keys", "ts_bitemporal_pit",
-    "llm_text_readability", "dq_sequence_gaps", "agg_trimmed_winsorized",
-    "scalar_jaro_winkler",
-    # ext13
-    "ts_holt_linear", "graph_kcore", "stat_bootstrap_ci",
-    "dq_schema_drift", "er_resolve_pipeline", "agg_hhi_concentration",
-    # ext14
-    "lake_bloom_point_lookup", "stat_cuped_adjustment",
-    "llm_hellinger_sources", "stream_interval_join",
-    "stream_interval_join_outer",
-    # ext15
-    "q_segment_migration", "q_cohort_ltv_curve", "er_blocking_quality",
-    # ext16
-    "stat_mannwhitney_u", "window_rolling_band",
-    # ext17
-    "q_pareto_concentration", "scalar_luhn_checksum",
-    # ext18
-    "q_market_basket_rules", "ts_theilsen_slope",
-)
-
-# Second tier: empty — every never-checked name is in tier 1 now.
-_PRIORITY2: tuple[str, ...] = ()
-
-# Names registered AFTER a round's check budget is already full: held at
-# the very end of the fresh ordering so they cannot evict a budgeted
-# name. The round-7 session's packs land here (ext19/ext20 from the
-# first session, ext21–ext29 from the second): the 53 promoted names
-# own the driver-r7 budget; these ride leftover slots or wait for r8.
-_DEFERRED: tuple[str, ...] = (
-    "events_growth_accounting",
-    "events_active_days_hist",
-    "agg_survival_km",
-    "llm_perplexity_filter",
-    "llm_zipf_slope",
-    "mv_stream_growth_accounting",
-    "ts_periodogram_dft",
-    "agg_entropy_mix",
-    "stat_welch_ttest",
-    "llm_token_entropy_by_source",
-    # the round-7 session's ext21 pack (physical-layout + intake tiers)
-    "join_bucketed_colocated",
-    "etl_range_boundaries",
-    "ts_downsample_m4",
-    "scalar_ip_cidr",
-    "agg_ecdf_points",
-    "llm_dataset_card",
+    # ext17/ext18 leftovers (budget-bound in r7)
+    "scalar_luhn_checksum", "q_market_basket_rules", "ts_theilsen_slope",
+    # ext19/ext20 (growth accounting, LM gates, spectral/statistical)
+    "events_growth_accounting", "events_active_days_hist",
+    "agg_survival_km", "llm_perplexity_filter", "llm_zipf_slope",
+    "mv_stream_growth_accounting", "ts_periodogram_dft",
+    "agg_entropy_mix", "stat_welch_ttest", "llm_token_entropy_by_source",
+    # ext21 (physical-layout + intake tiers)
+    "join_bucketed_colocated", "etl_range_boundaries", "ts_downsample_m4",
+    "scalar_ip_cidr", "agg_ecdf_points", "llm_dataset_card",
     # ext22 (retrieval / rules / sampling-error)
-    "llm_bm25_topk",
-    "dq_rule_engine",
-    "agg_sampled_sum_error",
+    "llm_bm25_topk", "dq_rule_engine", "agg_sampled_sum_error",
     # ext23 (seasonal decomposition / streaming rule gate)
-    "ts_seasonal_decompose",
-    "mv_stream_rule_engine",
+    "ts_seasonal_decompose", "mv_stream_rule_engine",
     # ext24 (training-set assembly planning)
-    "events_pit_features",
-    "llm_mix_epochs_planner",
+    "events_pit_features", "llm_mix_epochs_planner",
     # ext25 (streaming feature store)
     "mv_stream_pit_features",
     # ext26 (LSH tuning metrology)
@@ -143,6 +87,16 @@ _DEFERRED: tuple[str, ...] = (
     # ext29 (HITS centrality)
     "graph_hits_bipartite",
 )
+
+# Second tier: empty — every never-checked name is in tier 1 now.
+_PRIORITY2: tuple[str, ...] = ()
+
+# Names registered AFTER a round's check budget is already full: held at
+# the very end of the fresh ordering so they cannot evict a budgeted
+# name. Empty at the r8 rotation — the r7 deferrals were all promoted
+# into tier 1 (31 names < the ~50 budget). New round-8 registrations
+# land here only if tier 1 plus reruns would already exhaust the budget.
+_DEFERRED: tuple[str, ...] = ()
 
 # Names with a driver-side green row in CORRECTNESS_r01/r02/r03.json —
 # cumulative (122 currently-registered names, zero red; 121 oracled +
@@ -269,6 +223,29 @@ _DRIVER_CHECKED: frozenset[str] = frozenset({
     "dq_skew_profile", "ts_ewma_daily", "q_order_cadence",
     "llm_dedup_prefix_filter", "ts_yoy_growth", "events_stickiness",
     "dq_fd_violations", "scalar_business_days", "agg_bitmap_distinct",
+    # round 7 additions (CORRECTNESS_r07.json: 50/50 green — third
+    # consecutive perfect round; cumulative 321 currently-registered of
+    # 351 oracled names)
+    "window_streaks", "ts_dow_seasonal", "scalar_url_parse",
+    "mv_bitmap_distinct", "mv_stream_bitmap_distinct",
+    "sql_pipe_syntax", "sql_udf_scalar", "sql_session_variables",
+    "sql_exec_immediate", "scalar_collation", "llm_url_dedup_canonical",
+    "lake_zorder_prune", "join_count_product_rewrite",
+    "agg_percentile_cont", "ts_changepoint_cusum",
+    "agg_kendall_concordance", "llm_multimodal_dedup",
+    "sql_table_function", "ts_autocorr_lags", "join_asof_nearest",
+    "window_ntile", "geo_grid_knn", "geo_grid_blocked_join",
+    "agg_chi2_independence", "ts_cross_correlation",
+    "window_rolling_median", "sort_keyset_pagination",
+    "etl_surrogate_keys", "ts_bitemporal_pit", "llm_text_readability",
+    "dq_sequence_gaps", "agg_trimmed_winsorized", "scalar_jaro_winkler",
+    "ts_holt_linear", "graph_kcore", "stat_bootstrap_ci",
+    "dq_schema_drift", "er_resolve_pipeline", "agg_hhi_concentration",
+    "lake_bloom_point_lookup", "stat_cuped_adjustment",
+    "llm_hellinger_sources", "stream_interval_join",
+    "stream_interval_join_outer", "q_segment_migration",
+    "q_cohort_ltv_curve", "er_blocking_quality", "stat_mannwhitney_u",
+    "window_rolling_band", "q_pareto_concentration",
 })
 
 
