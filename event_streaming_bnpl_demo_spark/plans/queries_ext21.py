@@ -159,7 +159,7 @@ FROM ranked
 @register("etl_range_boundaries", oracle=_RANGE_BOUND_ORACLE,
           tags=("etl", "layout", "sort"))
 def etl_range_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range-partitioner boundary planning: the k-1 = {_K_PARTS}-1 split
+    """Range-partitioner boundary planning: the k-1 = 7 (_K_PARTS - 1) split
     values of o_totalprice (cents) at ranks ceil(i·n/k) — exactly the
     boundaries a balanced range shuffle (global sort, range-clustered
     write) would route on, each an actual stored element (the

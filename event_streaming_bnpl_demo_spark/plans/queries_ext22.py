@@ -86,8 +86,8 @@ LIMIT {_BM25_K}
 @register("llm_bm25_topk", oracle=_BM25_ORACLE,
           tags=("llm", "text", "retrieval"))
 def llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 ranked retrieval: top-{_BM25_K} documents for the query
-    terms {_BM25_TERMS}, scored with the classic
+    """BM25 ranked retrieval: top-15 (_BM25_K) documents for the query
+    terms ('join', 'filter', 'data'), scored with the classic
     ``idf · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))`` saturation form
     (k1=1.2, b=0.75) — the lexical retrieval tier that
     complements the embedding ANN stack (``llm_simsearch_*``): eval-set

@@ -125,8 +125,8 @@ WITH s AS (
   FROM documents GROUP BY source
 ), w AS (
   SELECT source, n_docs, n_tokens,
-         CAST(FLOOR(POWER(CAST(n_tokens AS DOUBLE),
-                          {_MIX_TAU_NUM}.0e0 / {_MIX_TAU_DEN}.0e0)
+         CAST(FLOOR(EXP(({_MIX_TAU_NUM}.0e0 / {_MIX_TAU_DEN}.0e0)
+                        * LN(CAST(n_tokens AS DOUBLE)))
                     * 1000000.0e0 + 0.5e0) AS BIGINT) AS wgt_micro
   FROM s
 ), tot AS (
@@ -164,10 +164,13 @@ def llm_mix_epochs_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs one corpus scan no matter the budget.
 
     Numerics: token counts are exact integers; the only transcendental
-    (x^0.7) runs once per source in identical formula text with
-    explicitly-DOUBLE operands and e0 literals, then fixes to micro
-    integer weights (the ext22 BM25 doctrine); every downstream step is
-    integer multiply/divide, so targets and epoch ratios hash exactly.
+    (x^0.7, computed as EXP(0.7*LN(x)) because fractional POWER is NOT
+    in the probed bit-identical set — JVM Math.pow is <=1 ulp, not
+    correctly rounded, while ln/exp ARE probed identical) runs once per
+    source in identical formula text with explicitly-DOUBLE operands
+    and e0 literals, then fixes to micro integer weights (the ext22
+    BM25 doctrine); every downstream step is integer multiply/divide,
+    so targets and epoch ratios hash exactly.
 
     Scale: one corpus scan to per-source token sums (map-side
     combinable, |sources| rows out), then closed-form arithmetic on the
@@ -179,8 +182,8 @@ def llm_mix_epochs_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_toks").alias("n_tokens"))
     w = s.withColumn("wgt_micro", F.expr(
-        f"CAST(FLOOR(POWER(CAST(n_tokens AS DOUBLE),"
-        f" {_MIX_TAU_NUM}.0e0 / {_MIX_TAU_DEN}.0e0)"
+        f"CAST(FLOOR(EXP(({_MIX_TAU_NUM}.0e0 / {_MIX_TAU_DEN}.0e0)"
+        f" * LN(CAST(n_tokens AS DOUBLE)))"
         f" * 1000000.0e0 + 0.5e0) AS BIGINT)"))
     tot = w.agg(F.sum("wgt_micro").alias("wtot"))
     plan = (w.crossJoin(F.broadcast(tot))

@@ -76,12 +76,12 @@ def mv_stream_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "ts",
         F.expr(_VCENTS).alias("vcents"))
     fp = source_fingerprint(sf_dir)
-    work = _scratch(f"pitstream_v2_{fp}")
+    work = _scratch(f"pitstream_v3_{fp}")
 
     def write_slices(tmp: str) -> None:
         stage_time_slices(ev, tmp)
 
-    in_dir = stage_once(f"pitstream_in_v2_{fp}", write_slices)
+    in_dir = stage_once(f"pitstream_in_v3_{fp}", write_slices)
     return run_pit_stream(spark, in_dir, work)
 
 
@@ -114,13 +114,26 @@ def run_pit_stream(spark: SparkSession, in_dir: str, work: str) -> DataFrame:
     agg_cols = ["c_all", *[f"c_{t}" for t in _TYPES], "v_cents"]
 
     def fold(batch: DataFrame, batch_id: int) -> None:
-        bmin = batch.agg(F.min("ts")).collect()[0][0]
+        # min (ts, event_id) — struct min orders lexicographically, so
+        # the batch boundary is the composite range key, not ts alone:
+        # two adjacent range slices CAN share a min ts (a slice made
+        # wholly of one hot timestamp), and a ts-only `<` filter would
+        # silently drop the earlier slice's whole history.
+        b0 = batch.agg(F.min(F.struct("ts", "event_id"))).collect()[0][0]
+        if b0 is None:
+            return  # empty micro-batch: no state, no output (a NullType
+            # slice_min_ts literal would otherwise break the write)
+        bmin, bmin_eid = b0["ts"], b0["event_id"]
         have_state = bool(_glob.glob(f"{state_dir}/batch=*"))
         prior = None
         if have_state:
+            earlier = (
+                (F.col("slice_min_ts") < F.lit(bmin))
+                | ((F.col("slice_min_ts") == F.lit(bmin))
+                   & (F.col("slice_min_eid") < F.lit(bmin_eid))))
             prior = (spark.read.option("basePath", state_dir)
                      .parquet(f"{state_dir}/batch=*")
-                     .filter(F.col("slice_min_ts") < F.lit(bmin))
+                     .filter(earlier)
                      .groupBy("user_id")
                      .agg(*(F.sum(c).alias(c) for c in agg_cols)))
 
@@ -153,6 +166,7 @@ def run_pit_stream(spark: SparkSession, in_dir: str, work: str) -> DataFrame:
                        f" END)").alias(f"c_{t}") for t in _TYPES],
               F.sum("vcents").alias("v_cents"))
          .withColumn("slice_min_ts", F.lit(bmin))
+         .withColumn("slice_min_eid", F.lit(bmin_eid))
          .write.mode("overwrite").parquet(f"{state_dir}/batch={batch_id}"))
 
     q = (spark.readStream

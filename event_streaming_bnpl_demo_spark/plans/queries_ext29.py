@@ -72,11 +72,11 @@ def _hits_oracle() -> str:
 @register("graph_hits_bipartite", oracle=_hits_oracle(),
           tags=("graph", "iterative", "centrality"))
 def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HITS ({_ITERS} iterations) over customer→supplier purchase
+    """HITS (_ITERS = 3 iterations) over customer→supplier purchase
     edges: authority(v) = Σ hub(u) over in-edges, hub(u) = Σ
     authority(v) over out-edges, each vector max-normalized to integer
     micro-scores per step (truncating DIV — probed identical to DuckDB
-    ``//``). Returns the top-{_TOPK} authorities and hubs with a total
+    ``//``). Returns the top-10 (_TOPK) authorities and hubs with a total
     (score desc, node) tie-break. The oracle unrolls the identical
     three iterations as chained CTEs — the PageRank verification
     doctrine applied to a two-vector recursion.
