@@ -324,9 +324,12 @@ def stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import scoped_shuffle_partitions
 
     # fresh-checkpoint stateful query: size the state store for the
-    # keyspace, not the batch default (6.3 s -> 4.4 s warm at sf0.1;
-    # see session.scoped_shuffle_partitions)
-    with scoped_shuffle_partitions(spark, 8):
+    # keyspace, not the batch default (see
+    # session.scoped_shuffle_partitions). Re-swept after the r8
+    # numpy-vectorized emit-on-change fold: 16 now beats 8 (the
+    # per-row-Python era's dispatch-bound optimum) — 5.5 s @ 8 vs
+    # ~4.5 s @ 16/24 warm at sf0.1; 32 regresses again.
+    with scoped_shuffle_partitions(spark, 16):
         matched = build_asof_stream(spark, in_dir)
         q = (matched.writeStream.format("memory").queryName(name)
              .outputMode("update")

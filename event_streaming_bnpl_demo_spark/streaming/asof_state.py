@@ -34,6 +34,7 @@ from __future__ import annotations
 from bisect import bisect_right
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.streaming.stateful_processor import (
@@ -59,40 +60,86 @@ ASOF_OUTPUT_SCHEMA = StructType([
 _OUT_COLS = [f.name for f in ASOF_OUTPUT_SCHEMA.fields]
 
 
+def _match_views(view_ts: np.ndarray, view_id: np.ndarray,
+                 q_ts: np.ndarray
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized nearest-prior-view lookup: for each query timestamp,
+    the latest view with v_ts <= q_ts, ties preferring the larger view
+    id (matches the oracle's ORDER BY v.ts DESC, v.event_id DESC —
+    lexsort puts the largest id last within a timestamp, and
+    searchsorted(side='right') - 1 lands on it). Returns
+    (has_match, view_id, view_ts) arrays."""
+    if len(view_ts) == 0 or len(q_ts) == 0:
+        z = np.zeros(len(q_ts), dtype=np.int64)
+        return np.zeros(len(q_ts), dtype=bool), z, z
+    order = np.lexsort((view_id, view_ts))
+    vt, vi = view_ts[order], view_id[order]
+    idx = np.searchsorted(vt, q_ts, side="right")
+    has = idx > 0
+    j = np.maximum(idx - 1, 0)
+    return has, np.where(has, vi[j], 0), np.where(has, vt[j], 0)
+
+
 def asof_update(key: tuple, pdfs: Iterator[pd.DataFrame],
                 state: GroupState) -> Iterator[pd.DataFrame]:
-    """Fold a micro-batch into one user's state and re-emit current
-    matches for all of the user's purchases (rows: ASOF_OUTPUT_SCHEMA;
-    view columns None when no prior view exists yet)."""
+    """Fold a micro-batch into one user's state and emit the CURRENT
+    match for every purchase whose match this batch created or changed
+    (rows: ASOF_OUTPUT_SCHEMA; view columns null when no prior view
+    exists yet). Emit-on-change is sound because the downstream reader
+    keeps each purchase's highest-version row: an unchanged purchase's
+    last emission is still its current truth, so re-emitting it would
+    only re-ship bytes the sink already holds. The whole fold is
+    numpy-vectorized (one searchsorted over the user's sorted views),
+    no per-row Python."""
     if state.exists:
-        v_ts, v_id, p_ts, p_id, version = state.get
-        v_ts, v_id, p_ts, p_id = (list(v_ts), list(v_id),
-                                  list(p_ts), list(p_id))
+        sv_ts, sv_id, sp_ts, sp_id, version = state.get
+        v_ts, v_id = list(sv_ts), list(sv_id)
+        p_ts, p_id = list(sp_ts), list(sp_id)
     else:
         v_ts, v_id, p_ts, p_id, version = [], [], [], [], 0
+    n_old_p, n_old_v = len(p_ts), len(v_ts)
+    old_v_ts = np.asarray(v_ts, dtype=np.int64)
+    old_v_id = np.asarray(v_id, dtype=np.int64)
     for pdf in pdfs:
-        for r in pdf.itertuples(index=False):
-            if r.event_type == "view":
-                v_ts.append(int(r.ts_us)); v_id.append(int(r.event_id))
-            else:
-                p_ts.append(int(r.ts_us)); p_id.append(int(r.event_id))
+        if not len(pdf):
+            continue
+        is_v = pdf["event_type"].to_numpy() == "view"
+        ts = pdf["ts_us"].to_numpy(np.int64)
+        eid = pdf["event_id"].to_numpy(np.int64)
+        v_ts += ts[is_v].tolist(); v_id += eid[is_v].tolist()
+        p_ts += ts[~is_v].tolist(); p_id += eid[~is_v].tolist()
     version += 1
     state.update((v_ts, v_id, p_ts, p_id, version))
 
-    views = sorted(zip(v_ts, v_id))
-    user = key[0]
-    rows = []
-    for pts, pid in zip(p_ts, p_id):
-        # latest view with v_ts <= p_ts; ties prefer the larger view id
-        # (matches the oracle's ORDER BY v.ts DESC, v.event_id DESC)
-        i = bisect_right(views, (pts, float("inf")))
-        if i:
-            vt, vi = views[i - 1]
-            rows.append((user, pid, vi,
-                         pts // 1_000_000 - vt // 1_000_000, version))
+    pts = np.asarray(p_ts, dtype=np.int64)
+    pid = np.asarray(p_id, dtype=np.int64)
+    has, mvi, mvt = _match_views(np.asarray(v_ts, dtype=np.int64),
+                                 np.asarray(v_id, dtype=np.int64), pts)
+
+    emit = np.ones(len(pts), dtype=bool)
+    if n_old_p:
+        if len(v_ts) == n_old_v:
+            # no new views: every pre-existing purchase is unchanged
+            emit[:n_old_p] = False
         else:
-            rows.append((user, pid, None, None, version))
-    yield pd.DataFrame(rows, columns=_OUT_COLS)
+            ohas, ovi, _ = _match_views(old_v_ts, old_v_id, pts[:n_old_p])
+            emit[:n_old_p] = ((ohas != has[:n_old_p])
+                              | (ovi != mvi[:n_old_p]))
+    if not emit.any():
+        return
+    e_has = has[emit]
+    e_pts, e_vt = pts[emit], mvt[emit]
+    secs = e_pts // 1_000_000 - e_vt // 1_000_000
+    n = int(emit.sum())
+    out = pd.DataFrame({
+        "user_id": np.full(n, key[0], dtype=np.int64),
+        "purchase_id": pid[emit],
+        "view_id": pd.array(mvi[emit], dtype="Int64"),
+        "seconds_since_view": pd.array(secs, dtype="Int64"),
+        "version": np.full(n, version, dtype=np.int64),
+    })
+    out.loc[~e_has, ["view_id", "seconds_since_view"]] = pd.NA
+    yield out
 
 
 #: re-export for callers wiring the stream
