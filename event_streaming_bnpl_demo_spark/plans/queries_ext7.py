@@ -30,8 +30,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources import load_table
+from ..sources import load_table, maybe_broadcast
 from .catalog import register
+
+
+def _scan_scaled_partitions(sf_dir: str, table: str,
+                            lo: int = 32, hi: int = 512) -> int:
+    """Exchange width ∝ measured on-disk size of the driving scan
+    (1 partition per ~2 MB of compressed parquet, clamped): the
+    structural-repartition analog of maybe_broadcast's stats gate, for
+    exchanges whose IN-FLIGHT row mass far exceeds their collapsed
+    output (AQE sizes those for the output and under-parallelizes).
+    At 100 TB the clamp ceiling is the knob; the shape is unchanged."""
+    import os
+
+    from ..sources.tables import table_path
+    try:
+        path = table_path(sf_dir, table)
+        size = (sum(e.stat().st_size for e in os.scandir(path)
+                    if e.is_file())
+                if os.path.isdir(path) else os.path.getsize(path))
+    except OSError:
+        return lo
+    return max(lo, min(hi, size // (2 * 1024 * 1024)))
 
 _CENTS = "CAST(FLOOR({col} * 100 + 0.5) AS BIGINT)"
 
@@ -433,32 +454,42 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pair expansion stays inside a part bucket bounded by the
     64-degree cap; degrees are one O(edges) aggregate; the two degree
     joins attach to the wedge table (already collapsed), and top-20 is
-    TakeOrdered — no global sort, no all-pairs anywhere. The hub cap
-    is a COUNT WINDOW over the per-part exchange (no
-    aggregate-and-join-back, which would re-plan the edge derivation),
-    and the filtered edge set — which feeds three consumers (degrees +
-    both wedge sides) — is localCheckpointed exactly once: O(edges)
-    executor-local storage versus re-planning the orders x lineitem
-    join per consumer (the same materialize-the-frontier reasoning as
-    graph_khop_reach). The wedge shuffle itself is the operator's
-    intrinsic cost: sum over parts of degree^2 pairs, linear in part
-    count at fixed degree profile.
+    TakeOrdered — no global sort, no all-pairs anywhere. The r8 shape
+    collapses the edge derivation to ONE exchange: groupBy(p) with
+    collect_set does the (c,p) dedup AND the hub-cap count in the same
+    shuffle (the old distinct + count-window cost two), the small
+    orders side rides the maybe_broadcast stats gate, and the per-part
+    sets — which feed three consumers (degrees + both wedge sides via
+    explode, all p-co-partitioned so the self-join is exchange-free) —
+    are localCheckpointed exactly once. The wedge shuffle itself is
+    the operator's intrinsic cost (sum over parts of degree^2 pairs,
+    ~90M at sf1) and is explicitly repartitioned to a width scaled by
+    measured input size: AQE's post-hoc coalesce sizes that exchange
+    for the collapsed OUTPUT (~150k rows) when the in-flight cost is
+    the pre-agg pair mass (31 s -> 11 s warm at sf1 from the width fix
+    + one-exchange edge build; 6.1 s -> 4.3 s at sf0.1).
     """
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey")
-    e0 = (o.join(li, o.o_orderkey == li.l_orderkey)
-          .select(F.col("o_custkey").alias("c"),
-                  F.col("l_partkey").alias("p")).distinct())
-    e = (e0.withColumn("dp", F.count(F.lit(1))
-                       .over(Window.partitionBy("p")))
-         .filter(F.col("dp") <= 64).drop("dp")
-         .localCheckpoint(eager=True))
+    sets = (li.join(maybe_broadcast(o, sf_dir, "orders"),
+                    li.l_orderkey == o.o_orderkey)
+            .select(F.col("o_custkey").alias("c"),
+                    F.col("l_partkey").alias("p"))
+            .groupBy("p").agg(F.collect_set("c").alias("cs"))
+            .filter(F.size("cs") <= 64)
+            .localCheckpoint(eager=True))
+    e = sets.select("p", F.explode("cs").alias("c"))
     deg = e.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
     a = e.select("p", F.col("c").alias("c1"))
     b = e.select("p", F.col("c").alias("c2"))
+    # pair-exchange width ∝ wedge mass, proxied by the fact-table scan
+    # size (the session default 32 under-parallelizes the 90M-pair
+    # exchange at sf1; a fixed 64 over-tasks sf0.01's driver gate)
+    nparts = _scan_scaled_partitions(sf_dir, "lineitem")
     wedges = (a.join(b, "p")
               .filter(F.col("c1") < F.col("c2"))
+              .repartition(nparts, "c1", "c2")
               .groupBy("c1", "c2")
               .agg(F.count(F.lit(1)).alias("n_common"))
               .filter(F.col("n_common") >= 3))
