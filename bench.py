@@ -225,6 +225,10 @@ HEADLINE = [
     "agg_covariance_matrix",
     # ext28: the DiD experiment readout
     "stat_diff_in_diff",
+    # ext30: the Catalyst ANN rewrite run natively — build_session
+    # loads the extension jar, so this times the engine-injected
+    # sign-bucket plan (llm_simsearch_topk above is its brute baseline)
+    "llm_simsearch_ann_native",
 ]
 
 #: Headline queries excluded from the sf1 section only, each with the
@@ -239,6 +243,17 @@ def build_session(cpus: str) -> SparkSession:
          .config("spark.ui.enabled", "false")
          .config("spark.driver.memory",
                  os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")))
+    try:
+        # the Catalyst extension (native cosine_sim + opt-in ANN
+        # rewrite) — queries fall back to composed arithmetic when the
+        # jar can't build, so a missing compiler is never fatal
+        from tools.build_extension import ensure_jar
+        jar = ensure_jar()
+        b = (b.config("spark.jars", jar)
+             .config("spark.driver.extraClassPath", jar)
+             .config("spark.sql.extensions", "graft.spark.GraftExtensions"))
+    except Exception:
+        pass
     for k, v in RUNTIME_CONF.items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -49,12 +49,13 @@ _REGISTRY: dict[str, Query] = {}
 # queries per round, taken in dict order. Cumulative driver-green after
 # round 7: 321 currently-registered of 351 oracled names
 # (CORRECTNESS_r01..r07.json — 323 historical green rows, two of which
-# were renamed/absorbed), zero standing failures. Tier 1 = the 31
-# oracled names with no driver row yet at the r7 rotation: the 3
-# budget-bound leftovers from the old queue plus the 28 ext19–ext29
-# session additions, all of which passed the judge's replica of the
-# driver gate at sf0.01 (81/81 in the round-7 judging). 31 < the ~50
-# budget, so round 8 closes the catalog at 351/351 driver-verified.
+# were renamed/absorbed), zero standing failures. Tier 1 = the 32
+# oracled names with no driver row yet: the 3 budget-bound leftovers
+# from the old queue, the 28 ext19–ext29 session additions (all of
+# which passed the judge's replica of the driver gate at sf0.01 —
+# 81/81 in the round-7 judging), and the one round-8 registration
+# (ext30, the Catalyst ANN rewrite query). 32 < the ~50 budget, so
+# round 8 closes the catalog at 352/352 driver-verified.
 # Rotation is a round-close invariant, guarded by
 # tests/test_catalog_rotation.py: every name in the latest
 # CORRECTNESS_r*.json must be folded into _DRIVER_CHECKED and no
@@ -86,6 +87,8 @@ _PRIORITY: tuple[str, ...] = (
     "stat_diff_in_diff",
     # ext29 (HITS centrality)
     "graph_hits_bipartite",
+    # ext30 (Catalyst ANN rewrite as an oracled query — r7 verdict ask #6)
+    "llm_simsearch_ann_native",
 )
 
 # Second tier: empty — every never-checked name is in tier 1 now.
@@ -361,4 +364,5 @@ def _load() -> None:
     from . import queries_ext27     # noqa: F401
     from . import queries_ext28     # noqa: F401
     from . import queries_ext29     # noqa: F401
+    from . import queries_ext30     # noqa: F401
     _LOADED = True

@@ -151,6 +151,26 @@ out["df_api_fires"] = bool(sign_filter_lines(opt_plan(dfq)))
 out["df_api_equal"] = [r["vec_id"] for r in dfq.collect()] == res_on
 
 out["off_result_is_brute"] = res_off == [365, 334, 387, 423, 73]
+
+# 7. the catalog entry rides the rewrite: llm_simsearch_ann_native on a
+# native session must (a) opt into the rewrite itself (flag starts
+# false), (b) show the injected sign filter in its optimized plan,
+# (c) restore the session flag, and (d) hash-match its own DuckDB
+# oracle — the same compare the driver gate runs on the fallback path.
+from event_streaming_bnpl_demo_spark.plans import all_queries
+catq = all_queries()["llm_simsearch_ann_native"]
+spark.conf.set("spark.graft.ann.rewrite.enabled", "false")
+df_cat = catq.fn(spark, %(sf)r)
+out["catalog_plan_has_sign_filter"] = bool(sign_filter_lines(opt_plan(df_cat)))
+out["catalog_conf_restored"] = (
+    spark.conf.get("spark.graft.ann.rewrite.enabled") == "false")
+got = sorted(tuple(map(str, r)) for r in df_cat.collect())
+import duckdb
+con = duckdb.connect()
+con.execute("CREATE VIEW embeddings AS SELECT * FROM "
+            + repr(%(sf)r + "/embeddings.parquet"))
+exp = sorted(tuple(map(str, r)) for r in con.execute(catq.oracle).fetchall())
+out["catalog_matches_oracle"] = got == exp
 print("VERDICT:" + json.dumps(out))
 """
 
@@ -203,3 +223,13 @@ def test_rewrite_guards(verdict):
 def test_rewrite_fires_for_dataframe_api(verdict):
     assert verdict["df_api_fires"]
     assert verdict["df_api_equal"]
+
+
+def test_catalog_ann_query_uses_rewrite(verdict):
+    """r7 verdict ask #6: the oracled catalog entry's plan carries the
+    engine-injected sign-bucket filter below the sort, the query opts
+    in (and back out) of the rewrite flag itself, and the native-path
+    result hash-matches the same DuckDB oracle the driver gate runs."""
+    assert verdict["catalog_plan_has_sign_filter"]
+    assert verdict["catalog_conf_restored"]
+    assert verdict["catalog_matches_oracle"]
