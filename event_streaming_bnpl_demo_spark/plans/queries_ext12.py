@@ -154,6 +154,25 @@ def jaro_winkler_udf():
     return jw_udf
 
 
+def jw_column(spark: SparkSession):
+    """``(col_a, col_b) -> Column`` Jaro-Winkler scorer: the native
+    Catalyst ``jaro_winkler_sim`` when the session carries the
+    extension jar (``jvm/GraftSparkExtensions.scala`` — one codegen'd
+    call, NO Python worker in the ER path), the Arrow-batched pandas
+    UDF otherwise (the driver's plain session). Both are bit-equal to
+    DuckDB's ``jaro_winkler_similarity``: the native expression by the
+    extension law suite (tests/test_catalyst_extension.py), the UDF by
+    the hypothesis law in tests/test_ext12_semantics.py — so every
+    caller hash-matches the same oracle on either path."""
+    try:
+        if spark.catalog.functionExists("jaro_winkler_sim"):
+            return lambda a, b: F.expr(f"jaro_winkler_sim({a}, {b})")
+    except Exception:
+        pass
+    udf = jaro_winkler_udf()
+    return lambda a, b: udf(F.col(a), F.col(b))
+
+
 _KNN_PROBES = 200   # bounded probe set: the 200 lowest customer keys
 _KNN_K = 3
 
@@ -902,25 +921,23 @@ def agg_trimmed_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scalar", "fuzzy", "udf"),
 )
 def scalar_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Jaro-Winkler string similarity between adjacent part names, as
-    an Arrow-batched pandas UDF — the fuzzy-match scalar Spark lacks
-    as a builtin (levenshtein is the only built-in edit metric;
-    scalar_levenshtein covers it). Algorithm: match window
-    max(|a|,|b|)/2 - 1, transpositions halved, Winkler prefix boost
-    0.1/char (<= 4 chars) applied above 0.7 — verified bit-equal to
-    DuckDB's jaro_winkler_similarity on every pair in this domain (the
-    score is a small-integer rational, exactly representable; both
-    implementations evaluate (m/l1 + m/l2 + (m-t)/m)/3 then
-    j + p*0.1*(1-j) in IEEE doubles).
+    """Jaro-Winkler string similarity between adjacent part names —
+    the fuzzy-match scalar Spark lacks as a builtin (levenshtein is
+    the only built-in edit metric; scalar_levenshtein covers it).
+    Scored via :func:`jw_column`: the native codegen expression on
+    extension sessions, the Arrow-batched pandas UDF elsewhere — both
+    bit-equal to DuckDB's jaro_winkler_similarity (the score is a
+    small-integer rational; every implementation evaluates
+    (m/l1 + m/l2 + (m-t)/m)/3 then j + p*0.1*(1-j) in IEEE doubles).
 
-    Scale: a narrow per-row map; Arrow ships the two string columns,
-    one Python worker call per batch (~10k rows), no shuffle. The
-    self-join on key+1 is a broadcast-range pairing bounded at 300
-    probe rows by construction — fuzzy ALL-PAIRS matching at scale
-    goes through blocking first (join_fuzzy_blocked,
-    er_resolve_pipeline), exactly like dedup.
+    Scale: a narrow per-row map, no shuffle; native path is one
+    whole-stage-codegen call per row, UDF path ships two string
+    columns per Arrow batch. The self-join on key+1 is a
+    broadcast-range pairing bounded at 300 probe rows by construction
+    — fuzzy ALL-PAIRS matching at scale goes through blocking first
+    (join_fuzzy_blocked, er_resolve_pipeline), exactly like dedup.
     """
-    jw_udf = jaro_winkler_udf()
+    jw = jw_column(spark)
     part = load_table(spark, sf_dir, "part")
     a = (part.filter(F.col("p_partkey") < 300)
          .select(F.col("p_partkey").alias("key_a"),
@@ -929,5 +946,5 @@ def scalar_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("p_name").alias("name_b"))
     return (a.join(b, F.col("key_b") == F.col("key_a") + 1)
             .select("key_a", "key_b",
-                    jw_udf("name_a", "name_b").alias("jw"))
+                    jw("name_a", "name_b").alias("jw"))
             .orderBy("key_a"))

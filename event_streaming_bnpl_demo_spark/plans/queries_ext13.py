@@ -465,7 +465,7 @@ def _er_pairs_sql() -> str:
 def er_resolve_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution end-to-end over the part catalog: BLOCK by
     (brand, size), score candidate pairs inside each block with the
-    Jaro-Winkler pandas UDF (shared with scalar_jaro_winkler,
+    Jaro-Winkler scorer (jw_column, shared with scalar_jaro_winkler,
     bit-equal to DuckDB's builtin so the >= 0.90 threshold decides
     identically in both engines), keep matches as an undirected graph,
     and collapse transitive matches into canonical entities with
@@ -482,9 +482,9 @@ def er_resolve_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     join_salted_skew.
     """
     from ..operators.components import connected_components
-    from .queries_ext12 import jaro_winkler_udf
+    from .queries_ext12 import jw_column
 
-    jw = jaro_winkler_udf()
+    jw = jw_column(spark)
     part = load_table(spark, sf_dir, "part")
     a = part.select(F.col("p_partkey").alias("src"),
                     F.col("p_name").alias("name_a"),

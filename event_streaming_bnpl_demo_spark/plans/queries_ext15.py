@@ -240,9 +240,9 @@ def er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus recall estimated on this probe — the standard ER
     methodology.
     """
-    from .queries_ext12 import jaro_winkler_udf
+    from .queries_ext12 import jw_column
 
-    jw = jaro_winkler_udf()
+    jw = jw_column(spark)
     part = load_table(spark, sf_dir, "part")
     probe = (part.filter(F.col("p_partkey") < _ERQ_PROBE)
              .select("p_partkey", "p_name", "p_brand", "p_size"))

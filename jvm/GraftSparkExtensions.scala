@@ -37,12 +37,15 @@ package graft.spark
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Exact cosine over two numeric arrays, unrolled to `dim` dimensions of
  *  resolved scalar arithmetic (stays in whole-stage codegen; NULL if either
@@ -67,6 +70,96 @@ case class CosineSim(a: Expression, b: Expression, dim: Int)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(a = newChildren(0), b = newChildren(1))
+}
+
+/** Jaro-Winkler similarity, the exact algorithm of the Arrow-batched
+ *  pandas UDF in `plans/queries_ext12.jaro_winkler_udf` (itself proven
+ *  bit-equal to DuckDB's `jaro_winkler_similarity` by the hypothesis law
+ *  in tests/test_ext12_semantics.py): half-max-length match window,
+ *  transpositions halved, 0.1/char Winkler prefix boost above 0.7 with
+ *  the prefix capped at 4. Iterates CODE POINTS (not UTF-16 units), so
+ *  supplementary-plane strings score identically to the Python
+ *  reference. The same IEEE association — (m/l1 + m/l2 + (m-t)/m)/3,
+ *  then s + (pl*0.1)*(1-s) — keeps the result bit-equal. */
+object JaroWinklerImpl {
+  def similarity(sa: String, sb: String): Double = {
+    val a = sa.codePoints.toArray
+    val b = sb.codePoints.toArray
+    val l1 = a.length
+    val l2 = b.length
+    if (l1 == 0 || l2 == 0) return 0.0    // empty check precedes equal
+    if (java.util.Arrays.equals(a, b)) return 1.0
+    val win = math.max(l1, l2) / 2 - 1
+    val m1 = new Array[Boolean](l1)
+    val m2 = new Array[Boolean](l2)
+    var m = 0
+    var i = 0
+    while (i < l1) {
+      var j = math.max(0, i - win)
+      val hi = math.min(l2, i + win + 1)
+      var matched = false
+      while (j < hi && !matched) {
+        if (!m2(j) && b(j) == a(i)) {
+          m1(i) = true; m2(j) = true; m += 1; matched = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var j = 0
+    i = 0
+    while (i < l1) {
+      if (m1(i)) {
+        while (!m2(j)) j += 1
+        if (a(i) != b(j)) t += 1
+        j += 1
+      }
+      i += 1
+    }
+    t /= 2
+    val s = (m.toDouble / l1 + m.toDouble / l2 + (m - t).toDouble / m) / 3.0
+    if (s > 0.7) {
+      var pl = 0
+      val lim = math.min(4, math.min(l1, l2))
+      var k = 0
+      while (k < lim && a(k) == b(k)) { pl += 1; k += 1 }
+      s + pl * 0.1 * (1.0 - s)
+    } else s
+  }
+}
+
+/** `jaro_winkler_sim(a, b)` as a native binary expression: nullSafeEval
+ *  plus a one-call doGenCode (the `levenshtein` builtin's pattern), so
+ *  the ER scoring loop stays inside whole-stage codegen with no Python
+ *  worker in the path. */
+case class JaroWinklerSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: StringType, _: StringType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"jaro_winkler_sim expects (string, string), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    JaroWinklerImpl.similarity(l.asInstanceOf[UTF8String].toString,
+                               r.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.spark.JaroWinklerImpl.similarity($a.toString(), $b.toString())")
+
+  override def prettyName: String = "jaro_winkler_sim"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Opt-in rewrite: ORDER BY cosine_sim(col, lit) DESC LIMIT k  →  the same
@@ -186,6 +279,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           catch { case _: Exception => 64 }
         CosineSim(args(0), args(1), dim)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler_sim"),
+      new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler_sim"),
+      (args: Seq[Expression]) => JaroWinklerSim(args(0), args(1))))
     ext.injectPostHocResolutionRule(session => new AnnSignBucketRewrite(session))
   }
 }

@@ -171,6 +171,31 @@ con.execute("CREATE VIEW embeddings AS SELECT * FROM "
             + repr(%(sf)r + "/embeddings.parquet"))
 exp = sorted(tuple(map(str, r)) for r in con.execute(catq.oracle).fetchall())
 out["catalog_matches_oracle"] = got == exp
+
+# 8. native jaro_winkler_sim: bit-equal to the pandas-UDF reference
+# algorithm on adversarial pairs (incl. supplementary-plane code
+# points), and the scalar_jaro_winkler catalog entry on a native
+# session drops the Python worker (no EvalPython node) while still
+# hash-matching its own DuckDB oracle.
+import tests.test_ext12_semantics as ref
+jw_pairs = [("", ""), ("a", ""), ("", "b"), ("a", "a"), ("abab", "baba"),
+            ("DIXON", "DICKSONX"), ("MARTHA", "MARHTA"), ("CRATE", "TRACE"),
+            ("aaaa", "aaab"), ("ab", "ba"), ("\U0001F600ab", "\U0001F600abc"),
+            ("prefix boost here", "prefix boost here!"), ("x" * 30, "x" * 29 + "y")]
+jw_df = spark.createDataFrame(jw_pairs, "a string, b string")
+jw_got = spark.sql(
+    "SELECT a, b, jaro_winkler_sim(a, b) AS jw FROM {d}", d=jw_df).collect()
+out["jw_value_equal"] = all(r["jw"] == ref._jw(r["a"], r["b"]) for r in jw_got)
+
+jwq = all_queries()["scalar_jaro_winkler"]
+df_jw = jwq.fn(spark, %(sf)r)
+jw_plan = df_jw._jdf.queryExecution().executedPlan().toString()
+out["jw_no_python_worker"] = "EvalPython" not in jw_plan
+con.execute("CREATE VIEW part AS SELECT * FROM "
+            + repr(%(sf)r + "/part.parquet"))
+jw_exp = sorted(tuple(map(str, r)) for r in con.execute(jwq.oracle).fetchall())
+jw_res = sorted(tuple(map(str, r)) for r in df_jw.collect())
+out["jw_catalog_matches_oracle"] = jw_res == jw_exp
 print("VERDICT:" + json.dumps(out))
 """
 
@@ -233,3 +258,12 @@ def test_catalog_ann_query_uses_rewrite(verdict):
     assert verdict["catalog_plan_has_sign_filter"]
     assert verdict["catalog_conf_restored"]
     assert verdict["catalog_matches_oracle"]
+
+
+def test_native_jaro_winkler(verdict):
+    """r7 verdict ask #7: the Scala jaro_winkler_sim is bit-equal to
+    the pandas-UDF reference, and scalar_jaro_winkler on a native
+    session runs with NO Python worker while matching its oracle."""
+    assert verdict["jw_value_equal"]
+    assert verdict["jw_no_python_worker"]
+    assert verdict["jw_catalog_matches_oracle"]
