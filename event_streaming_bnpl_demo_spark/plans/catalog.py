@@ -47,7 +47,7 @@ _REGISTRY: dict[str, Query] = {}
 
 # Catalog iteration order. The driver's correctness harness budgets ~50
 # queries per round, taken in dict order. Cumulative driver-green after
-# round 7: 321 currently-registered of 351 oracled names
+# round 7: 321 currently-registered of 352 oracled names
 # (CORRECTNESS_r01..r07.json — 323 historical green rows, two of which
 # were renamed/absorbed), zero standing failures. Tier 1 = the 32
 # oracled names with no driver row yet: the 3 budget-bound leftovers
@@ -228,7 +228,7 @@ _DRIVER_CHECKED: frozenset[str] = frozenset({
     "dq_fd_violations", "scalar_business_days", "agg_bitmap_distinct",
     # round 7 additions (CORRECTNESS_r07.json: 50/50 green — third
     # consecutive perfect round; cumulative 321 currently-registered of
-    # 351 oracled names)
+    # 352 oracled names at the r8 close)
     "window_streaks", "ts_dow_seasonal", "scalar_url_parse",
     "mv_bitmap_distinct", "mv_stream_bitmap_distinct",
     "sql_pipe_syntax", "sql_udf_scalar", "sql_session_variables",
