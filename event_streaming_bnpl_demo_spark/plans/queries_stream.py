@@ -257,24 +257,31 @@ from .queries_core import ASOF_ORACLE  # noqa: E402 - after registrations
 
 def build_asof_stream(spark: SparkSession, in_dir: str) -> DataFrame:
     """The streaming as-of topology, unstarted: one-file-per-trigger
-    parquet stream -> groupBy(user_id) -> applyInPandasWithState in
-    UPDATE mode. Factored out so tests/test_plans.py can pin the
-    state-store shape (exactly one hashpartitioning(user_id) exchange
-    feeding FlatMapGroupsInPandasWithState) without running the query."""
-    from ..streaming.asof_state import (ASOF_OUTPUT_SCHEMA,
-                                        ASOF_STATE_SCHEMA, NO_TIMEOUT,
-                                        asof_update)
+    parquet stream -> groupBy(user_id %% ASOF_BUCKETS) ->
+    applyInPandasWithState in UPDATE mode, folding each bucket's users
+    with ONE grouped merge_asof (streaming/asof_state.py — the
+    per-user twin `asof_update` is kept as the law-test reference; a
+    parametrized test pins the two folds' fixpoints equal). Factored
+    out so tests/test_plans.py can pin the state-store shape (exactly
+    one hashpartitioning(bucket) exchange feeding
+    FlatMapGroupsInPandasWithState) without running the query."""
+    from ..streaming.asof_state import (ASOF_BUCKETS, ASOF_OUTPUT_SCHEMA,
+                                        BUCKETED_STATE_SCHEMA, NO_TIMEOUT,
+                                        asof_update_bucketed)
 
     stream = (spark.readStream
               .schema("user_id long, event_id long, event_type string, "
                       "ts_us long")
               .option("maxFilesPerTrigger", "1")
               .parquet(in_dir))
-    return (stream.groupBy("user_id")
+    return (stream
+            .withColumn("bucket", F.pmod(F.col("user_id"),
+                                         F.lit(ASOF_BUCKETS)))
+            .groupBy("bucket")
             .applyInPandasWithState(
-                asof_update,
+                asof_update_bucketed,
                 outputStructType=ASOF_OUTPUT_SCHEMA,
-                stateStructType=ASOF_STATE_SCHEMA,
+                stateStructType=BUCKETED_STATE_SCHEMA,
                 outputMode="update",
                 timeoutConf=NO_TIMEOUT))
 
@@ -288,18 +295,21 @@ def stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING as-of join (custom stateful operator): purchases
     matched to their nearest prior view while events arrive as four
     unordered micro-batches — a view can land batches AFTER its
-    purchase and the match is still right, because the per-user state
-    processor (streaming/asof_state.py) re-emits corrected matches in
-    update mode and the reader keeps each purchase's highest-version
-    row. The oracle is the BATCH as-of SQL (queries_core.ASOF_ORACLE):
-    the strongest possible check that the streaming fixpoint equals
-    the batch join regardless of how arrival order scrambled the log.
+    purchase and the match is still right, because the bucketed state
+    processor (streaming/asof_state.asof_update_bucketed) re-emits
+    corrected matches in update mode and the reader keeps each
+    purchase's highest-version row. The oracle is the BATCH as-of SQL
+    (queries_core.ASOF_ORACLE): the strongest possible check that the
+    streaming fixpoint equals the batch join regardless of how arrival
+    order scrambled the log.
 
-    Scale: one state-store shuffle on user_id per micro-batch;
-    vectorized Arrow hop; per-user rematch is a bisect over that
-    user's views. Production bounds state with watermark TTL (module
-    docstring); availableNow + unbounded retention makes this run
-    exact.
+    Scale: one state-store shuffle on bucket(user_id) per micro-batch;
+    at most ASOF_BUCKETS Python group-calls per batch (the r8 change —
+    per-USER keys paid one Arrow/state round-trip per touched user per
+    batch, ~15k at sf1, which WAS the wall clock: 22 s -> 4.2 s at
+    sf1); the whole bucket rematches in one grouped merge_asof.
+    Production bounds state with watermark TTL (module docstring);
+    availableNow + unbounded retention makes this run exact.
     """
     import uuid as _uuid
 
@@ -326,10 +336,11 @@ def stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fresh-checkpoint stateful query: size the state store for the
     # keyspace, not the batch default (see
     # session.scoped_shuffle_partitions). Re-swept after the r8
-    # numpy-vectorized emit-on-change fold: 16 now beats 8 (the
-    # per-row-Python era's dispatch-bound optimum) — 5.5 s @ 8 vs
-    # ~4.5 s @ 16/24 warm at sf0.1; 32 regresses again.
-    with scoped_shuffle_partitions(spark, 16):
+    # bucketed fold (64 bucket keys): 8 partitions = 8 buckets each —
+    # 3.2 s @ 8 vs 3.6 s @ 16 vs 4.5 s @ 32 warm at sf0.1; sf1 ties
+    # 8 vs 16 at ~4.2 s (the fold is machinery-bound, not data-bound:
+    # sf1 runs 10x the rows for 1.3x the wall).
+    with scoped_shuffle_partitions(spark, 8):
         matched = build_asof_stream(spark, in_dir)
         q = (matched.writeStream.format("memory").queryName(name)
              .outputMode("update")

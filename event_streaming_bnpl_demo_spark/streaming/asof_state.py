@@ -142,6 +142,125 @@ def asof_update(key: tuple, pdfs: Iterator[pd.DataFrame],
     yield out
 
 
+#: Bucket count for the bucketed flagship fold (below). 64 buckets keep
+#: every state-store partition busy at `scoped_shuffle_partitions(16)`
+#: while capping the per-micro-batch Python group-call count at 64 —
+#: per-USER keys pay one Arrow/state round-trip per touched user per
+#: batch (~15k calls/batch at sf1), which dominates the wall clock long
+#: before the fold itself does.
+ASOF_BUCKETS = 64
+
+BUCKETED_STATE_SCHEMA = StructType([
+    StructField("u_v", ArrayType(LongType())),    # view owner user ids
+    StructField("v_ts", ArrayType(LongType())),
+    StructField("v_id", ArrayType(LongType())),
+    StructField("u_p", ArrayType(LongType())),    # purchase owner user ids
+    StructField("p_ts", ArrayType(LongType())),
+    StructField("p_id", ArrayType(LongType())),
+    StructField("m_vid", ArrayType(LongType())),  # last-emitted match, -1=none
+    StructField("version", LongType()),
+])
+
+
+def _bucket_match(u_v: np.ndarray, v_ts: np.ndarray, v_id: np.ndarray,
+                  u_p: np.ndarray, p_ts: np.ndarray
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized multi-user nearest-prior-view over a whole bucket:
+    one ``pd.merge_asof(by=user)`` call (C-implemented grouped
+    backward as-of). Views sorted by (ts, id) so the backward match
+    lands on the largest id among equal timestamps — the same
+    tie-break as :func:`_match_views` and the batch oracle's
+    ``ORDER BY v.ts DESC, v.event_id DESC``. Returns per-purchase
+    (matched_view_id or -1, matched_view_ts or 0), in input order."""
+    n = len(p_ts)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    if len(v_ts) == 0:
+        return np.full(n, -1, dtype=np.int64), np.zeros(n, dtype=np.int64)
+    vorder = np.lexsort((v_id, v_ts))
+    vdf = pd.DataFrame({"u": u_v[vorder], "ts": v_ts[vorder],
+                        "vid": v_id[vorder], "vts": v_ts[vorder]})
+    porder = np.argsort(p_ts, kind="stable")
+    pdf = pd.DataFrame({"u": u_p[porder], "ts": p_ts[porder],
+                        "ix": porder})
+    merged = pd.merge_asof(pdf, vdf, on="ts", by="u",
+                           direction="backward", allow_exact_matches=True)
+    vid = np.full(n, -1, dtype=np.int64)
+    vts = np.zeros(n, dtype=np.int64)
+    got = merged["vid"].to_numpy()
+    ix = merged["ix"].to_numpy()
+    has = ~np.isnan(got)
+    vid[ix[has]] = got[has].astype(np.int64)
+    vts[ix[has]] = merged["vts"].to_numpy()[has].astype(np.int64)
+    return vid, vts
+
+
+def asof_update_bucketed(key: tuple, pdfs: Iterator[pd.DataFrame],
+                         state: GroupState) -> Iterator[pd.DataFrame]:
+    """The flagship's production fold: state keyed by
+    ``user_id %% ASOF_BUCKETS`` instead of per user. Semantically
+    identical to :func:`asof_update` (law-pinned by the parametrized
+    arrival-order test and by the catalog query's batch-SQL oracle);
+    physically it trades per-user state granularity for a bounded
+    Python-call count — each micro-batch makes at most ASOF_BUCKETS
+    Arrow round-trips, and the whole bucket's rematch is ONE grouped
+    ``merge_asof``. Emit-on-change is tracked explicitly (``m_vid``:
+    each purchase's last-emitted match), so untouched users inside a
+    touched bucket re-emit nothing."""
+    if state.exists:
+        (su_v, sv_ts, sv_id, su_p, sp_ts, sp_id,
+         sm_vid, version) = state.get
+        u_v, v_ts, v_id = list(su_v), list(sv_ts), list(sv_id)
+        u_p, p_ts, p_id = list(su_p), list(sp_ts), list(sp_id)
+        m_vid = np.asarray(sm_vid, dtype=np.int64)
+    else:
+        u_v, v_ts, v_id, u_p, p_ts, p_id = [], [], [], [], [], []
+        m_vid = np.zeros(0, dtype=np.int64)
+        version = 0
+    n_old_p = len(p_ts)
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        is_v = pdf["event_type"].to_numpy() == "view"
+        ts = pdf["ts_us"].to_numpy(np.int64)
+        eid = pdf["event_id"].to_numpy(np.int64)
+        uid = pdf["user_id"].to_numpy(np.int64)
+        u_v += uid[is_v].tolist()
+        v_ts += ts[is_v].tolist()
+        v_id += eid[is_v].tolist()
+        u_p += uid[~is_v].tolist()
+        p_ts += ts[~is_v].tolist()
+        p_id += eid[~is_v].tolist()
+    version += 1
+
+    upn = np.asarray(u_p, dtype=np.int64)
+    ptn = np.asarray(p_ts, dtype=np.int64)
+    pin = np.asarray(p_id, dtype=np.int64)
+    mvi, mvt = _bucket_match(
+        np.asarray(u_v, dtype=np.int64), np.asarray(v_ts, dtype=np.int64),
+        np.asarray(v_id, dtype=np.int64), upn, ptn)
+
+    emit = np.ones(len(ptn), dtype=bool)
+    emit[:n_old_p] = mvi[:n_old_p] != m_vid
+    state.update((u_v, v_ts, v_id, u_p, p_ts, p_id,
+                  mvi.tolist(), version))
+    if not emit.any():
+        return
+    e_has = mvi[emit] >= 0
+    secs = ptn[emit] // 1_000_000 - mvt[emit] // 1_000_000
+    n = int(emit.sum())
+    out = pd.DataFrame({
+        "user_id": upn[emit],
+        "purchase_id": pin[emit],
+        "view_id": pd.array(mvi[emit], dtype="Int64"),
+        "seconds_since_view": pd.array(secs, dtype="Int64"),
+        "version": np.full(n, version, dtype=np.int64),
+    })
+    out.loc[~e_has, ["view_id", "seconds_since_view"]] = pd.NA
+    yield out
+
+
 #: re-export for callers wiring the stream
 NO_TIMEOUT = GroupStateTimeout.NoTimeout
 

@@ -467,7 +467,7 @@ def test_dq_pack_plan_shapes(spark):
 
 def test_stream_asof_state_store_shape(spark, tmp_path):
     """The streaming as-of flagship's state topology is pinned: the
-    micro-batch plan must be exactly one hashpartitioning(user_id)
+    micro-batch plan must be exactly one hashpartitioning(bucket)
     exchange feeding the Arrow-batched FlatMapGroupsInPandasWithState
     operator in UPDATE mode — a second exchange or a repartition of the
     emitted rows would double the per-batch shuffle at scale."""
@@ -494,7 +494,7 @@ def test_stream_asof_state_store_shape(spark, tmp_path):
     plan = q._jsq.explainInternal(False)
     assert "FlatMapGroupsInPandasWithState" in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
-    assert "user_id" in plan.split("Exchange hashpartitioning", 1)[1][:80]
+    assert "bucket" in plan.split("Exchange hashpartitioning", 1)[1][:80]
     q.stop()
 
 

@@ -416,16 +416,17 @@ import pytest
 
 @pytest.mark.parametrize("api", [
     "group_state",
+    "bucketed",
     pytest.param("transform_with_state", marks=pytest.mark.skipif(
         __import__("tests.test_bnpl_pipeline", fromlist=["_has_protobuf"])
         ._has_protobuf() is False,
         reason="transformWithState needs google.protobuf (or the shim)")),
 ])
 def test_stream_asof_corrects_out_of_order_arrival(spark, tmp_path, api):
-    """The stateful as-of operator's defining property, on BOTH
-    stateful APIs (applyInPandasWithState and Spark 4
-    transformWithStateInPandas/ListState): a view arriving a
-    micro-batch AFTER its purchase retroactively upgrades the match.
+    """The stateful as-of operator's defining property, on all THREE
+    folds (per-user applyInPandasWithState, the bucketed flagship fold,
+    and Spark 4 transformWithStateInPandas/ListState): a view arriving
+    a micro-batch AFTER its purchase retroactively upgrades the match.
     Batch 1 delivers the purchase (and an older view); batch 2
     delivers a better (later, still-prior) view; the fixpoint must
     match the batch-2 view."""
@@ -437,8 +438,9 @@ def test_stream_asof_corrects_out_of_order_arrival(spark, tmp_path, api):
     from pyspark.sql.window import Window
 
     from event_streaming_bnpl_demo_spark.streaming.asof_state import (
-        ASOF_OUTPUT_SCHEMA, ASOF_STATE_SCHEMA, NO_TIMEOUT, AsofProcessor,
-        asof_update)
+        ASOF_BUCKETS, ASOF_OUTPUT_SCHEMA, ASOF_STATE_SCHEMA,
+        BUCKETED_STATE_SCHEMA, NO_TIMEOUT, AsofProcessor, asof_update,
+        asof_update_bucketed)
     from event_streaming_bnpl_demo_spark.streaming.state import \
         rocksdb_state_store
 
@@ -469,6 +471,17 @@ def test_stream_asof_corrects_out_of_order_arrival(spark, tmp_path, api):
             asof_update, outputStructType=ASOF_OUTPUT_SCHEMA,
             stateStructType=ASOF_STATE_SCHEMA, outputMode="update",
             timeoutConf=NO_TIMEOUT)
+        provider = contextlib.nullcontext()
+    elif api == "bucketed":
+        matched = (stream
+                   .withColumn("bucket", F.pmod(F.col("user_id"),
+                                                F.lit(ASOF_BUCKETS)))
+                   .groupBy("bucket")
+                   .applyInPandasWithState(
+                       asof_update_bucketed,
+                       outputStructType=ASOF_OUTPUT_SCHEMA,
+                       stateStructType=BUCKETED_STATE_SCHEMA,
+                       outputMode="update", timeoutConf=NO_TIMEOUT))
         provider = contextlib.nullcontext()
     else:
         matched = grouped.transformWithStateInPandas(
