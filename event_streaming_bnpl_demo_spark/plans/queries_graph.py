@@ -54,6 +54,34 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 F.col("src").alias("dst")))
 
 
+def _copurchase_edges_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The iteration-internal twin of :func:`_copurchase_edges`:
+    INT64 node ids (customer key doubled, supplier key doubled + 1 —
+    disjoint by parity, collision-free). String ids tax every
+    hash/compare/shuffle of an iterative operator 2-3x; the iterative
+    queries run on ints and convert to the public 'c<key>'/'s<key>'
+    naming only at the output boundary (r8: pagerank 16.0 -> 7.2 s,
+    khop 14.2 -> 5.1 s warm at sf1)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = (o.join(li, o.o_orderkey == li.l_orderkey)
+           .select((F.col("o_custkey") * 2).alias("src"),
+                   (F.col("l_suppkey") * 2 + 1).alias("dst"))
+           .distinct())
+    return fwd.union(fwd.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+
+
+def _int_node_name(col: str):
+    """'c<key>' / 's<key>' from a parity-encoded int node id."""
+    return (F.when(F.col(col) % 2 == 0,
+                   F.concat(F.lit("c"),
+                            F.expr(f"{col} DIV 2").cast("string")))
+            .otherwise(F.concat(F.lit("s"),
+                                F.expr(f"({col} - 1) DIV 2")
+                                .cast("string"))))
+
+
 @register(
     "graph_degree_stats",
     oracle=f"""
@@ -137,9 +165,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-skewed hubs are visible in graph_degree_stats first; AQE's
     skew-join split handles them at scale.
     """
-    ranks = pagerank_fixedpoint(_copurchase_edges(spark, sf_dir),
+    ranks = pagerank_fixedpoint(_copurchase_edges_int(spark, sf_dir),
                                 n_iter=_N_ITER)
-    return (ranks.orderBy(F.desc("rank"), "node").limit(20)
+    # convert int node ids to the public naming BEFORE the top-k: the
+    # (rank DESC, node) tie-break is defined on the STRING ids
+    named = ranks.select(_int_node_name("node").alias("node"), "rank")
+    return (named.orderBy(F.desc("rank"), "node").limit(20)
             .select("node", F.col("rank").alias("rank_micro")))
 
 
@@ -262,11 +293,11 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint is needed — one action executes the whole k-hop DAG.
     """
     c = load_table(spark, sf_dir, "customer")
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    # int node ids end-to-end: the output is per-hop COUNTS, so no
+    # boundary conversion is needed at all (see _copurchase_edges_int)
+    edges = _copurchase_edges_int(spark, sf_dir).localCheckpoint(eager=True)
     seeds = (c.filter(F.col("c_custkey") % 50 == 0)
-             .select(F.concat(F.lit("c"),
-                              F.col("c_custkey").cast("string"))
-                     .alias("node")).distinct())
+             .select((F.col("c_custkey") * 2).alias("node")).distinct())
     # the growing visited lineage re-appears per hop in the PLAN TEXT
     # (plan_audit counts 21 customer scans), but the duplicate
     # subtrees are identical exchanges that ReuseExchange dedupes at
