@@ -496,7 +496,12 @@ def stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash join — predicate and result unchanged.
     """
     ev = load_table(spark, sf_dir, "events")
-    states = build_scd2_states(ev)
+    # the dim is STATIC for the whole run: materialize the SCD2 window
+    # derivation once instead of re-planning it inside every
+    # micro-batch's broadcast (4 batches re-ran the events window 4x —
+    # 6.3 -> 5.8 s warm at sf1, 3.4 -> 2.6 s at sf0.1; the residual is
+    # per-batch broadcast build + stream machinery)
+    states = build_scd2_states(ev).localCheckpoint(eager=True)
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "value")
     work = _scratch(f"scd2e_{_uuid.uuid4().hex[:8]}")
