@@ -229,6 +229,10 @@ HEADLINE = [
     # loads the extension jar, so this times the engine-injected
     # sign-bucket plan (llm_simsearch_topk above is its brute baseline)
     "llm_simsearch_ann_native",
+    # the fuzzy scalar rides the native codegen jaro_winkler_sim on
+    # this session (no Python worker); the pandas-UDF fallback is what
+    # the driver's plain session times instead
+    "scalar_jaro_winkler",
 ]
 
 #: Headline queries excluded from the sf1 section only, each with the
