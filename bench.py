@@ -269,7 +269,7 @@ def stream_throughput(spark: SparkSession, sf_dir: str) -> dict:
     """End-to-end BNPL pipeline ingest rate: the sf events table mapped
     to purchase envelopes (inputs grounded in the driver testdata),
     streamed file-source -> parse -> archive -> cascade -> projections
-    under availableNow in 4 micro-batches. Two runs, best reported
+    under availableNow in 4 micro-batches. Three runs, best reported
     (the first pays pipeline codegen — same min-of-N policy as the
     headline queries; both walls are in the dict). Each run gets a
     fresh out_dir/checkpoint, so the per-query state-store sizing
@@ -305,7 +305,12 @@ def stream_throughput(spark: SparkSession, sf_dir: str) -> dict:
          .coalesce(4).write.mode("overwrite").text(in_dir))
         walls = []
         with scoped_shuffle_partitions(spark, 8):
-            for i in range(2):
+            # best-of-3: the steady-state wall is ~1.5 s for 100k
+            # events, so one +-0.4 s scheduler hiccup swings the rate
+            # 45k<->65k ev/s; a third run keeps the reported number a
+            # property of the pipeline, not of the draw (measured
+            # in-band 52/64/65k across three back-to-back runs)
+            for i in range(3):
                 out_dir = os.path.join(work, f"out{i}")
                 t0 = time.perf_counter()
                 BnplPipeline(spark, in_dir, out_dir,
