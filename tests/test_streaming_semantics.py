@@ -512,6 +512,109 @@ def test_stream_asof_corrects_out_of_order_arrival(spark, tmp_path, api):
     assert first[0]["view_id"] == 10
 
 
+def test_stream_asof_bucketed_ties_and_cobucket(spark, tmp_path):
+    """Adversarial edges of the bucketed fold, the exact places a
+    grouped merge_asof could diverge from the per-user searchsorted
+    reference: (a) two views with IDENTICAL timestamps — the larger
+    event_id must win (the oracle's ORDER BY ts DESC, event_id DESC);
+    (b) a view at exactly the purchase timestamp — inclusive match;
+    (c) two users in the SAME bucket (ids ≡ mod ASOF_BUCKETS) with
+    interleaved timestamps — no cross-user leakage; (d) a view in a
+    later batch retro-upgrading only the affected user's purchase
+    while the co-bucketed user's match must NOT be re-emitted. The
+    fixpoint is asserted against the per-user fold run on the same
+    two-batch input."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from event_streaming_bnpl_demo_spark.streaming.asof_state import (
+        ASOF_BUCKETS, ASOF_OUTPUT_SCHEMA, ASOF_STATE_SCHEMA,
+        BUCKETED_STATE_SCHEMA, NO_TIMEOUT, asof_update,
+        asof_update_bucketed)
+
+    u1, u2 = 7, 7 + ASOF_BUCKETS          # same bucket by construction
+    cols = ["user_id", "event_id", "event_type", "ts_us"]
+    b1 = [
+        # (a) duplicate-ts views: ids 5 and 9 at ts=100 -> 9 must win
+        (u1, 5, "view", 100), (u1, 9, "view", 100),
+        # (b) purchase exactly AT the tie ts -> inclusive match to 9
+        (u1, 100, "purchase", 100),
+        # (c) co-bucketed user, interleaved ts
+        (u2, 11, "view", 90), (u2, 200, "purchase", 150),
+        # purchase before ANY view for u2's second purchase
+        (u2, 201, "purchase", 50),
+    ]
+    b2 = [
+        # (d) retro view for u2's early purchase; u1 untouched
+        (u2, 12, "view", 40),
+    ]
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(b1, cols).coalesce(1).write.parquet(in_dir + "/f1")
+    spark.createDataFrame(b2, cols).coalesce(1).write.parquet(in_dir + "/f2")
+    now = time.time()
+    for sub, mt in (("f1", now - 60), ("f2", now)):
+        d = os.path.join(in_dir, sub)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (mt, mt))
+
+    def run(mode: str):
+        stream = (spark.readStream
+                  .schema("user_id long, event_id long, "
+                          "event_type string, ts_us long")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(in_dir + "/f*"))
+        if mode == "bucketed":
+            matched = (stream
+                       .withColumn("bucket",
+                                   F.pmod(F.col("user_id"),
+                                          F.lit(ASOF_BUCKETS)))
+                       .groupBy("bucket")
+                       .applyInPandasWithState(
+                           asof_update_bucketed,
+                           outputStructType=ASOF_OUTPUT_SCHEMA,
+                           stateStructType=BUCKETED_STATE_SCHEMA,
+                           outputMode="update", timeoutConf=NO_TIMEOUT))
+        else:
+            matched = stream.groupBy("user_id").applyInPandasWithState(
+                asof_update, outputStructType=ASOF_OUTPUT_SCHEMA,
+                stateStructType=ASOF_STATE_SCHEMA, outputMode="update",
+                timeoutConf=NO_TIMEOUT)
+        name = f"sasof_ties_{mode}"
+        q = (matched.writeStream.format("memory").queryName(name)
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / f"ck_{mode}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        emitted = spark.table(name)
+        w = Window.partitionBy("purchase_id").orderBy(F.desc("version"))
+        fix = (emitted.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1)
+               .select("user_id", "purchase_id", "view_id",
+                       "seconds_since_view"))
+        return emitted, {r["purchase_id"]: (r["user_id"], r["view_id"],
+                                            r["seconds_since_view"])
+                         for r in fix.collect()}
+
+    emitted_b, fix_b = run("bucketed")
+    _, fix_u = run("per_user")
+    expected = {
+        100: (u1, 9, 0),      # tie -> larger id, inclusive, 0 seconds
+        200: (u2, 11, 0),     # 150us and 90us are the same second
+        201: (u2, 12, 0),     # retro-matched by batch 2
+    }
+    assert fix_b == expected
+    assert fix_u == expected
+    # (d) emit-on-change: batch 2 touches only purchase 201 — exactly
+    # one emission may carry the final bucket version
+    per_purchase = {r["purchase_id"]: r["cnt"] for r in
+                    emitted_b.groupBy("purchase_id")
+                    .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert per_purchase == {100: 1, 200: 1, 201: 2}, per_purchase
+
+
 def test_stream_asof_ttl_bounds_correction(spark, tmp_path):
     """The bounded-state trade-off, demonstrated: with a watermark +
     event-time TTL, a view arriving after other traffic has pushed the
