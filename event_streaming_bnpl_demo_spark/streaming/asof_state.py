@@ -143,11 +143,17 @@ def asof_update(key: tuple, pdfs: Iterator[pd.DataFrame],
 
 
 #: Bucket count for the bucketed flagship fold (below). 64 buckets keep
-#: every state-store partition busy at `scoped_shuffle_partitions(16)`
+#: every state-store partition busy at `scoped_shuffle_partitions(8)`
 #: while capping the per-micro-batch Python group-call count at 64 —
 #: per-USER keys pay one Arrow/state round-trip per touched user per
 #: batch (~15k calls/batch at sf1), which dominates the wall clock long
-#: before the fold itself does.
+#: before the fold itself does. At cluster scale this is the
+#: parallelism knob: set buckets to 2-4x the state-store partition
+#: count so every partition holds a few buckets (skew smoothing)
+#: while the group-call count stays O(buckets); per-bucket state is
+#: total-events/buckets, so more buckets also bound the largest Arrow
+#: batch. Per-USER keys remain the right choice when per-entity
+#: event-time TTL/timers are the point (asof_update_ttl).
 ASOF_BUCKETS = 64
 
 BUCKETED_STATE_SCHEMA = StructType([
