@@ -466,8 +466,9 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~90M at sf1) and is explicitly repartitioned to a width scaled by
     measured input size: AQE's post-hoc coalesce sizes that exchange
     for the collapsed OUTPUT (~150k rows) when the in-flight cost is
-    the pre-agg pair mass (31 s -> 11 s warm at sf1 from the width fix
-    + one-exchange edge build; 6.1 s -> 4.3 s at sf0.1).
+    the pre-agg pair mass (31 s -> ~9.4 s warm at sf1 from the width
+    fix + one-exchange edge build + int64-packed pair key;
+    6.1 s -> 3.3 s at sf0.1).
     """
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select(
