@@ -615,6 +615,87 @@ def test_stream_asof_bucketed_ties_and_cobucket(spark, tmp_path):
     assert per_purchase == {100: 1, 200: 1, 201: 2}, per_purchase
 
 
+def test_stream_asof_bucketed_equals_per_user_randomized(spark, tmp_path):
+    """Seeded randomized cross-fold law: on 300 events over 12 users
+    (four co-bucketed pairs), timestamps drawn from a tiny range so
+    duplicate-ts ties are COMMON, scrambled into 3 arrival batches —
+    the bucketed fold's fixpoint must equal the per-user reference
+    fold's, purchase for purchase. This is the fuzzing complement to
+    the crafted-edge test above: ties, co-bucket interleave, and
+    retro-correction all occur many times at random positions."""
+    import os
+    import random
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from event_streaming_bnpl_demo_spark.streaming.asof_state import (
+        ASOF_BUCKETS, ASOF_OUTPUT_SCHEMA, ASOF_STATE_SCHEMA,
+        BUCKETED_STATE_SCHEMA, NO_TIMEOUT, asof_update,
+        asof_update_bucketed)
+
+    rng = random.Random(42)
+    users = [1, 2, 3, 4, 1 + ASOF_BUCKETS, 2 + ASOF_BUCKETS,
+             3 + ASOF_BUCKETS, 4 + ASOF_BUCKETS,
+             1 + 2 * ASOF_BUCKETS, 5, 6, 7]
+    rows = []
+    for eid in range(300):
+        rows.append((rng.choice(users), eid,
+                     "view" if rng.random() < 0.7 else "purchase",
+                     rng.randrange(0, 40) * 1_000_000))  # heavy ts ties
+    rng.shuffle(rows)
+    batches = [rows[0:100], rows[100:200], rows[200:300]]
+    in_dir = str(tmp_path / "in")
+    cols = ["user_id", "event_id", "event_type", "ts_us"]
+    now = time.time()
+    for i, b in enumerate(batches):
+        sub = f"{in_dir}/f{i}"
+        spark.createDataFrame(b, cols).coalesce(1).write.parquet(sub)
+        for f in os.listdir(sub):
+            os.utime(os.path.join(sub, f), (now - 60 + i, now - 60 + i))
+
+    def fixpoint(mode: str) -> dict:
+        stream = (spark.readStream
+                  .schema("user_id long, event_id long, "
+                          "event_type string, ts_us long")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(in_dir + "/f*"))
+        if mode == "bucketed":
+            matched = (stream
+                       .withColumn("bucket",
+                                   F.pmod(F.col("user_id"),
+                                          F.lit(ASOF_BUCKETS)))
+                       .groupBy("bucket")
+                       .applyInPandasWithState(
+                           asof_update_bucketed,
+                           outputStructType=ASOF_OUTPUT_SCHEMA,
+                           stateStructType=BUCKETED_STATE_SCHEMA,
+                           outputMode="update", timeoutConf=NO_TIMEOUT))
+        else:
+            matched = stream.groupBy("user_id").applyInPandasWithState(
+                asof_update, outputStructType=ASOF_OUTPUT_SCHEMA,
+                stateStructType=ASOF_STATE_SCHEMA, outputMode="update",
+                timeoutConf=NO_TIMEOUT)
+        name = f"sasof_rand_{mode}"
+        q = (matched.writeStream.format("memory").queryName(name)
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / f"ck_{mode}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        w = Window.partitionBy("purchase_id").orderBy(F.desc("version"))
+        return {r["purchase_id"]: (r["user_id"], r["view_id"],
+                                   r["seconds_since_view"])
+                for r in (spark.table(name)
+                          .withColumn("rn", F.row_number().over(w))
+                          .filter(F.col("rn") == 1).collect())}
+
+    fb, fu = fixpoint("bucketed"), fixpoint("per_user")
+    n_purchases = sum(1 for r in rows if r[2] == "purchase")
+    assert len(fu) == n_purchases
+    assert fb == fu
+
+
 def test_stream_asof_ttl_bounds_correction(spark, tmp_path):
     """The bounded-state trade-off, demonstrated: with a watermark +
     event-time TTL, a view arriving after other traffic has pushed the
