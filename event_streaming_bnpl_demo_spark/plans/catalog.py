@@ -46,50 +46,18 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # Catalog iteration order. The driver's correctness harness budgets ~50
-# queries per round, taken in dict order. Cumulative driver-green after
-# round 7: 321 currently-registered of 352 oracled names
-# (CORRECTNESS_r01..r07.json — 323 historical green rows, two of which
-# were renamed/absorbed), zero standing failures. Tier 1 = the 32
-# oracled names with no driver row yet: the 3 budget-bound leftovers
-# from the old queue, the 28 ext19–ext29 session additions (all of
-# which passed the judge's replica of the driver gate at sf0.01 —
-# 81/81 in the round-7 judging), and the one round-8 registration
-# (ext30, the Catalyst ANN rewrite query). 32 < the ~50 budget, so
-# round 8 closes the catalog at 352/352 driver-verified.
-# Rotation is a round-close invariant, guarded by
-# tests/test_catalog_rotation.py: every name in the latest
-# CORRECTNESS_r*.json must be folded into _DRIVER_CHECKED and no
-# _PRIORITY name may already have a green row.
-_PRIORITY: tuple[str, ...] = (
-    # ext17/ext18 leftovers (budget-bound in r7)
-    "scalar_luhn_checksum", "q_market_basket_rules", "ts_theilsen_slope",
-    # ext19/ext20 (growth accounting, LM gates, spectral/statistical)
-    "events_growth_accounting", "events_active_days_hist",
-    "agg_survival_km", "llm_perplexity_filter", "llm_zipf_slope",
-    "mv_stream_growth_accounting", "ts_periodogram_dft",
-    "agg_entropy_mix", "stat_welch_ttest", "llm_token_entropy_by_source",
-    # ext21 (physical-layout + intake tiers)
-    "join_bucketed_colocated", "etl_range_boundaries", "ts_downsample_m4",
-    "scalar_ip_cidr", "agg_ecdf_points", "llm_dataset_card",
-    # ext22 (retrieval / rules / sampling-error)
-    "llm_bm25_topk", "dq_rule_engine", "agg_sampled_sum_error",
-    # ext23 (seasonal decomposition / streaming rule gate)
-    "ts_seasonal_decompose", "mv_stream_rule_engine",
-    # ext24 (training-set assembly planning)
-    "events_pit_features", "llm_mix_epochs_planner",
-    # ext25 (streaming feature store)
-    "mv_stream_pit_features",
-    # ext26 (LSH tuning metrology)
-    "llm_lsh_band_sweep",
-    # ext27 (one-scan covariance matrix)
-    "agg_covariance_matrix",
-    # ext28 (difference-in-differences)
-    "stat_diff_in_diff",
-    # ext29 (HITS centrality)
-    "graph_hits_bipartite",
-    # ext30 (Catalyst ANN rewrite as an oracled query — r7 verdict ask #6)
-    "llm_simsearch_ann_native",
-)
+# queries per round, taken in dict order. The catalog CLOSED at the
+# round-8 rotation: all 352 oracled names carry a green driver row
+# (CORRECTNESS_r01..r08.json, zero standing failures across eight
+# rounds). From round 9 on, the steady state is the RE-VERIFICATION
+# rotation: with no never-checked names left, the whole budget drains
+# the stalest-checked names first (see ``_last_checked_rounds`` /
+# ``_ordered_names``), so the full catalog re-proves on a
+# ceil(352/50) = 8-round cycle and a silent regression cannot hide
+# longer than one cycle. _PRIORITY stays empty unless a genuine new
+# capability is registered; rotation remains a round-close invariant
+# guarded by tests/test_catalog_rotation.py.
+_PRIORITY: tuple[str, ...] = ()
 
 # Second tier: empty — every never-checked name is in tier 1 now.
 _PRIORITY2: tuple[str, ...] = ()
@@ -249,7 +217,71 @@ _DRIVER_CHECKED: frozenset[str] = frozenset({
     "stream_interval_join_outer", "q_segment_migration",
     "q_cohort_ltv_curve", "er_blocking_quality", "stat_mannwhitney_u",
     "window_rolling_band", "q_pareto_concentration",
+    # round 8 additions (CORRECTNESS_r08.json: 50/50 green — fourth
+    # consecutive perfect round; closes the catalog at 352/352 oracled
+    # names driver-verified). 32 first-time names (the old tier-1 queue);
+    # the other 18 r08 rows were re-checks of round-1 greens.
+    "scalar_luhn_checksum", "q_market_basket_rules", "ts_theilsen_slope",
+    "events_growth_accounting", "events_active_days_hist",
+    "agg_survival_km", "llm_perplexity_filter", "llm_zipf_slope",
+    "mv_stream_growth_accounting", "ts_periodogram_dft",
+    "agg_entropy_mix", "stat_welch_ttest", "llm_token_entropy_by_source",
+    "join_bucketed_colocated", "etl_range_boundaries", "ts_downsample_m4",
+    "scalar_ip_cidr", "agg_ecdf_points", "llm_dataset_card",
+    "llm_bm25_topk", "dq_rule_engine", "agg_sampled_sum_error",
+    "ts_seasonal_decompose", "mv_stream_rule_engine",
+    "events_pit_features", "llm_mix_epochs_planner",
+    "mv_stream_pit_features", "llm_lsh_band_sweep",
+    "agg_covariance_matrix", "stat_diff_in_diff", "graph_hits_bipartite",
+    "llm_simsearch_ann_native",
 })
+
+
+_LAST_CHECKED_CACHE: dict[str, int] | None = None
+
+
+def _last_checked_rounds() -> dict[str, int]:
+    """name -> most recent round with a green driver row, parsed from the
+    CORRECTNESS_r*.json artifacts at the repo root. Never-checked names
+    are simply absent (treated as round 0 by callers). Reading the
+    artifacts directly — rather than hard-coding a table — makes the
+    re-verification rotation self-maintaining: the driver's own output
+    is the ledger, so after each round the freshly-checked names sink to
+    the back of the rerun tier automatically. Missing/unreadable
+    artifacts degrade to an empty map (name-ordered rerun tier), never
+    an error — the driver may execute the package from a tree without
+    the artifacts."""
+    global _LAST_CHECKED_CACHE
+    if _LAST_CHECKED_CACHE is not None:
+        return _LAST_CHECKED_CACHE
+    import json
+    import re
+    from pathlib import Path
+
+    out: dict[str, int] = {}
+    root = Path(__file__).resolve().parents[2]
+    try:
+        paths = sorted(root.glob("CORRECTNESS_r*.json"))
+    except OSError:
+        paths = []
+    for path in paths:
+        m = re.search(r"r(\d+)", path.stem)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and (
+                row.get("match") or row.get("rows_match") or row.get("ok")
+            ):
+                out[name] = max(out.get(name, 0), rnd)
+    _LAST_CHECKED_CACHE = out
+    return out
 
 
 def _ordered_names() -> list[str]:
@@ -267,8 +299,16 @@ def _ordered_names() -> list[str]:
     # into the rerun tier like every other name (never emitted twice)
     deferred = [n for n in _DEFERRED
                 if n in _REGISTRY and n not in _DRIVER_CHECKED]
-    rerun = [n for n in rest
-             if n in _DRIVER_CHECKED and _REGISTRY[n].oracle is not None]
+    # Re-verification tier: stalest-checked first (then name, for a
+    # total deterministic order). With the catalog closed at 352 oracled
+    # names and a ~50-slot budget, this re-proves every name on an
+    # 8-round cycle — the steady-state policy asked for by the round-8
+    # verdict.
+    last = _last_checked_rounds()
+    rerun = sorted(
+        (n for n in rest
+         if n in _DRIVER_CHECKED and _REGISTRY[n].oracle is not None),
+        key=lambda n: (last.get(n, 0), n))
     rows_only = [n for n in rest if _REGISTRY[n].oracle is None]
     return prio + prio2 + fresh + deferred + rerun + rows_only
 
