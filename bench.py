@@ -241,7 +241,16 @@ HEADLINE = [
 SF1_EXCLUDE: dict[str, str] = {}
 
 
+#: Whether build_session attached the Catalyst extension jar. Recorded
+#: in the bench artifacts: the 'native' headliners
+#: (llm_simsearch_ann_native, scalar_jaro_winkler) silently time the
+#: fallback path when the jar build fails, so a record without this
+#: marker can't distinguish a perf regression from a toolchain one.
+NATIVE_EXTENSION = False
+
+
 def build_session(cpus: str) -> SparkSession:
+    global NATIVE_EXTENSION
     b = (SparkSession.builder.master(f"local[{cpus}]")
          .appName("bench")
          .config("spark.ui.enabled", "false")
@@ -250,14 +259,17 @@ def build_session(cpus: str) -> SparkSession:
     try:
         # the Catalyst extension (native cosine_sim + opt-in ANN
         # rewrite) — queries fall back to composed arithmetic when the
-        # jar can't build, so a missing compiler is never fatal
+        # jar can't build, so a missing compiler is never fatal; the
+        # fallback reclassification is RECORDED, never silent
         from tools.build_extension import ensure_jar
         jar = ensure_jar()
         b = (b.config("spark.jars", jar)
              .config("spark.driver.extraClassPath", jar)
              .config("spark.sql.extensions", "graft.spark.GraftExtensions"))
-    except Exception:
-        pass
+        NATIVE_EXTENSION = True
+    except Exception as exc:
+        print(f"bench: extension jar unavailable, native-path queries "
+              f"ride the fallback: {exc!r}", file=sys.stderr)
     for k, v in RUNTIME_CONF.items():
         b = b.config(k, v)
     spark = b.getOrCreate()
@@ -507,6 +519,7 @@ def main() -> None:
         },
         "stream": stream,
         "sf1": sf1,
+        "native_extension": NATIVE_EXTENSION,
     }
     try:
         with open(detail_file, "w") as fh:
@@ -526,6 +539,7 @@ def main() -> None:
         "stream_events_per_sec": stream.get("events_per_sec"),
         "sf1_sec": (sf1 or {}).get("value"),
         "sf1_errors": len((sf1 or {}).get("errors", {})) or None,
+        "native_extension": NATIVE_EXTENSION,
         "detail_file": detail_file,
     }))
     spark.stop()

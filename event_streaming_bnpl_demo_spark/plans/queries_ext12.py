@@ -166,7 +166,11 @@ def jw_column(spark: SparkSession):
     caller hash-matches the same oracle on either path."""
     try:
         if spark.catalog.functionExists("jaro_winkler_sim"):
-            return lambda a, b: F.expr(f"jaro_winkler_sim({a}, {b})")
+            # call_function + F.col, NOT an f-string into F.expr: the
+            # two paths must accept the same inputs, and a raw name
+            # interpolation would misparse names needing backticks.
+            return lambda a, b: F.call_function(
+                "jaro_winkler_sim", F.col(a), F.col(b))
     except Exception:
         pass
     udf = jaro_winkler_udf()

@@ -480,7 +480,22 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("p").agg(F.collect_set("c").alias("cs"))
             .filter(F.size("cs") <= 64)
             .localCheckpoint(eager=True))
-    e = sets.select("p", F.explode("cs").alias("c"))
+    # Guard the packed-key domain ONCE on the edge set (O(edges), far
+    # below the wedge pair mass): the int64 pair packing below needs
+    # 0 <= c < 2^31 for both sides. assert_true keeps the check inside
+    # the live expression (column pruning can't drop it), so a
+    # too-wide key space fails loudly at execution instead of silently
+    # colliding; deployments with wider keys switch to the documented
+    # two-column fallback.
+    c_raw = F.explode("cs").alias("c")
+    e = sets.select("p", c_raw).select(
+        "p",
+        F.when(F.assert_true(
+            (F.col("c") >= 0) & (F.col("c") < F.lit(2 ** 31)),
+            F.lit("graph_jaccard_links: customer key outside [0, 2^31) — "
+                  "int64 pair packing would collide; use the two-column "
+                  "pair key instead")).isNull(),
+            F.col("c")).alias("c"))
     deg = e.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
     a = e.select("p", F.col("c").alias("c1"))
     b = e.select("p", F.col("c").alias("c2"))
@@ -492,9 +507,11 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (c1 << 32 | c2) instead of two columns: half the key bytes and
     # one hash per row on the operator's dominant shuffle — best-of-3
     # 9.8 -> 9.4 s at sf1 (isolated A/B measured up to 15%),
-    # bit-identical output, no sf0.1 change. Requires keys < 2^31;
-    # wider key spaces at deploy scale drop back to the two-column
-    # key (same plan shape, same count).
+    # bit-identical output, no sf0.1 change. Requires keys < 2^31 —
+    # ENFORCED by the assert_true guard on the edge set above (fails
+    # loudly, never collides silently); wider key spaces at deploy
+    # scale drop back to the two-column key (same plan shape, same
+    # count).
     wedges = (a.join(b, "p")
               .filter(F.col("c1") < F.col("c2"))
               .select((F.col("c1") * F.lit(4294967296)

@@ -152,8 +152,16 @@ def asof_update(key: tuple, pdfs: Iterator[pd.DataFrame],
 #: count so every partition holds a few buckets (skew smoothing)
 #: while the group-call count stays O(buckets); per-bucket state is
 #: total-events/buckets, so more buckets also bound the largest Arrow
-#: batch. Per-USER keys remain the right choice when per-entity
-#: event-time TTL/timers are the point (asof_update_ttl).
+#: batch. COST CAVEAT: GroupState holds one opaque row per key, so a
+#: touched bucket deserializes and rewrites its ENTIRE history through
+#: Arrow every micro-batch — per-batch state I/O grows O(total events
+#: / buckets) per touched bucket for the life of the stream. That is
+#: the exact-demo posture (full retroactive correction needs the full
+#: log); the bounded-state production path is the watermark-TTL
+#: variant (asof_update_ttl), which caps both the rewrite and the
+#: retention at the TTL horizon. Per-USER keys remain the right choice
+#: when per-entity event-time TTL/timers are the point
+#: (asof_update_ttl).
 ASOF_BUCKETS = 64
 
 BUCKETED_STATE_SCHEMA = StructType([
@@ -177,7 +185,14 @@ def _bucket_match(u_v: np.ndarray, v_ts: np.ndarray, v_id: np.ndarray,
     lands on the largest id among equal timestamps — the same
     tie-break as :func:`_match_views` and the batch oracle's
     ``ORDER BY v.ts DESC, v.event_id DESC``. Returns per-purchase
-    (matched_view_id or -1, matched_view_ts or 0), in input order."""
+    (matched_view_id or -1, matched_view_ts or 0), in input order.
+
+    The matched columns ride through the merge as nullable Int64
+    extension arrays, NOT float64: merge_asof marks unmatched rows
+    with a missing value, and the numpy path would round-trip ids and
+    timestamps through NaN-able float64 — silently corrupting any
+    value >= 2^53. Int64 + a mask keeps the full int64 domain exact
+    (pinned by test_bucket_match_exact_above_2_53)."""
     n = len(p_ts)
     if n == 0:
         z = np.zeros(0, dtype=np.int64)
@@ -186,7 +201,8 @@ def _bucket_match(u_v: np.ndarray, v_ts: np.ndarray, v_id: np.ndarray,
         return np.full(n, -1, dtype=np.int64), np.zeros(n, dtype=np.int64)
     vorder = np.lexsort((v_id, v_ts))
     vdf = pd.DataFrame({"u": u_v[vorder], "ts": v_ts[vorder],
-                        "vid": v_id[vorder], "vts": v_ts[vorder]})
+                        "vid": pd.array(v_id[vorder], dtype="Int64"),
+                        "vts": pd.array(v_ts[vorder], dtype="Int64")})
     porder = np.argsort(p_ts, kind="stable")
     pdf = pd.DataFrame({"u": u_p[porder], "ts": p_ts[porder],
                         "ix": porder})
@@ -194,11 +210,11 @@ def _bucket_match(u_v: np.ndarray, v_ts: np.ndarray, v_id: np.ndarray,
                            direction="backward", allow_exact_matches=True)
     vid = np.full(n, -1, dtype=np.int64)
     vts = np.zeros(n, dtype=np.int64)
-    got = merged["vid"].to_numpy()
+    got = merged["vid"]
     ix = merged["ix"].to_numpy()
-    has = ~np.isnan(got)
-    vid[ix[has]] = got[has].astype(np.int64)
-    vts[ix[has]] = merged["vts"].to_numpy()[has].astype(np.int64)
+    has = got.notna().to_numpy()
+    vid[ix[has]] = got.to_numpy(dtype=np.int64, na_value=-1)[has]
+    vts[ix[has]] = merged["vts"].to_numpy(dtype=np.int64, na_value=0)[has]
     return vid, vts
 
 

@@ -696,6 +696,32 @@ def test_stream_asof_bucketed_equals_per_user_randomized(spark, tmp_path):
     assert fb == fu
 
 
+def test_bucket_match_exact_above_2_53():
+    """_bucket_match must keep ids/timestamps exact across the FULL
+    int64 domain: merge_asof emits missing values for unmatched rows,
+    and a float64 round-trip would silently round any value >= 2^53
+    (e.g. snowflake-style event ids). Values here are chosen so the
+    nearest float64 differs from the exact int."""
+    import numpy as np
+
+    from event_streaming_bnpl_demo_spark.streaming.asof_state import \
+        _bucket_match
+
+    big_id = (1 << 60) + 1          # not representable in float64
+    big_ts = (1 << 57) + 3          # ditto
+    u_v = np.array([7, 7], dtype=np.int64)
+    v_ts = np.array([big_ts, 10], dtype=np.int64)
+    v_id = np.array([big_id, 42], dtype=np.int64)
+    # purchase 1: after big_ts -> matches the huge view exactly;
+    # purchase 2 (user 8): no view -> -1/0 sentinel path still works
+    u_p = np.array([7, 8], dtype=np.int64)
+    p_ts = np.array([big_ts + 5, 100], dtype=np.int64)
+    vid, vts = _bucket_match(u_v, v_ts, v_id, u_p, p_ts)
+    assert vid.tolist() == [big_id, -1]
+    assert vts.tolist() == [big_ts, 0]
+    assert vid.dtype == np.int64 and vts.dtype == np.int64
+
+
 def test_stream_asof_ttl_bounds_correction(spark, tmp_path):
     """The bounded-state trade-off, demonstrated: with a watermark +
     event-time TTL, a view arriving after other traffic has pushed the
