@@ -255,18 +255,36 @@ def stream_static_join_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .queries_core import ASOF_ORACLE  # noqa: E402 - after registrations
 
 
-def build_asof_stream(spark: SparkSession, in_dir: str) -> DataFrame:
+def build_asof_stream(spark: SparkSession, in_dir: str,
+                      api: str = "group_state") -> DataFrame:
     """The streaming as-of topology, unstarted: one-file-per-trigger
-    parquet stream -> groupBy(user_id %% ASOF_BUCKETS) ->
-    applyInPandasWithState in UPDATE mode, folding each bucket's users
-    with ONE grouped merge_asof (streaming/asof_state.py — the
-    per-user twin `asof_update` is kept as the law-test reference; a
-    parametrized test pins the two folds' fixpoints equal). Factored
-    out so tests/test_plans.py can pin the state-store shape (exactly
-    one hashpartitioning(bucket) exchange feeding
-    FlatMapGroupsInPandasWithState) without running the query."""
+    parquet stream -> groupBy(user_id %% ASOF_BUCKETS) -> bucketed
+    stateful fold in UPDATE mode, rematching each bucket's users with
+    ONE grouped merge_asof (streaming/asof_state.py — the per-user
+    twin `asof_update` is kept as the law-test reference; a
+    parametrized test pins the folds' fixpoints equal). Factored out
+    so tests/test_plans.py can pin the state-store shape (exactly one
+    hashpartitioning(bucket) exchange feeding the stateful node)
+    without running the query.
+
+    ``api`` picks the state API carrying the SAME fold:
+    ``group_state`` = applyInPandasWithState (asof_update_bucketed),
+    ``tws`` = Spark 4 transformWithStateInPandas
+    (BucketedAsofProcessor, ListState event logs — needs the RocksDB
+    state store: wrap the run in streaming.state.rocksdb_state_store).
+    Cross-API equivalence is law-pinned
+    (test_stream_asof_corrects_out_of_order_arrival and the randomized
+    cross-fold test); group_state stays the flagship default because
+    it measures faster end-to-end on this workload (4-batch
+    availableNow, sf0.1, warm best-of-2: 3.4 s vs 6.0 s — the tws path
+    pays the mandatory RocksDB provider plus its state-server protocol
+    round-trips per ListState read, while the default-provider
+    GroupState row rides the existing Arrow hop; the gap is state
+    machinery, not the fold, which is identical). Re-evaluate at
+    Spark's applyInPandasWithState retirement."""
     from ..streaming.asof_state import (ASOF_BUCKETS, ASOF_OUTPUT_SCHEMA,
                                         BUCKETED_STATE_SCHEMA, NO_TIMEOUT,
+                                        BucketedAsofProcessor,
                                         asof_update_bucketed)
 
     stream = (spark.readStream
@@ -274,16 +292,22 @@ def build_asof_stream(spark: SparkSession, in_dir: str) -> DataFrame:
                       "ts_us long")
               .option("maxFilesPerTrigger", "1")
               .parquet(in_dir))
-    return (stream
-            .withColumn("bucket", F.pmod(F.col("user_id"),
-                                         F.lit(ASOF_BUCKETS)))
-            .groupBy("bucket")
-            .applyInPandasWithState(
-                asof_update_bucketed,
-                outputStructType=ASOF_OUTPUT_SCHEMA,
-                stateStructType=BUCKETED_STATE_SCHEMA,
-                outputMode="update",
-                timeoutConf=NO_TIMEOUT))
+    bucketed = (stream
+                .withColumn("bucket", F.pmod(F.col("user_id"),
+                                             F.lit(ASOF_BUCKETS)))
+                .groupBy("bucket"))
+    if api == "tws":
+        return bucketed.transformWithStateInPandas(
+            BucketedAsofProcessor(),
+            outputStructType=ASOF_OUTPUT_SCHEMA,
+            outputMode="update",
+            timeMode="none")
+    return bucketed.applyInPandasWithState(
+        asof_update_bucketed,
+        outputStructType=ASOF_OUTPUT_SCHEMA,
+        stateStructType=BUCKETED_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=NO_TIMEOUT)
 
 
 @register(

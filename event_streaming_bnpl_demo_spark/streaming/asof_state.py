@@ -372,6 +372,101 @@ _EVENT_ROW_SCHEMA = StructType([
 _VERSION_SCHEMA = StructType([StructField("version", LongType())])
 
 
+_BUCKET_EVENT_SCHEMA = StructType([
+    StructField("u", LongType()),
+    StructField("ts_us", LongType()),
+    StructField("event_id", LongType()),
+])
+
+_MATCH_SCHEMA = StructType([StructField("m_vid", LongType())])
+
+
+class BucketedAsofProcessor(StatefulProcessor):
+    """The BUCKETED flagship fold on the Spark 4
+    ``transformWithStateInPandas`` API — the non-deprecated successor
+    to :func:`asof_update_bucketed` (applyInPandasWithState), pinned
+    equal to it and to the per-user reference fold by the
+    parametrized arrival-order and randomized cross-fold law tests.
+
+    The typed-state composition directly fixes the GroupState shape's
+    biggest cost (see the ASOF_BUCKETS caveat): the view/purchase
+    event logs are ListState — per micro-batch each touched bucket
+    APPENDS its new rows instead of deserializing and rewriting its
+    entire history through one opaque state row. Only the per-purchase
+    last-emitted-match column (``m_vid``, the emit-on-change ledger,
+    aligned with the append-ordered purchase log) and the version
+    counter are rewritten per batch — O(purchases in bucket), not
+    O(all events in bucket). The rematch itself is the same ONE
+    grouped ``merge_asof`` per touched bucket (:func:`_bucket_match`).
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._views = handle.getListState("views", _BUCKET_EVENT_SCHEMA)
+        self._purchases = handle.getListState(
+            "purchases", _BUCKET_EVENT_SCHEMA)
+        self._matches = handle.getListState("m_vid", _MATCH_SCHEMA)
+        self._version = handle.getValueState("version", _VERSION_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues
+                        ) -> Iterator[pd.DataFrame]:
+        new_v: list[tuple[int, int, int]] = []
+        new_p: list[tuple[int, int, int]] = []
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            is_v = pdf["event_type"].to_numpy() == "view"
+            uid = pdf["user_id"].to_numpy(np.int64)
+            ts = pdf["ts_us"].to_numpy(np.int64)
+            eid = pdf["event_id"].to_numpy(np.int64)
+            new_v += zip(uid[is_v].tolist(), ts[is_v].tolist(),
+                         eid[is_v].tolist())
+            new_p += zip(uid[~is_v].tolist(), ts[~is_v].tolist(),
+                         eid[~is_v].tolist())
+        if new_v:
+            self._views.appendList(new_v)
+        if new_p:
+            self._purchases.appendList(new_p)
+        ver = self._version.get()
+        version = (ver[0] if ver else 0) + 1
+        self._version.update((version,))
+
+        views = [tuple(t) for t in self._views.get()]
+        purchases = [tuple(t) for t in self._purchases.get()]
+        old_m = np.asarray([t[0] for t in self._matches.get()],
+                           dtype=np.int64)
+        n_old_p = len(old_m)
+
+        u_v = np.asarray([v[0] for v in views], dtype=np.int64)
+        v_ts = np.asarray([v[1] for v in views], dtype=np.int64)
+        v_id = np.asarray([v[2] for v in views], dtype=np.int64)
+        upn = np.asarray([p[0] for p in purchases], dtype=np.int64)
+        ptn = np.asarray([p[1] for p in purchases], dtype=np.int64)
+        pin = np.asarray([p[2] for p in purchases], dtype=np.int64)
+        mvi, mvt = _bucket_match(u_v, v_ts, v_id, upn, ptn)
+
+        if len(mvi):
+            self._matches.put([(int(v),) for v in mvi])
+        emit = np.ones(len(ptn), dtype=bool)
+        emit[:n_old_p] = mvi[:n_old_p] != old_m
+        if not emit.any():
+            return
+        e_has = mvi[emit] >= 0
+        secs = ptn[emit] // 1_000_000 - mvt[emit] // 1_000_000
+        n = int(emit.sum())
+        out = pd.DataFrame({
+            "user_id": upn[emit],
+            "purchase_id": pin[emit],
+            "view_id": pd.array(mvi[emit], dtype="Int64"),
+            "seconds_since_view": pd.array(secs, dtype="Int64"),
+            "version": np.full(n, version, dtype=np.int64),
+        })
+        out.loc[~e_has, ["view_id", "seconds_since_view"]] = pd.NA
+        yield out
+
+    def close(self) -> None:
+        pass
+
+
 class AsofProcessor(StatefulProcessor):
     """The same streaming as-of fold on the Spark 4
     ``transformWithStateInPandas`` API — and a better fit than the

@@ -414,22 +414,26 @@ def test_two_hop_streaming_dag(spark, tmp_path):
 import pytest
 
 
+_TWS_SKIP = pytest.mark.skipif(
+    __import__("tests.test_bnpl_pipeline", fromlist=["_has_protobuf"])
+    ._has_protobuf() is False,
+    reason="transformWithState needs google.protobuf (or the shim)")
+
+
 @pytest.mark.parametrize("api", [
     "group_state",
     "bucketed",
-    pytest.param("transform_with_state", marks=pytest.mark.skipif(
-        __import__("tests.test_bnpl_pipeline", fromlist=["_has_protobuf"])
-        ._has_protobuf() is False,
-        reason="transformWithState needs google.protobuf (or the shim)")),
+    pytest.param("transform_with_state", marks=_TWS_SKIP),
+    pytest.param("tws_bucketed", marks=_TWS_SKIP),
 ])
 def test_stream_asof_corrects_out_of_order_arrival(spark, tmp_path, api):
-    """The stateful as-of operator's defining property, on all THREE
+    """The stateful as-of operator's defining property, on all FOUR
     folds (per-user applyInPandasWithState, the bucketed flagship fold,
-    and Spark 4 transformWithStateInPandas/ListState): a view arriving
-    a micro-batch AFTER its purchase retroactively upgrades the match.
-    Batch 1 delivers the purchase (and an older view); batch 2
-    delivers a better (later, still-prior) view; the fixpoint must
-    match the batch-2 view."""
+    and both on Spark 4 transformWithStateInPandas/ListState): a view
+    arriving a micro-batch AFTER its purchase retroactively upgrades
+    the match. Batch 1 delivers the purchase (and an older view);
+    batch 2 delivers a better (later, still-prior) view; the fixpoint
+    must match the batch-2 view."""
     import contextlib
     import os
     import time
@@ -439,8 +443,8 @@ def test_stream_asof_corrects_out_of_order_arrival(spark, tmp_path, api):
 
     from event_streaming_bnpl_demo_spark.streaming.asof_state import (
         ASOF_BUCKETS, ASOF_OUTPUT_SCHEMA, ASOF_STATE_SCHEMA,
-        BUCKETED_STATE_SCHEMA, NO_TIMEOUT, AsofProcessor, asof_update,
-        asof_update_bucketed)
+        BUCKETED_STATE_SCHEMA, NO_TIMEOUT, AsofProcessor,
+        BucketedAsofProcessor, asof_update, asof_update_bucketed)
     from event_streaming_bnpl_demo_spark.streaming.state import \
         rocksdb_state_store
 
@@ -483,6 +487,16 @@ def test_stream_asof_corrects_out_of_order_arrival(spark, tmp_path, api):
                        stateStructType=BUCKETED_STATE_SCHEMA,
                        outputMode="update", timeoutConf=NO_TIMEOUT))
         provider = contextlib.nullcontext()
+    elif api == "tws_bucketed":
+        matched = (stream
+                   .withColumn("bucket", F.pmod(F.col("user_id"),
+                                                F.lit(ASOF_BUCKETS)))
+                   .groupBy("bucket")
+                   .transformWithStateInPandas(
+                       BucketedAsofProcessor(),
+                       outputStructType=ASOF_OUTPUT_SCHEMA,
+                       outputMode="update", timeMode="none"))
+        provider = rocksdb_state_store(spark)
     else:
         matched = grouped.transformWithStateInPandas(
             AsofProcessor(), outputStructType=ASOF_OUTPUT_SCHEMA,
@@ -632,8 +646,10 @@ def test_stream_asof_bucketed_equals_per_user_randomized(spark, tmp_path):
 
     from event_streaming_bnpl_demo_spark.streaming.asof_state import (
         ASOF_BUCKETS, ASOF_OUTPUT_SCHEMA, ASOF_STATE_SCHEMA,
-        BUCKETED_STATE_SCHEMA, NO_TIMEOUT, asof_update,
-        asof_update_bucketed)
+        BUCKETED_STATE_SCHEMA, NO_TIMEOUT, BucketedAsofProcessor,
+        asof_update, asof_update_bucketed)
+    from event_streaming_bnpl_demo_spark.streaming.state import \
+        rocksdb_state_store
 
     rng = random.Random(42)
     users = [1, 2, 3, 4, 1 + ASOF_BUCKETS, 2 + ASOF_BUCKETS,
@@ -656,11 +672,14 @@ def test_stream_asof_bucketed_equals_per_user_randomized(spark, tmp_path):
             os.utime(os.path.join(sub, f), (now - 60 + i, now - 60 + i))
 
     def fixpoint(mode: str) -> dict:
+        import contextlib
+
         stream = (spark.readStream
                   .schema("user_id long, event_id long, "
                           "event_type string, ts_us long")
                   .option("maxFilesPerTrigger", "1")
                   .parquet(in_dir + "/f*"))
+        provider = contextlib.nullcontext()
         if mode == "bucketed":
             matched = (stream
                        .withColumn("bucket",
@@ -672,16 +691,28 @@ def test_stream_asof_bucketed_equals_per_user_randomized(spark, tmp_path):
                            outputStructType=ASOF_OUTPUT_SCHEMA,
                            stateStructType=BUCKETED_STATE_SCHEMA,
                            outputMode="update", timeoutConf=NO_TIMEOUT))
+        elif mode == "tws_bucketed":
+            matched = (stream
+                       .withColumn("bucket",
+                                   F.pmod(F.col("user_id"),
+                                          F.lit(ASOF_BUCKETS)))
+                       .groupBy("bucket")
+                       .transformWithStateInPandas(
+                           BucketedAsofProcessor(),
+                           outputStructType=ASOF_OUTPUT_SCHEMA,
+                           outputMode="update", timeMode="none"))
+            provider = rocksdb_state_store(spark)
         else:
             matched = stream.groupBy("user_id").applyInPandasWithState(
                 asof_update, outputStructType=ASOF_OUTPUT_SCHEMA,
                 stateStructType=ASOF_STATE_SCHEMA, outputMode="update",
                 timeoutConf=NO_TIMEOUT)
         name = f"sasof_rand_{mode}"
-        q = (matched.writeStream.format("memory").queryName(name)
-             .outputMode("update")
-             .option("checkpointLocation", str(tmp_path / f"ck_{mode}"))
-             .trigger(availableNow=True).start())
+        with provider:
+            q = (matched.writeStream.format("memory").queryName(name)
+                 .outputMode("update")
+                 .option("checkpointLocation", str(tmp_path / f"ck_{mode}"))
+                 .trigger(availableNow=True).start())
         q.awaitTermination()
         w = Window.partitionBy("purchase_id").orderBy(F.desc("version"))
         return {r["purchase_id"]: (r["user_id"], r["view_id"],
@@ -694,6 +725,10 @@ def test_stream_asof_bucketed_equals_per_user_randomized(spark, tmp_path):
     n_purchases = sum(1 for r in rows if r[2] == "purchase")
     assert len(fu) == n_purchases
     assert fb == fu
+    from .test_bnpl_pipeline import _has_protobuf
+    if _has_protobuf():
+        # the Spark 4 typed-state port must land on the SAME fixpoint
+        assert fixpoint("tws_bucketed") == fu
 
 
 def test_bucket_match_exact_above_2_53():
@@ -786,6 +821,87 @@ def test_stream_asof_ttl_bounds_correction(spark, tmp_path):
     # the purchase exists but its match was NEVER corrected
     assert 100 in final
     assert final[100]["view_id"] is None
+
+
+def test_stream_asof_ttl_equals_unbounded_within_horizon(spark, tmp_path):
+    """The other half of the TTL law: while every arrival stays INSIDE
+    the retention horizon (no state evicted, nothing behind the
+    watermark), the bounded fold must land on EXACTLY the unbounded
+    fold's fixpoint — the TTL knob only trades away correction depth
+    beyond the horizon (the test above), it never perturbs semantics
+    within it. Input includes the hard cases: out-of-order arrival, a
+    retroactive upgrade, ts ties, and a never-matched purchase."""
+    import os
+    import random
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from event_streaming_bnpl_demo_spark.streaming.asof_state import (
+        ASOF_OUTPUT_SCHEMA, ASOF_STATE_SCHEMA, EVENT_TIME_TIMEOUT,
+        NO_TIMEOUT, asof_update, asof_update_ttl)
+
+    # 200 events over 8 users inside a 30-minute event-time span:
+    # a 1 h watermark delay + 24 h TTL means nothing is ever late and
+    # no state can expire — the bounded path must be exact.
+    rng = random.Random(99)
+    rows = []
+    for eid in range(200):
+        rows.append((rng.randrange(1, 9), eid,
+                     "view" if rng.random() < 0.7 else "purchase",
+                     rng.randrange(0, 1800) * 1_000_000))  # ties common
+    rng.shuffle(rows)
+    batches = [rows[0:70], rows[70:140], rows[140:200]]
+    in_dir = str(tmp_path / "in")
+    cols = ["user_id", "event_id", "event_type", "ts_us"]
+    now = time.time()
+    for i, b in enumerate(batches):
+        sub = f"{in_dir}/f{i}"
+        spark.createDataFrame(b, cols).coalesce(1).write.parquet(sub)
+        for f in os.listdir(sub):
+            os.utime(os.path.join(sub, f), (now - 60 + i, now - 60 + i))
+
+    def fixpoint(mode: str) -> dict:
+        stream = (spark.readStream
+                  .schema("user_id long, event_id long, "
+                          "event_type string, ts_us long")
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(in_dir + "/f*"))
+        if mode == "ttl":
+            matched = (stream
+                       .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+                       .withWatermark("ts", "1 hour")
+                       .groupBy("user_id")
+                       .applyInPandasWithState(
+                           asof_update_ttl(ttl_s=24 * 3600),
+                           outputStructType=ASOF_OUTPUT_SCHEMA,
+                           stateStructType=ASOF_STATE_SCHEMA,
+                           outputMode="update",
+                           timeoutConf=EVENT_TIME_TIMEOUT))
+        else:
+            matched = stream.groupBy("user_id").applyInPandasWithState(
+                asof_update, outputStructType=ASOF_OUTPUT_SCHEMA,
+                stateStructType=ASOF_STATE_SCHEMA, outputMode="update",
+                timeoutConf=NO_TIMEOUT)
+        name = f"sasof_hz_{mode}"
+        q = (matched.writeStream.format("memory").queryName(name)
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / f"ck_{mode}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        w = Window.partitionBy("purchase_id").orderBy(F.desc("version"))
+        return {r["purchase_id"]: (r["user_id"], r["view_id"],
+                                   r["seconds_since_view"])
+                for r in (spark.table(name)
+                          .filter(F.col("purchase_id").isNotNull())
+                          .withColumn("rn", F.row_number().over(w))
+                          .filter(F.col("rn") == 1).collect())}
+
+    ft, fu = fixpoint("ttl"), fixpoint("unbounded")
+    n_purchases = sum(1 for r in rows if r[2] == "purchase")
+    assert len(fu) == n_purchases
+    assert ft == fu
 
 
 def test_mv_stream_refresh_resumes_exactly_once(spark, tmp_path):
