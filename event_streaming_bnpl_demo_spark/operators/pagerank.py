@@ -36,21 +36,29 @@ def pagerank_fixedpoint(edges: DataFrame, n_iter: int = 5,
     ``(node, rank)`` with rank in integer micro-units; initial rank is
      1.0 (= SCALE) per node.
 
-    Scale: the edge list is materialized ONCE (localCheckpoint) and
-    never re-shuffled — each iteration folds ranks and degrees into a
-    per-SOURCE contribution relation of |nodes| rows first, joins that
-    against the edges, and aggregates on dst. The contribution side is
-    broadcast while the measured node count stays under
-    ``broadcast_max_nodes`` — default 1M rows: two int64 columns in a
-    broadcast hash relation cost ~50-100 B/row resident on the driver
-    and every executor, so 1M ≈ tens of MB (inside a default-sized
-    JVM); the row gate is a proxy for that byte budget, and tuned
-    deployments with bigger heaps can raise it (the stats-gated
-    pattern of
-    sources.maybe_broadcast, decided with a real count instead of a
-    Catalyst guess), so small-to-medium graphs pay only the ONE
-    O(edges) groupBy exchange per round; past the gate the join
-    degrades to the shuffled path and stays scale-correct unchanged.
+    Scale — the static side never re-shuffles and each round is ONE
+    exchange-free pass over the edges:
+
+    - the edge list is hash-partitioned by ``dst`` to exactly
+      ``spark.sql.shuffle.partitions`` ONCE and localCheckpointed (the
+      checkpoint preserves outputPartitioning), so the per-round
+      ``groupBy(dst)`` finds its required distribution already
+      satisfied and inserts NO exchange — the old shape re-shuffled
+      O(edges) rows every round;
+    - the degree column rides inside the ranks relation (``(node,
+      deg, rank)``), so the per-source contribution is a projection,
+      not a join;
+    - both |nodes|-sized sides (the contribution relation entering
+      the edge join, and the new-rank aggregate entering the update
+      join) are broadcast while the measured node count stays under
+      ``broadcast_max_nodes`` — default 1M rows: two-three int64
+      columns in a broadcast hash relation cost ~50-100 B/row on the
+      driver and every executor, so 1M ≈ tens of MB (inside a
+      default-sized JVM); the row gate is a byte-budget proxy in the
+      stats-gated style of sources.maybe_broadcast (a real count, not
+      a Catalyst guess). Past the gate both joins degrade to shuffled
+      and stay scale-correct unchanged.
+
     Lineage is flattened with a checkpoint every ``checkpoint_every``
     rounds — default EVERY round: the per-iteration broadcast of the
     contribution relation is an eager materialization of the whole
@@ -61,30 +69,47 @@ def pagerank_fixedpoint(edges: DataFrame, n_iter: int = 5,
     raise the cadence — without the eager broadcast, rounds between
     cuts execute as one DAG.
     """
-    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # cache, NOT localCheckpoint: the InMemoryRelation preserves the
+    # repartition's outputPartitioning (a checkpoint's LogicalRDD drops
+    # it), which is what lets every round's groupBy(dst) skip its
+    # exchange; count() materializes eagerly so each round's broadcast
+    # job reads the cached partitions instead of re-running the scan
+    edges = (edges.select("src", "dst")
+             .repartition(npart, "dst")
+             .cache())
+    edges.count()
     outdeg = (edges.groupBy(F.col("src").alias("node"))
               .agg(F.count(F.lit(1)).alias("deg"))
               .localCheckpoint(eager=True))
     n_nodes = outdeg.count()
-    nodes = outdeg.select("node")
-    ranks = nodes.select("node", F.lit(SCALE).cast("bigint").alias("rank"))
+    small = n_nodes <= broadcast_max_nodes
+    ranks = outdeg.select("node", "deg",
+                          F.lit(SCALE).cast("bigint").alias("rank"))
     base = SCALE * 15 // 100
     for i in range(n_iter):
-        contrib = (ranks.join(outdeg, "node")
-                   .select(F.col("node").alias("src"),
-                           F.expr("rank DIV deg").alias("c")))
-        if n_nodes <= broadcast_max_nodes:
+        contrib = ranks.select(F.col("node").alias("src"),
+                               F.expr("rank DIV deg").alias("c"))
+        if small:
             contrib = F.broadcast(contrib)
         agg = (edges.join(contrib, "src")
                .groupBy(F.col("dst").alias("node"))
                .agg(F.sum("c").alias("s")))
+        if small:
+            agg = F.broadcast(agg)
         ranks = (
-            nodes.join(agg, "node", "left")
+            outdeg.join(agg, "node", "left")
             .select(
-                "node",
+                "node", "deg",
                 (F.lit(base)
                  + F.expr(f"{DAMP_NUM} * COALESCE(s, 0) DIV {DAMP_DEN}"))
                 .cast("bigint").alias("rank")))
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    # pin the |nodes|-sized result eagerly, then release the cached
+    # edges: repeated invocations in one session would otherwise stack
+    # O(edges) cache entries (each call caches a fresh DataFrame)
+    out = ranks.select("node", "rank").localCheckpoint(eager=True)
+    edges.unpersist()
+    return out
