@@ -39,10 +39,21 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     ``max_rounds`` — by then the graph's diameter exceeds what this
     formulation should be used for (see module docstring).
     """
+    # cache the dst-partitioned edge list, NOT localCheckpoint: the
+    # InMemoryRelation preserves the repartition's outputPartitioning
+    # (a checkpoint's LogicalRDD drops it), so every round's
+    # groupBy(dst) below finds its required distribution satisfied and
+    # fuses partial+final aggregation with NO exchange — the edge list
+    # never re-shuffles after the one-time fill (same shape as
+    # operators.pagerank)
+    spark = edges.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sym = (edges.select("src", "dst")
            .union(edges.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst")))
-           .localCheckpoint(eager=True))
+           .repartition(npart, "dst")
+           .cache())
+    sym.count()
     # Stats-gated broadcast of the label table (same pattern as
     # operators.pagerank): a checkpointed RDD input gives AQE no
     # pre-shuffle stats to convert the join itself, so gate on a real
@@ -59,13 +70,16 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         nbr = (sym.join(lab, sym.src == lab.id)
                .groupBy(F.col("dst").alias("id"))
                .agg(F.min("component").alias("nbr_min")))
-        joined = (labels.join(nbr, "id", "left")
+        joined = (labels.join(F.broadcast(nbr) if bcast else nbr,
+                              "id", "left")
                   .localCheckpoint(eager=True))
         if joined.filter(F.col("nbr_min") < F.col("component")).count() == 0:
+            sym.unpersist()
             return joined.select("id", "component")
         labels = joined.select(
             "id",
             F.least("component", F.coalesce("nbr_min", "component"))
              .alias("component"))
+    sym.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds")
