@@ -387,9 +387,11 @@ def ensure_scaled_dir(src: str, k: int = 10) -> tuple[str, bool] | None:
 def scaled_section(spark: SparkSession, catalog, src: str,
                    elapsed: float = 0.0) -> dict | None:
     """First-class sf1 gate (one run per headline query at 10x the
-    bench sf): regressions that only show off the fixed-overhead floor
-    become visible round-over-round. n=1 — the point is the scaling
-    ratio, not a steady-state minimum. Disable with SPARK_GRAFT_SF1=0.
+    bench sf, plus a budget-bounded SECOND run for the slow tail —
+    queries over SPARK_GRAFT_SF1_RERUN_SEC, default 3 s — reporting
+    the min): regressions that only show off the fixed-overhead floor
+    become visible round-over-round, without n=1 scheduler noise on
+    the expensive queries faking them. Disable with SPARK_GRAFT_SF1=0.
 
     Skips itself when the run has already consumed the overall bench
     time budget (SPARK_GRAFT_BENCH_BUDGET seconds, default 420): the
@@ -426,6 +428,7 @@ def scaled_section(spark: SparkSession, catalog, src: str,
         warm(d)
     timings: dict[str, float] = {}
     errs: dict[str, str] = {}
+    t_section0 = time.perf_counter()
     for name in HEADLINE:
         if name in SF1_EXCLUDE:
             continue
@@ -435,8 +438,31 @@ def scaled_section(spark: SparkSession, catalog, src: str,
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:  # record, never fail the whole bench
             errs[name] = f"{type(e).__name__}: {e}"[:200]
+    # Second run for the slow tail only: n=1 numbers on multi-second
+    # queries are exactly where one scheduling hiccup fakes a
+    # round-over-round regression (r8's llm_bigram_lift read +43% on
+    # n=1 and re-measured at baseline best-of-3). The cheap majority
+    # stays n=1 — the scaling RATIO doesn't need a steady-state
+    # minimum there — and the pass stops when the bench time budget
+    # runs out, slowest-first so the noisiest numbers firm up first.
+    rerun_thr = float(os.environ.get("SPARK_GRAFT_SF1_RERUN_SEC", "3"))
+    n_runs = dict.fromkeys(timings, 1)
+    for name in sorted(timings, key=timings.get, reverse=True):
+        if timings[name] <= rerun_thr:
+            break
+        if elapsed + (time.perf_counter() - t_section0) > budget:
+            break
+        t0 = time.perf_counter()
+        try:
+            catalog[name].fn(spark, sdir).count()
+            timings[name] = round(
+                min(timings[name], time.perf_counter() - t0), 3)
+            n_runs[name] = 2
+        except Exception:  # first-run number stands
+            pass
     out = {"dir": sdir, "value": round(sum(timings.values()), 3),
-           "unit": "sec", "n": 1, "queries": timings,
+           "unit": "sec", "n": 1, "n_runs": n_runs,
+           "rerun_threshold_sec": rerun_thr, "queries": timings,
            # True when the replica was (re)built this run: streaming
            # queries then re-stage their inputs inside the timed run
            # (one-off; discount those numbers when comparing rounds).
