@@ -41,14 +41,19 @@ def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join, no candidate blow-up.
     """
     ev = load_table(spark, sf_dir, "events")
-    # unix_timestamp, not cast("long"): the parquet ts column is
-    # tz-naive (TIMESTAMP_NTZ under Spark 4's parquet reader) and
-    # NTZ -> BIGINT casts are rejected outright. unix_timestamp accepts
-    # both timestamp flavors and the session timezone is pinned UTC, so
-    # the epoch ordering key is deterministic either way.
+    # unix_micros over a cast, not unix_timestamp: the parquet ts
+    # column is tz-naive (TIMESTAMP_NTZ under Spark 4's parquet
+    # reader; NTZ -> BIGINT casts are rejected outright, and the cast
+    # to LTZ is shift-free because the session tz is pinned UTC).
+    # MICROsecond precision is semantic, not cosmetic: unix_timestamp
+    # truncates to whole seconds, which pulls a same-second-but-LATER
+    # event into the trailing frame as an ORDER-BY tie — diverging
+    # from the oracle's full-precision ORDER BY ts the moment a user
+    # has two events inside one second (latent at sf0.01, real at
+    # sf0.1+; caught by the sf1-replica gate, round 9).
     w = (Window.partitionBy("user_id")
-         .orderBy(F.unix_timestamp(F.col("ts")))
-         .rangeBetween(-3600, 0))
+         .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+         .rangeBetween(-3_600_000_000, 0))
     return ev.select(
         "event_id", "user_id",
         F.count(F.lit(1)).over(w).alias("n_last_hour"),

@@ -40,6 +40,12 @@ def _norm(v):
     if isinstance(v, decimal.Decimal):
         return f"d:{v}"
     if isinstance(v, _dt.datetime):
+        # tz-aware UTC and naive-UTC are the SAME instant here: the
+        # session tz is pinned UTC, so the legacy row-collect path
+        # yielded naive UTC datetimes while the Arrow path yields
+        # aware ones for TIMESTAMP_LTZ — normalize before comparing
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         return f"ts:{v.isoformat()}"
     if isinstance(v, _dt.date):
         return f"dt:{v.isoformat()}"
@@ -123,9 +129,36 @@ def driver_boundary_violations(spark_df) -> list[str]:
     ]
 
 
+def _duck_kind(t: str) -> str:
+    """DuckDB DESCRIBE type string -> coarse type kind (the same kinds
+    as :func:`_arrow_kind`: HUGEINT surfaces as decimal128 through
+    Arrow, so it maps to 'decimal' here too)."""
+    t = t.strip().upper()
+    if t.endswith("[]"):
+        return f"list<{_duck_kind(t[:-2])}>"
+    if t.startswith("DECIMAL") or t in ("HUGEINT", "UHUGEINT"):
+        return "decimal"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "integer"
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "floating"
+    if t == "BOOLEAN":
+        return "bool"
+    if t in ("VARCHAR", "STRING", "TEXT"):
+        return "string"
+    if t in ("BLOB", "BYTEA"):
+        return "binary"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    return t.lower()
+
+
 def type_kind_mismatches(spark_df, con, sql: str) -> list[str]:
     """Column-level type-KIND divergences between the Spark result
-    schema and the oracle's Arrow schema.
+    schema and the oracle's schema.
 
     This is the channel that exposes coercions ``fetchall`` hides:
     DuckDB types an uncast ``SUM(BIGINT)`` as HUGEINT, which leaves
@@ -136,9 +169,14 @@ def type_kind_mismatches(spark_df, con, sql: str) -> list[str]:
     ``llm_pack_sequences`` red row: rows/schema matched, hash didn't.
     Kind-level (not width-level) so nullable-int/NaN/date artifacts
     that affect both engines identically don't false-positive.
+
+    The oracle schema comes from ``DESCRIBE <sql>`` — a plan-only
+    statement, so the kind check no longer re-EXECUTES the oracle (at
+    the sf1 replica the second execution of a heavy oracle dominated
+    the whole compare).
     """
-    duck_schema = con.execute(sql).fetch_arrow_table().schema
-    duck_kinds = {f.name: _arrow_kind(f.type) for f in duck_schema}
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    duck_kinds = {r[0]: _duck_kind(r[1]) for r in desc}
     problems = []
     for f in spark_df.schema.fields:
         sk = _spark_kind(f.dataType)
@@ -162,7 +200,16 @@ def compare(spark_df, con, sql: str) -> list[str]:
     """
     problems: list[str] = []
     s_cols = list(spark_df.columns)
-    s_rows = [tuple(r) for r in spark_df.collect()]
+    # Arrow collect, not Row collect: py4j row deserialization is
+    # single-threaded Python at ~10s of µs/row — a full-projection
+    # query at the sf1 replica (millions of rows) took tens of minutes
+    # through collect() and seconds through Arrow. Value semantics per
+    # _norm are identical (timestamps: see the tz note in _norm).
+    try:
+        tbl = spark_df.toArrow()
+        s_rows = list(zip(*(c.to_pylist() for c in tbl.columns)))
+    except Exception:  # exotic types Arrow can't carry: legacy path
+        s_rows = [tuple(r) for r in spark_df.collect()]
     cur = con.execute(sql)
     d_cols = [d[0] for d in cur.description]
     d_rows = cur.fetchall()
@@ -175,8 +222,12 @@ def compare(spark_df, con, sql: str) -> list[str]:
     sm = rows_to_multiset(s_cols, s_rows)
     dm = rows_to_multiset(d_cols, d_rows)
     if sm != dm:
-        diff_s = [r for r in sm if r not in set(dm)][:3]
-        diff_d = [r for r in dm if r not in set(sm)][:3]
+        # hoist the sets: building them inside the comprehension's
+        # condition re-evaluates set(...) PER ROW — quadratic, which
+        # turned a million-row mismatch into a half-hour hang
+        dset, sset = set(dm), set(sm)
+        diff_s = [r for r in sm if r not in dset][:3]
+        diff_d = [r for r in dm if r not in sset][:3]
         problems.append(
             f"value multiset differs; spark-only sample={diff_s} "
             f"duck-only sample={diff_d}")

@@ -28,6 +28,9 @@ def main() -> None:
     ap.add_argument("--all", action="store_true",
                     help="check every oracled query, not just the tiers")
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    ap.add_argument("--resume", default=None, metavar="LOG",
+                    help="skip names already finished (OK or FAIL line) "
+                         "in a previous run's log file")
     args = ap.parse_args()
 
     from bench import build_session
@@ -46,6 +49,15 @@ def main() -> None:
         # i.e. exactly what the next driver round will check first
         names = [n for n, q in catalog.items()
                  if q.oracle and n not in cat._DRIVER_CHECKED]
+
+    if args.resume:
+        done = set()
+        with open(args.resume) as fh:
+            for line in fh:
+                if line.startswith(("OK ", "FAIL ")):
+                    done.add(line.split()[1])
+        names = [n for n in names if n not in done]
+        print(f"resume: {len(done)} finished names skipped")
 
     spark = build_session(args.cpus)
     con = duck_connection(args.sf)
