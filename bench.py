@@ -254,6 +254,10 @@ def build_session(cpus: str) -> SparkSession:
     b = (SparkSession.builder.master(f"local[{cpus}]")
          .appName("bench")
          .config("spark.ui.enabled", "false")
+         # no console progress bars: they interleave \r-prefixed stage
+         # lines into stdout logs, which breaks line-oriented consumers
+         # (driver_gate_check --resume parses its own prior log)
+         .config("spark.ui.showConsoleProgress", "false")
          .config("spark.driver.memory",
                  os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")))
     try:
