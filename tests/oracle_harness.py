@@ -20,6 +20,17 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Optional resource caps for replica-scale gate runs: the exact
+    # pair-expansion dedup oracles (ngram-jaccard, prefix-filter) spill
+    # tens of GB of duckdb temp at the 10x sf1 replica — two concurrent
+    # gate shards once filled the disk. Env-gated so the default pytest
+    # path is unchanged; values are duckdb size strings ("40GiB").
+    mem = os.environ.get("GRAFT_DUCK_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+    cap = os.environ.get("GRAFT_DUCK_TEMP_CAP")
+    if cap:
+        con.execute(f"SET max_temp_directory_size='{cap}'")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         con.execute(
