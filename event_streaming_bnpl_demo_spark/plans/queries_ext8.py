@@ -53,8 +53,14 @@ def _dedup_recall_oracle() -> str:
     verbatim, so the eval stays consistent with what it evaluates."""
     truth = _REGISTRY["llm_dedup_ngram_jaccard_exact"].oracle
     cand = _REGISTRY["llm_dedup_minhash"].oracle
+    # AS MATERIALIZED: truth is referenced twice and cand three times
+    # below; inlined, duckdb re-executes the exact pair-expansion truth
+    # per reference — at the 10x sf1 replica that multiplied a ~50 GB
+    # temp spill past the disk. Materializing pins each CTE to one
+    # execution; results are identical.
     return f"""
-    WITH truth AS ({truth}), cand AS ({cand}),
+    WITH truth AS MATERIALIZED ({truth}),
+         cand AS MATERIALIZED ({cand}),
     h AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n FROM truth t
       JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
