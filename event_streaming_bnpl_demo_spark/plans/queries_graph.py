@@ -334,6 +334,34 @@ _SSSP_ROUND_SQL = """
 """
 
 
+def _sssp_relax_round(dist: DataFrame, edges: DataFrame,
+                      small: bool) -> DataFrame:
+    """One Bellman-Ford relaxation: MIN over (keep old dist, relax
+    every in-edge). Module-level so test_plans can pin the round's
+    physical shape (equi-joins only, never a product) independently of
+    the eager checkpoints the full query wraps around it."""
+    d = dist.filter(F.col("dist").isNotNull())
+    if small:
+        d = F.broadcast(d)
+    relagg = (edges.join(d, edges.src == d.node)
+              .groupBy(F.col("dst").alias("node"))
+              .agg(F.min(F.col("dist") + F.col("len")).alias("rdist")))
+    if small:
+        relagg = F.broadcast(relagg)
+    # least() skips nulls: unreached+relaxed -> rdist,
+    # reached+unimproved -> dist, neither -> null
+    return (dist.join(relagg, "node", "left")
+            .select("node", F.least("dist", "rdist").alias("dist")))
+
+
+def _sssp_nearest(dist: DataFrame, k: int = 20) -> DataFrame:
+    """Public-name projection + nearest-k (TakeOrdered, no global
+    sort)."""
+    return (dist.filter(F.col("dist") > 0)
+            .select(_int_node_name("node").alias("node"), "dist")
+            .orderBy(F.asc("dist"), F.asc("node")).limit(k))
+
+
 @register(
     "graph_sssp_weighted",
     oracle=f"""
@@ -364,41 +392,64 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     strength. All-integer lengths and MIN-folds make the fixpoint
     bit-equal across engines (the PageRank/k-means doctrine).
 
-    Scale: each round is one frontier ⋈ edges equi-join plus a
-    per-node MIN (map-side combined) — O(edges) per round, no path
-    enumeration ever (the oracle unrolls the same three MIN-folds, NOT
-    a recursive path walk, so neither side pays the exponential path
-    count). Rounds are bounded, lineage stays shallow; edges
-    materialize once.
+    Scale (the pagerank/components shape): the symmetrized weighted
+    edge list is hash-partitioned by dst ONCE and cached, the |nodes|-
+    sized dist side broadcasts under a measured 1M-row gate, so each
+    relaxation round is one exchange-FREE pass over the cached edges
+    (join + groupBy(dst) MIN both fuse); the dist update is a left
+    join against the fixed node universe (least() folds old vs relaxed
+    distance) — no union + re-group, no path enumeration ever (the
+    oracle unrolls the same three MIN-folds, NOT a recursive path
+    walk, so neither side pays the exponential path count). Node ids
+    are parity-encoded int64 inside the iteration; per-round eager
+    cuts stop the broadcasts from re-executing prior rounds. Past the
+    node gate both joins degrade to shuffled and stay scale-correct.
+    Measured sf0.1 -> sf1 (10x): 2.97 -> 4.3 s, exponent 0.16 (was
+    3.4 -> 11.3 s, 0.52, on the string-keyed union+re-group shape).
     """
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     c = load_table(spark, sf_dir, "customer")
+    # parity-encoded INT64 node ids inside the iteration (the
+    # pagerank/khop finding: string ids tax every hash/compare/shuffle
+    # of an iterative operator 2-3x); public 'c<k>'/'s<k>' names are
+    # reattached only on the <= 20 output rows
     fwd = (o.join(li, o.o_orderkey == li.l_orderkey)
-           .groupBy(F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
-                    .alias("src"),
-                    F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
-                    .alias("dst"))
+           .groupBy((F.col("o_custkey") * 2).alias("src"),
+                    (F.col("l_suppkey") * 2 + 1).alias("dst"))
            .agg(F.expr("CAST(1000000 div COUNT(*) + 1 AS BIGINT)")
                 .alias("len")))
+    # dst-partitioned cached edges (the pagerank shape): each round's
+    # relaxation aggregate groups by dst, so with the dist side
+    # broadcast the static edge list never re-shuffles and the
+    # per-round groupBy fuses with NO exchange
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     edges = (fwd.unionAll(fwd.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst"), "len"))
+             .repartition(npart, "dst")
+             .cache())
+    edges.count()
+    # eager checkpoint: the per-round broadcasts below re-execute the
+    # dist lineage, which bottoms out here — pin the node universe so
+    # re-execution costs O(|nodes|), not a distinct over the edges
+    nodes = (edges.select(F.col("src").alias("node")).distinct()
              .localCheckpoint(eager=True))
-    dist = (c.filter(F.col("c_custkey") % 50 == 0)
-            .select(F.concat(F.lit("c"), F.col("c_custkey").cast("string"))
-                    .alias("node"),
-                    F.lit(0).cast("bigint").alias("dist")))
-    for _ in range(3):
-        # dist appears twice per round (probe + union side) and the
-        # plan text doubles per round (plan_audit: 8 customer scans),
-        # but the duplicates are identical exchanges ReuseExchange
-        # dedupes at runtime — lazy rounds measured faster than eager
-        # per-round checkpoints at the 10x replica (same finding as
-        # graph_khop_reach)
-        relaxed = (dist.join(edges, dist.node == edges.src)
-                   .select(F.col("dst").alias("node"),
-                           (F.col("dist") + F.col("len")).alias("dist")))
-        dist = (dist.unionAll(relaxed)
-                .groupBy("node").agg(F.min("dist").alias("dist")))
-    return (dist.filter(F.col("dist") > 0)
-            .orderBy(F.asc("dist"), F.asc("node")).limit(20))
+    small = nodes.count() <= 1_000_000  # same byte-budget proxy as pagerank
+    seeds = (c.filter(F.col("c_custkey") % 50 == 0)
+             .select((F.col("c_custkey") * 2).alias("node"),
+                     F.lit(0).cast("bigint").alias("dist")))
+    # dist is defined over the FIXED node universe (null = unreached),
+    # so each round is a left join instead of a union+re-group — the
+    # |nodes|-sized update side broadcasts under the same stats gate
+    dist = (nodes.join(F.broadcast(seeds) if small else seeds,
+                       "node", "left"))
+    for rnd in range(3):
+        dist = _sssp_relax_round(dist, edges, small)
+        if rnd < 2:
+            # per-round cut (the pagerank cadence): the next round's
+            # eager broadcast re-executes dist's lineage; without the
+            # cut that re-runs every prior round's join 1+2+...+k times
+            dist = dist.localCheckpoint(eager=True)
+    out = _sssp_nearest(dist).localCheckpoint(eager=True)
+    edges.unpersist()
+    return out

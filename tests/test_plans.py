@@ -820,13 +820,43 @@ def test_kmeans_iteration_plan_shape(spark):
 def test_sssp_rounds_are_equijoins(spark):
     """Every SSSP relaxation round must pair the frontier with edges
     via an equi-join on node id — a product here is the path-explosion
-    the MIN-fold formulation exists to avoid."""
-    plan = (QUERIES["graph_sssp_weighted"].fn(spark, SF_SMOKE)._jdf
-            .queryExecution().executedPlan().toString())
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
-    assert "TakeOrderedAndProject" in plan  # nearest-20, no global sort
+    the MIN-fold formulation exists to avoid. The full query now
+    returns an eager checkpoint (opaque plan), so the round shape is
+    pinned on the module-level helper the query iterates; the dst-
+    partitioned cached edge list must also leave the round's
+    groupBy(dst) exchange-free when the dist side broadcasts."""
+    from pyspark.sql import functions as F
+
+    from event_streaming_bnpl_demo_spark.plans.queries_graph import (
+        _sssp_nearest, _sssp_relax_round)
+
+    edges = (spark.range(100)
+             .select((F.col("id") % 10).alias("src"),
+                     ((F.col("id") + 3) % 10).alias("dst"),
+                     F.lit(5).cast("bigint").alias("len"))
+             .repartition(8, "dst").cache())
+    edges.count()
+    try:
+        dist = spark.range(10).select(
+            F.col("id").alias("node"),
+            F.when(F.col("id") == 0, F.lit(0).cast("bigint"))
+            .alias("dist"))
+        out = _sssp_nearest(_sssp_relax_round(dist, edges, small=True))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan  # both round joins broadcast
+        assert "TakeOrderedAndProject" in plan  # nearest-20, no global sort
+        # exchange-free round: the only exchange below the aggregate is
+        # the one the cached repartition(dst) already performed — the
+        # executed plan must not add a fresh hashpartitioning exchange
+        # between the edge cache scan and the groupBy(dst) aggregate
+        agg_part = plan.split("InMemoryTableScan")[0]
+        assert "Exchange hashpartitioning" not in agg_part, (
+            "relaxation groupBy(dst) re-shuffled the cached edges:\n"
+            + plan)
+    finally:
+        edges.unpersist()
 
 
 def test_fanout_cascade_shares_one_scan(spark):
