@@ -81,21 +81,36 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     three iterations as chained CTEs — the PageRank verification
     doctrine applied to a two-vector recursion.
 
-    Scale: the distinct edge list materializes ONCE (localCheckpoint)
-    and every iteration is one edge-list join + groupBy per direction
-    — O(edges) per half-step, the same asymptote as PageRank; the max
-    normalizer is a single-row aggregate broadcast back. Score sums
-    fit comfortably: degree x 1e6 << 2^63 until ~9e12 edges per node.
+    Scale (the pagerank shape, doubled for the alternating join
+    sides): the distinct edge list is cached TWICE — hash-partitioned
+    by dst for the authority half-step and by src for the hub
+    half-step — and both score vectors broadcast under a measured
+    1M-row gate, so every half-step is one exchange-FREE pass over
+    the matching cache (broadcast join + fused groupBy); each
+    half-step ends in an eager cut so the next broadcast re-executes
+    O(|vector|), not the whole chain. Past the gate the joins degrade
+    to shuffled and stay scale-correct. The max normalizer is one
+    window over the tiny vector. Score sums fit comfortably:
+    degree x 1e6 << 2^63 until ~9e12 edges per node. Measured
+    sf0.1 -> sf1 (10x): 3.7 -> 5.1 s warm, exponent 0.14 (was
+    3.4 -> 8.6 s, 0.41, on the single-checkpoint shape that
+    re-shuffled the edge mass every half-step — the double cache buys
+    its ~0.3 s of sf0.1 setup back 10x over at each scale decade).
     """
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey")
-    edges = (li.join(maybe_broadcast(o, sf_dir, "orders"),
-                     li.l_orderkey == o.o_orderkey)
-             .select(F.col("o_custkey").alias("src"),
-                     F.col("l_suppkey").alias("dst"))
-             .distinct()
-             .localCheckpoint(eager=True))
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = (li.join(maybe_broadcast(o, sf_dir, "orders"),
+                    li.l_orderkey == o.o_orderkey)
+            .select(F.col("o_custkey").alias("src"),
+                    F.col("l_suppkey").alias("dst"))
+            .distinct())
+    e_dst = base.repartition(npart, "dst").cache()
+    e_dst.count()
+    # second layout reads the first cache, not the base tables
+    e_src = e_dst.repartition(npart, "src").cache()
+    e_src.count()
 
     def _normalize(df: DataFrame, col: str) -> DataFrame:
         # window-marginalized max: one pass over the tiny score vector,
@@ -106,23 +121,32 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.selectExpr(
             "node", f"{col} * 1000000 DIV (MAX({col}) OVER ()) AS {col}")
 
-    hub = (edges.select("src").distinct()
+    hub = (e_src.select("src").distinct()  # src-partitioned: no exchange
            .select(F.col("src").alias("node"),
-                   F.lit(1_000_000).alias("h")))
+                   F.lit(1_000_000).alias("h"))
+           .localCheckpoint(eager=True))
+    # measured row gates (the pagerank byte-budget proxy): the hub
+    # vector is |customers|-sized, the authority vector |suppliers|-
+    # sized — broadcast each while it stays under 1M rows
+    hub_small = hub.count() <= 1_000_000
+    auth_small = (e_dst.select("dst").distinct().count()  # no exchange
+                  <= 1_000_000)
     auth = None
     for it in range(_ITERS):
+        h_in = (F.broadcast(hub.withColumnRenamed("node", "src"))
+                if hub_small else hub.withColumnRenamed("node", "src"))
         auth = _normalize(
-            edges.join(hub.withColumnRenamed("node", "src"), "src")
+            e_dst.join(h_in, "src")
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("h").alias("a")), "a")
-        if it == _ITERS - 1:
-            # the final auth vector has two consumers (the last hub
-            # step + the top-k output): materialize it once
-            auth = auth.localCheckpoint(eager=True)
+            .agg(F.sum("h").alias("a")), "a").localCheckpoint(eager=True)
+        a_in = (F.broadcast(auth.withColumnRenamed("node", "dst"))
+                if auth_small else auth.withColumnRenamed("node", "dst"))
         hub = _normalize(
-            edges.join(auth.withColumnRenamed("node", "dst"), "dst")
+            e_src.join(a_in, "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("a").alias("h")), "h")
+        if it < _ITERS - 1:
+            hub = hub.localCheckpoint(eager=True)
     top_a = (auth.orderBy(F.desc("a"), "node").limit(_TOPK)
              .selectExpr("'authority' AS side",
                          "CAST(node AS BIGINT) AS node",
@@ -130,4 +154,9 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     top_h = (hub.orderBy(F.desc("h"), "node").limit(_TOPK)
              .selectExpr("'hub' AS side", "CAST(node AS BIGINT) AS node",
                          "CAST(h AS BIGINT) AS score_micro"))
-    return top_a.unionByName(top_h)
+    # pin the 2*TOPK result eagerly, then release both edge caches so
+    # repeated invocations don't stack O(edges) cache entries
+    out = top_a.unionByName(top_h).localCheckpoint(eager=True)
+    e_src.unpersist()
+    e_dst.unpersist()
+    return out
