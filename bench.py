@@ -101,6 +101,12 @@ HEADLINE = [
     "stream_asof_join",
     "dq_order_reconciliation",
     "graph_pagerank",
+    # round-9: the two remaining iterative-graph shapes, benched after
+    # their exchange-free rewrites (sssp 11.3->4.3 s, hits 8.6->5.1 s
+    # at the sf1 replica) so the cached-partitioning plans are pinned
+    # round-over-round
+    "graph_sssp_weighted",
+    "graph_hits_bipartite",
     "ts_rolling_24h",
     "ts_scd2_states",
     "llm_multimodal_image",
