@@ -858,33 +858,45 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     |orders| x |days| comparisons, a nested-loop disaster at scale.
     The banded rewrite maps both sides onto integer bands of width 7
     (>= the 2*3+1-day window, so every qualifying pair shares a band
-    or lands in an adjacent one), EXPLODES each order to its three
-    candidate bands, equi-joins on the band id — a plain shuffled hash
-    join — and applies the exact |delta| <= 3 predicate as a
+    or lands in an adjacent one), EXPLODES the |days|-sized rollup to
+    its three candidate bands (band adjacency is symmetric, so the
+    replication can always ride the small side), equi-joins on the
+    band id, and applies the exact |delta| <= 3 predicate as a
     post-filter. Identical output to the naive theta join (the
     oracle), with the O(n*m) comparison replaced by O(matches +
     band-collisions). The same expand-small-side trick as the
     interval-join operator, stated as a checkable rewrite.
 
-    Scale: the rollup side is |days| rows; the explode costs 3x
-    |orders| rows into a hash join keyed on band — no nested loop, no
-    broadcast dependence, partitionable on the band id.
+    Scale: the exploded rollup is 3x|days| rows and broadcast, so the
+    order mass streams ONCE — no explode, no shuffle — into the
+    band-keyed hash join and the 5-group partial aggregate. When
+    neither side is broadcastable the same rewrite runs as a shuffled
+    hash join partitioned on band id (put the 3x on the smaller
+    side); either way, never a nested loop.
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
+    # the EXPAND-SMALL-SIDE direction matters: band adjacency is
+    # symmetric (band(o) within +-1 of band(d) <=> band(d) within +-1
+    # of band(o)), so the 3x replication goes on the |days|-sized
+    # rollup, NOT the order mass — and the exploded rollup is
+    # explicitly broadcast (Catalyst's static estimate once picked
+    # BuildLeft on the 3x-exploded ORDERS: a multi-MB broadcast of the
+    # big side at sf1). Orders then stream map-side with no explode,
+    # no shuffle, straight into the 5-group partial aggregate.
     d = (li.groupBy(F.datediff(F.col("l_shipdate"), F.lit("1995-01-01"))
                     .cast("bigint").alias("day"))
          .agg(F.sum(F.expr(_CENTS.format(col="l_extendedprice")))
               .alias("rev"))
-         .withColumn("band", F.expr("CAST(FLOOR(day / 7) AS BIGINT)")))
+         .withColumn("band", F.explode(F.expr(
+             "array(CAST(FLOOR(day / 7) AS BIGINT) - 1, "
+             "CAST(FLOOR(day / 7) AS BIGINT), "
+             "CAST(FLOOR(day / 7) AS BIGINT) + 1)"))))
     ob = (o.select(F.col("o_orderpriority").alias("prio"),
                    F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
                    .cast("bigint").alias("oday"))
-          .withColumn("band", F.explode(F.expr(
-              "array(CAST(FLOOR(oday / 7) AS BIGINT) - 1, "
-              "CAST(FLOOR(oday / 7) AS BIGINT), "
-              "CAST(FLOOR(oday / 7) AS BIGINT) + 1)"))))
-    joined = (ob.join(d, "band")
+          .withColumn("band", F.expr("CAST(FLOOR(oday / 7) AS BIGINT)")))
+    joined = (ob.join(F.broadcast(d), "band")
               .filter(F.expr("abs(day - oday) <= 3")))
     return (joined.groupBy("prio")
             .agg(F.count(F.lit(1)).alias("n_pairs"),
