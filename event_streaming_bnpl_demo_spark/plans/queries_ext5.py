@@ -986,18 +986,25 @@ def llm_ivf_train_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = (fp.filter(F.col("vec_id") < _KM_K)
              .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
              .localCheckpoint())
-    dist = F.expr(
+    # nearest-centroid argmin computed PER ROW over the K-struct array
+    # (array_min orders structs lexicographically: (d, cid) replicates
+    # the oracle's ORDER BY d, cid tie-break) — the earlier shape
+    # exploded V x K rows and re-shuffled them through a
+    # partitionBy(vec_id) window every iteration; this one has no
+    # expansion and no exchange on the vector side at all
+    best = F.expr(
+        f"array_min(transform(cs, cc -> struct("
         f"aggregate(sequence(1, {DIM}), CAST(0 AS BIGINT), (acc, i) -> "
-        f"acc + (element_at(v, i) - element_at(c, i))"
-        f" * (element_at(v, i) - element_at(c, i)))")
+        f"acc + (element_at(v, i) - element_at(cc.c, i))"
+        f" * (element_at(v, i) - element_at(cc.c, i))) AS d, "
+        f"cc.cid AS cid)))")
     assigned = None
     for _ in range(2):
-        w = Window.partitionBy("vec_id").orderBy("d", "cid")
-        assigned = (fp.crossJoin(F.broadcast(cents))
-                    .withColumn("d", dist)
-                    .withColumn("rn", F.row_number().over(w))
-                    .filter(F.col("rn") == 1)
-                    .select("vec_id", "v", "cid"))
+        cent_row = cents.agg(
+            F.collect_list(F.struct("cid", "c")).alias("cs"))
+        assigned = (fp.crossJoin(F.broadcast(cent_row))
+                    .select("vec_id", "v", best.getField("cid")
+                            .alias("cid")))
         long = assigned.select(
             "cid", F.posexplode("v").alias("pos", "val"))
         cents = (long.groupBy("cid", (F.col("pos") + 1).alias("dim"))

@@ -40,7 +40,15 @@ def main() -> None:
 
     catalog = all_queries()
     if args.names:
-        names = args.names
+        # rows-only queries (oracle=None) have nothing to compare —
+        # passing one here used to feed None into duckdb, which dies
+        # with an internal shared_ptr error that reads like a crash
+        names = []
+        for n in args.names:
+            if catalog[n].oracle is None:
+                print(f"SKIP {n} (rows-only: no oracle to compare)")
+            else:
+                names.append(n)
     elif args.all:
         names = [n for n, q in catalog.items() if q.oracle]
     else:
