@@ -59,12 +59,98 @@ ALLOWLIST: dict[str, str] = {
     "graph_khop_reach": "iterative lineage: duplicate subtrees are "
     "identical exchanges deduped by ReuseExchange at runtime — lazy "
     "hops measured ~3x faster than eager per-hop checkpoints at sf1",
-    "graph_sssp_weighted": "same ReuseExchange finding as khop: lazy "
-    "relaxation rounds beat eager per-round checkpoints",
+    "graph_sssp_weighted": "round-9 shape: per-round eager cuts + "
+    "cached dst-partitioned edges — multi-scans, if any, are the "
+    "bounded seed/name projections",
     "graph_triangle_count": "edge-set consumers are identical exchanges "
     "deduped by ReuseExchange at runtime — eager checkpoints measured a "
     "wash at sf1 and slower at small SF",
 }
+
+
+#: Explicitly-hinted broadcast sides whose flagged shape is deliberate
+#: and bounded by construction. Reviewed per entry — a new flag means
+#: a new regression (or a new entry with a reason).
+BCAST_ALLOWLIST: dict[str, str] = {
+    "join_salted_skew": "the salt expansion deliberately rides the "
+    "broadcast DIM side (replicate small, never shuffle the skewed "
+    "fact) — the explode is the operator's point",
+    "geo_grid_knn": "probe side is <=200 rows by construction "
+    "(c_custkey < _KNN_PROBES) before the hint",
+}
+
+#: Fact tables: a raw (un-aggregated) scan of one of these below an
+#: explicit broadcast hint cannot be scale-safe.
+_FACTS = ("lineitem", "orders", "events")
+
+
+def _hinted_broadcast_sides(logical: str) -> list[str]:
+    """Return the subtree text of every join side carrying an explicit
+    broadcast hint in an optimizedPlan().toString() tree. Catalyst's
+    own AUTO broadcasts are stats-driven and degrade correctly with
+    data size, so only resolved hints (`leftHint=`/`rightHint=`
+    `(strategy=broadcast)`) — the sides a human pinned — are audited.
+    Children of a node whose marker ('+-'/':-') sits at column d are
+    the following lines with markers at column d+3; a subtree ends at
+    the next marker at column <= its root's."""
+    lines = logical.splitlines()
+
+    def marker(ln: str) -> int:
+        m = re.search(r"[+:]-", ln)
+        return m.start() if m else (-3 if ln.strip() else -10)
+
+    out = []
+    for i, ln in enumerate(lines):
+        if "Join" not in ln or "strategy=broadcast" not in ln:
+            continue
+        want = []
+        if "leftHint=(strategy=broadcast)" in ln:
+            want.append(0)
+        if "rightHint=(strategy=broadcast)" in ln:
+            want.append(1)
+        d0 = marker(ln)
+        kids = []  # (start index, end index) of each direct child
+        j = i + 1
+        while j < len(lines):
+            d = marker(lines[j])
+            if d <= d0:
+                break
+            if d == d0 + 3:
+                kids.append(j)
+            j += 1
+        kids.append(j)
+        for w in want:
+            if w + 1 < len(kids):
+                out.append("\n".join(lines[kids[w]:kids[w + 1]]))
+    return out
+
+
+def broadcast_sanity(name: str, logical: str) -> list[str]:
+    """The round-9 join_range_banded bug class, mechanized: an
+    explicitly-broadcast join side must be bounded by construction.
+    Two shapes fail that: a raw fact-table scan with no aggregate
+    between scan and hint (the side grows with the data), and a
+    Generate/explode with no aggregate below it (raw rows replicated
+    AND shipped — the expansion belongs on the bounded side)."""
+    if name in BCAST_ALLOWLIST:
+        return []
+    problems = []
+    fact_scan = re.compile(
+        r"Relation.*(" + "|".join(_FACTS) + r")\.parquet")
+    for side in _hinted_broadcast_sides(logical):
+        has_agg = "Aggregate" in side
+        if fact_scan.search(side) and not has_agg:
+            problems.append("explicit broadcast of a raw fact-table "
+                            "side (no aggregate below the hint)")
+        if "Generate " in side and not has_agg:
+            # an Aggregate ABOVE the explode collapses the expansion
+            # before it ships; one BELOW bounds the explode's input
+            # (constant per-row expansion of an aggregate's output,
+            # the join_range_banded shape). Neither present = raw rows
+            # replicated AND shipped — the round-9 bug class.
+            problems.append("explicit broadcast of an exploded side "
+                            "with no bounding aggregate")
+    return problems
 
 
 def main() -> None:
@@ -102,6 +188,12 @@ def main() -> None:
         if hot:
             rdd = plan.count("Scan ExistingRDD")
             flagged.append((name, hot, rdd))
+        try:
+            tree = (df._jdf.queryExecution().optimizedPlan().toString())
+        except Exception:
+            tree = ""
+        for prob in broadcast_sanity(name, tree):
+            print(f"BCAST {name}: {prob}")
     justified = [(n, h, r) for n, h, r in flagged if n in ALLOWLIST]
     unexplained = [(n, h, r) for n, h, r in flagged if n not in ALLOWLIST]
     for name, hot, rdd in unexplained:
