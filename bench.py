@@ -456,11 +456,17 @@ def scaled_section(spark: SparkSession, catalog, src: str,
     # minimum there — and the pass stops when the bench time budget
     # runs out, slowest-first so the noisiest numbers firm up first.
     rerun_thr = float(os.environ.get("SPARK_GRAFT_SF1_RERUN_SEC", "3"))
+    # a freshly-(re)built replica stages every streaming/layout input
+    # INSIDE the timed first pass — exactly the run where the second
+    # pass matters most and exactly the run that exhausts the shared
+    # budget; grant the rerun pass extra headroom so rebuilt-replica
+    # rounds still report steady-state minima instead of staging cost
+    rerun_budget = budget + (180 if rebuilt else 0)
     n_runs = dict.fromkeys(timings, 1)
     for name in sorted(timings, key=timings.get, reverse=True):
         if timings[name] <= rerun_thr:
             break
-        if elapsed + (time.perf_counter() - t_section0) > budget:
+        if elapsed + (time.perf_counter() - t_section0) > rerun_budget:
             break
         t0 = time.perf_counter()
         try:

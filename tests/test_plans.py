@@ -1256,3 +1256,53 @@ def test_ext19_plan_shapes(spark):
     assert plan.count("documents.parquet") == 1
     assert "WindowGroupLimit" in plan, \
         "the top-100 rank cut must prune per-partition before the sort"
+
+
+def test_broadcast_sanity_flags_unbounded_hinted_sides(spark):
+    """The plan_audit broadcast audit (the round-9 join_range_banded
+    bug class, mechanized) must flag an explicit broadcast hint over a
+    raw exploded side, and must accept the two bounded shapes: an
+    aggregate above the explode (collapses before shipping) and an
+    aggregate below it (constant per-row expansion of an aggregate's
+    output — the fixed range_banded shape). Exercised on real plans,
+    not canned strings, so the tree-text parsing tracks Spark."""
+    import os
+    import sys
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.plan_audit import broadcast_sanity
+
+    def logical(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    big = spark.range(1000).select(F.col("id").alias("k"))
+    raw = spark.range(50).select(
+        F.col("id").alias("k"),
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("x"))
+    bad = big.join(F.broadcast(raw), "k")
+    assert any("exploded side" in p
+               for p in broadcast_sanity("q", logical(bad)))
+
+    # aggregate BELOW the explode: bounded constant expansion — clean
+    agg_then_explode = (spark.range(200)
+                        .groupBy((F.col("id") % 10).alias("k"))
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .select("k", "n", F.explode(
+                            F.array(F.lit(0), F.lit(1))).alias("x")))
+    good = big.join(F.broadcast(agg_then_explode), "k")
+    assert broadcast_sanity("q", logical(good)) == []
+
+    # aggregate ABOVE the explode (distinct collapses it) — clean
+    explode_then_agg = raw.select("k").distinct()
+    good2 = big.join(F.broadcast(explode_then_agg), "k")
+    assert broadcast_sanity("q", logical(good2)) == []
+
+    # Catalyst AUTO broadcast (no hint) is never audited
+    assert broadcast_sanity("q", logical(big.join(raw, "k"))) == []
+
+    # allowlisted names are exempt by design
+    from tools.plan_audit import BCAST_ALLOWLIST
+    assert broadcast_sanity(next(iter(BCAST_ALLOWLIST)),
+                            logical(bad)) == []
