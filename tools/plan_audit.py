@@ -56,9 +56,9 @@ ALLOWLIST: dict[str, str] = {
     "each build from a filtered branch — sketch exhibit",
     "join_fuzzy_blocked": "blocked self-join: probe + build + block "
     "census over one table is the entity-resolution shape",
-    "graph_khop_reach": "iterative lineage: duplicate subtrees are "
-    "identical exchanges deduped by ReuseExchange at runtime — lazy "
-    "hops measured ~3x faster than eager per-hop checkpoints at sf1",
+    "graph_khop_reach": "round-9 shape: per-hop eager cuts + cached "
+    "dst-partitioned edges — multi-scans, if any, are the bounded "
+    "seed projections",
     "graph_sssp_weighted": "round-9 shape: per-round eager cuts + "
     "cached dst-partitioned edges — multi-scans, if any, are the "
     "bounded seed/name projections",
