@@ -216,10 +216,18 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     without materialization barriers.
 
     Scale: one scan of documents; scrub/score/gate are codegen
-    expressions fused into the scan, dedup is one shuffle on the
-    fingerprint digest, the final summary is a partial-agg shuffle on
-    (split, lang). Nothing re-scans, nothing collects: the 100 TB plan
-    is scan → exchange(md5) → exchange(split,lang).
+    expressions fused into the scan, dedup is one PARTIAL-aggregated
+    shuffle on the fingerprint digest carrying only (fp, doc_id, lang,
+    source, n_tokens) — duplicates collapse map-side and no text byte
+    ever crosses the wire — and the final summary is a partial-agg
+    shuffle on (split, lang). Nothing re-scans, nothing collects: the
+    100 TB plan is scan → exchange(md5, slim) → exchange(split,lang).
+    Measured sf1: 5.6 -> 5.0 s replacing the earlier ROW_NUMBER
+    window (which shipped full text through its exchange and could
+    not combine map-side) — modest at this corpus size because the
+    per-row scrub/tokenize codegen dominates, but the shuffle mass
+    drops from O(text bytes) to O(rows x ~60 B), which is the term
+    that grows with document length at 100 TB.
     """
     d = load_table(spark, sf_dir, "documents")
     scrubbed = d.select(
@@ -236,12 +244,20 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = scored.filter((F.col("n_tokens") >= 20)
                          & (F.col("unique_ratio") >= 0.3))
+    # canonical row per fingerprint via a partial-aggregatable
+    # min(struct(doc_id, ...)) — doc_id leads the struct, so the
+    # lexicographic MIN is exactly the oracle's ROW_NUMBER ... ORDER
+    # BY doc_id pick. Two wins over the window formulation: map-side
+    # combine collapses duplicates before the exchange, and the text
+    # column is dropped BEFORE the shuffle (the window shape shipped
+    # every document's full text across the wire just to discard it).
     fp = F.md5(F.expr(normalize_text("text", "spark")))
     deduped = (
-        kept.withColumn(
-            "rn", F.row_number().over(
-                Window.partitionBy(fp).orderBy("doc_id")))
-        .filter(F.col("rn") == 1)
+        kept.select(fp.alias("fp"), "doc_id", "lang", "source", "n_tokens")
+        .groupBy("fp")
+        .agg(F.min(F.struct("doc_id", "lang", "source", "n_tokens"))
+             .alias("r"))
+        .select("r.doc_id", "r.lang", "r.source", "r.n_tokens")
     )
     split = F.when(
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2),
