@@ -11,11 +11,29 @@ import datetime as _dt
 import decimal
 import math
 import os
+import re
 
 import duckdb
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
+
+#: duckdb size strings only ("40GiB", "512 MB") — these values are
+#: interpolated into SET statements, so anything else (typos, quotes)
+#: must fail as a config error here, not a confusing SQL error there.
+_SIZE_RE = re.compile(r"^\d+(\.\d+)?\s*[KMGT]i?B$", re.IGNORECASE)
+
+
+def _size_env(var: str) -> str | None:
+    val = os.environ.get(var)
+    if not val:
+        return None
+    val = val.strip()
+    if not _SIZE_RE.match(val):
+        raise ValueError(
+            f"{var} must be a duckdb size string like '40GiB'; "
+            f"got {val!r}")
+    return val
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -25,10 +43,10 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # tens of GB of duckdb temp at the 10x sf1 replica — two concurrent
     # gate shards once filled the disk. Env-gated so the default pytest
     # path is unchanged; values are duckdb size strings ("40GiB").
-    mem = os.environ.get("GRAFT_DUCK_MEM")
+    mem = _size_env("GRAFT_DUCK_MEM")
     if mem:
         con.execute(f"SET memory_limit='{mem}'")
-    cap = os.environ.get("GRAFT_DUCK_TEMP_CAP")
+    cap = _size_env("GRAFT_DUCK_TEMP_CAP")
     if cap:
         con.execute(f"SET max_temp_directory_size='{cap}'")
     for t in TABLES:

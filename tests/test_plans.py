@@ -1316,6 +1316,33 @@ def test_broadcast_sanity_flags_unbounded_hinted_sides(spark):
     good2 = big.join(F.broadcast(explode_then_agg), "k")
     assert broadcast_sanity("q", logical(good2)) == []
 
+    # a REAL broadcast-hinted fact-table scan must flag: the r9 audit
+    # matched 'lineitem.parquet' in the Relation node, which never
+    # prints a path — facts are now recognized by signature columns
+    from event_streaming_bnpl_demo_spark.sources.tables import load_table
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_quantity")
+    bad_fact = big.join(F.broadcast(li), "k")
+    assert any("fact-table" in p
+               for p in broadcast_sanity("q", logical(bad_fact)))
+
+    # ...but a fact side bounded by an aggregate on the scan's path is
+    # clean (the side's size is |groups|, not |rows|)
+    li_agg = li.groupBy("k").agg(F.sum("l_quantity").alias("s"))
+    assert broadcast_sanity("q", logical(big.join(
+        F.broadcast(li_agg), "k"))) == []
+
+    # an Aggregate on a SIBLING branch inside the hinted side must not
+    # clear the raw explode it doesn't bound (the r9 'has_agg anywhere
+    # in the subtree text' hole)
+    dim_agg = (spark.range(64)
+               .groupBy((F.col("id") % 8).alias("k"))
+               .agg(F.count(F.lit(1)).alias("c")))
+    sibling = raw.join(dim_agg, "k")  # explode branch still unbounded
+    assert any("exploded side" in p
+               for p in broadcast_sanity("q", logical(
+                   big.join(F.broadcast(sibling), "k"))))
+
     # Catalyst AUTO broadcast (no hint) is never audited
     assert broadcast_sanity("q", logical(big.join(raw, "k"))) == []
 

@@ -77,11 +77,68 @@ BCAST_ALLOWLIST: dict[str, str] = {
     "fact) — the explode is the operator's point",
     "geo_grid_knn": "probe side is <=200 rows by construction "
     "(c_custkey < _KNN_PROBES) before the hint",
+    # The next three hint a fact side through sources.maybe_broadcast,
+    # which measures the table's on-disk size and returns the DataFrame
+    # UN-hinted past BROADCAST_DISK_BYTES — the same degrades-correctly-
+    # with-size property that exempts Catalyst's auto broadcasts. The
+    # plan text cannot distinguish a measured hint from a blind one, so
+    # the exemption is by name; a blind F.broadcast(orders) added to
+    # any other query still flags.
+    "q3_shipping_priority": "orders hinted via stats-measured "
+    "maybe_broadcast; un-hinted at scale (queries_ext2.py:49)",
+    "q5_region_revenue": "orders/customer hinted via stats-measured "
+    "maybe_broadcast; un-hinted at scale (queries_core.py:339)",
+    "q10_returned_items": "orders hinted via stats-measured "
+    "maybe_broadcast; un-hinted at scale (queries_ext2.py)",
 }
 
 #: Fact tables: a raw (un-aggregated) scan of one of these below an
-#: explicit broadcast hint cannot be scale-safe.
-_FACTS = ("lineitem", "orders", "events")
+#: explicit broadcast hint cannot be scale-safe. optimizedPlan()
+#: .toString() prints a leaf as 'Relation [cols...] parquet' with NO
+#: file path (round-9 audit matched the path and was dead code), so
+#: facts are identified by signature attributes in the Relation's
+#: output: every lineitem column is l_*, every orders column o_*, and
+#: the events envelope carries event_id/event_type/user_id. Column
+#: pruning in the logical plan is a Project ABOVE the Relation — the
+#: Relation node itself always prints its full schema, so any one
+#: signature column suffices.
+_FACT_SCAN = re.compile(
+    r"Relation \[[^\]]*\b(?:l_orderkey|l_quantity|o_orderkey|o_custkey"
+    r"|event_id|event_type)#")
+
+
+def _marker(ln: str) -> int:
+    """Column of a plan line's tree marker ('+-'/':-'); the whole-plan
+    root has none (-3 keeps it shallower than every marked line)."""
+    m = re.search(r"[+:]-", ln)
+    return m.start() if m else (-3 if ln.strip() else -10)
+
+
+def _agg_on_path(lines: list[str], depths: list[int], idx: int) -> bool:
+    """True iff an Aggregate lies on the root-to-node ancestor path of
+    lines[idx] WITHIN this subtree. A sibling branch's Aggregate (e.g.
+    a raw explode joined to an aggregated dim under one hint) does not
+    bound the node and must not clear it."""
+    d = depths[idx]
+    for j in range(idx - 1, -1, -1):
+        if depths[j] < d:          # nearest shallower line = ancestor
+            if "Aggregate" in lines[j]:
+                return True
+            d = depths[j]
+    return False
+
+
+def _agg_below(lines: list[str], depths: list[int], idx: int) -> bool:
+    """True iff an Aggregate lies in the descendant subtree of
+    lines[idx] (bounds a Generate's input: constant per-row expansion
+    of an aggregate's output — the fixed join_range_banded shape)."""
+    d = depths[idx]
+    for j in range(idx + 1, len(lines)):
+        if depths[j] <= d:
+            break
+        if "Aggregate" in lines[j]:
+            return True
+    return False
 
 
 def _hinted_broadcast_sides(logical: str) -> list[str]:
@@ -94,11 +151,6 @@ def _hinted_broadcast_sides(logical: str) -> list[str]:
     the following lines with markers at column d+3; a subtree ends at
     the next marker at column <= its root's."""
     lines = logical.splitlines()
-
-    def marker(ln: str) -> int:
-        m = re.search(r"[+:]-", ln)
-        return m.start() if m else (-3 if ln.strip() else -10)
-
     out = []
     for i, ln in enumerate(lines):
         if "Join" not in ln or "strategy=broadcast" not in ln:
@@ -108,11 +160,11 @@ def _hinted_broadcast_sides(logical: str) -> list[str]:
             want.append(0)
         if "rightHint=(strategy=broadcast)" in ln:
             want.append(1)
-        d0 = marker(ln)
+        d0 = _marker(ln)
         kids = []  # (start index, end index) of each direct child
         j = i + 1
         while j < len(lines):
-            d = marker(lines[j])
+            d = _marker(lines[j])
             if d <= d0:
                 break
             if d == d0 + 3:
@@ -135,21 +187,29 @@ def broadcast_sanity(name: str, logical: str) -> list[str]:
     if name in BCAST_ALLOWLIST:
         return []
     problems = []
-    fact_scan = re.compile(
-        r"Relation.*(" + "|".join(_FACTS) + r")\.parquet")
     for side in _hinted_broadcast_sides(logical):
-        has_agg = "Aggregate" in side
-        if fact_scan.search(side) and not has_agg:
-            problems.append("explicit broadcast of a raw fact-table "
-                            "side (no aggregate below the hint)")
-        if "Generate " in side and not has_agg:
-            # an Aggregate ABOVE the explode collapses the expansion
-            # before it ships; one BELOW bounds the explode's input
-            # (constant per-row expansion of an aggregate's output,
-            # the join_range_banded shape). Neither present = raw rows
-            # replicated AND shipped — the round-9 bug class.
-            problems.append("explicit broadcast of an exploded side "
-                            "with no bounding aggregate")
+        lines = side.splitlines()
+        depths = [_marker(ln) for ln in lines]
+        for i, ln in enumerate(lines):
+            if _FACT_SCAN.search(ln):
+                # a scan is a leaf: only an ancestor Aggregate (on
+                # THIS scan's path, not a sibling branch) bounds it
+                if not _agg_on_path(lines, depths, i):
+                    problems.append(
+                        "explicit broadcast of a raw fact-table side "
+                        "(no aggregate between scan and hint)")
+            if "Generate " in ln:
+                # an Aggregate ABOVE the explode collapses the
+                # expansion before it ships; one BELOW bounds the
+                # explode's input (constant per-row expansion of an
+                # aggregate's output, the join_range_banded shape).
+                # Neither on this node's own path/subtree = raw rows
+                # replicated AND shipped — the round-9 bug class.
+                if not (_agg_on_path(lines, depths, i)
+                        or _agg_below(lines, depths, i)):
+                    problems.append(
+                        "explicit broadcast of an exploded side "
+                        "with no bounding aggregate")
     return problems
 
 
