@@ -454,77 +454,74 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pair expansion stays inside a part bucket bounded by the
     64-degree cap; degrees are one O(edges) aggregate; the two degree
     joins attach to the wedge table (already collapsed), and top-20 is
-    TakeOrdered — no global sort, no all-pairs anywhere. The r8 shape
-    collapses the edge derivation to ONE exchange: groupBy(p) with
-    collect_set does the (c,p) dedup AND the hub-cap count in the same
-    shuffle (the old distinct + count-window cost two), the small
-    orders side rides the maybe_broadcast stats gate, and the per-part
-    sets — which feed three consumers (degrees + both wedge sides via
-    explode, all p-co-partitioned so the self-join is exchange-free) —
-    are localCheckpointed exactly once. The wedge shuffle itself is
-    the operator's intrinsic cost (sum over parts of degree^2 pairs,
-    ~90M at sf1) and is explicitly repartitioned to a width scaled by
-    measured input size: AQE's post-hoc coalesce sizes that exchange
-    for the collapsed OUTPUT (~150k rows) when the in-flight cost is
-    the pre-agg pair mass (31 s -> ~9.4 s warm at sf1 from the width
-    fix + one-exchange edge build + int64-packed pair key;
-    6.1 s -> 3.3 s at sf0.1).
+    TakeOrdered — no global sort, no all-pairs anywhere. The edge
+    derivation is ONE exchange (groupBy(p) + collect_set does the
+    (c,p) dedup and the hub cap in the same shuffle; the small orders
+    side rides the maybe_broadcast stats gate) and the per-part sets
+    feed three consumers off a single localCheckpoint. The wedge
+    shuffle — sum over parts of degree^2 pairs, ~90M at sf1 — is the
+    operator's intrinsic cost; two r10 changes cut its measured price
+    ~15% (interleaved A/B at the sf1 replica, 8.1 -> 6.8 s best /
+    8.2 -> 7.3 s median): members are guarded then narrowed to INT at
+    the edge build (halves the checkpoint, the self-join build, and
+    the degree bytes; the pair still packs into one int64 for the
+    exchange), and the pair exchange runs at 4x the measured-scan
+    width (the post-exchange count is CPU/cache-bound: ~270 tasks of
+    ~350k pairs beat 67 of 1.3M; tried alternatives on record — a
+    suffix-array generation that replaces the self-join, and a shared
+    degree/wedge exchange — both measured SLOWER at sf1, the former
+    on slice-allocation cost, so the streaming join stays).
     """
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey")
+    # pair-exchange width ∝ measured fact-scan size, 4x because the
+    # post-exchange count is the CPU-bound stage (see docstring); the
+    # session default 32 under-parallelizes it at sf1 while the 512
+    # clamp keeps sf0.01's driver gate from over-tasking
+    nparts = _scan_scaled_partitions(sf_dir, "lineitem")
+    width = min(512, nparts * 4)
+    # Guard the packed-key domain ONCE per edge row (O(edges), far
+    # below the wedge pair mass): the int narrowing + int64 pair
+    # packing below need 0 <= c < 2^31. assert_true keeps the check
+    # inside the live expression (column pruning can't drop it), so a
+    # too-wide key space fails loudly at execution instead of silently
+    # truncating; deployments with wider keys keep bigint members and
+    # the two-column pair key (same plan shape, 2x the bytes).
+    c_guarded = F.when(F.assert_true(
+        (F.col("o_custkey") >= 0) & (F.col("o_custkey") < F.lit(2 ** 31)),
+        F.lit("graph_jaccard_links: customer key outside [0, 2^31) — "
+              "int member narrowing would truncate; keep bigint members "
+              "and the two-column pair key instead")).isNull(),
+        F.col("o_custkey").cast("int")).alias("c")
     sets = (li.join(maybe_broadcast(o, sf_dir, "orders"),
                     li.l_orderkey == o.o_orderkey)
-            .select(F.col("o_custkey").alias("c"),
-                    F.col("l_partkey").alias("p"))
+            .select(c_guarded, F.col("l_partkey").alias("p"))
             .groupBy("p").agg(F.collect_set("c").alias("cs"))
             .filter(F.size("cs") <= 64)
             .localCheckpoint(eager=True))
-    # Guard the packed-key domain ONCE on the edge set (O(edges), far
-    # below the wedge pair mass): the int64 pair packing below needs
-    # 0 <= c < 2^31 for both sides. assert_true keeps the check inside
-    # the live expression (column pruning can't drop it), so a
-    # too-wide key space fails loudly at execution instead of silently
-    # colliding; deployments with wider keys switch to the documented
-    # two-column fallback.
-    c_raw = F.explode("cs").alias("c")
-    e = sets.select("p", c_raw).select(
-        "p",
-        F.when(F.assert_true(
-            (F.col("c") >= 0) & (F.col("c") < F.lit(2 ** 31)),
-            F.lit("graph_jaccard_links: customer key outside [0, 2^31) — "
-                  "int64 pair packing would collide; use the two-column "
-                  "pair key instead")).isNull(),
-            F.col("c")).alias("c"))
+    e = sets.select("p", F.explode("cs").alias("c"))
     deg = e.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
     a = e.select("p", F.col("c").alias("c1"))
     b = e.select("p", F.col("c").alias("c2"))
-    # pair-exchange width ∝ wedge mass, proxied by the fact-table scan
-    # size (the session default 32 under-parallelizes the 90M-pair
-    # exchange at sf1; a fixed 64 over-tasks sf0.01's driver gate)
-    nparts = _scan_scaled_partitions(sf_dir, "lineitem")
     # the pair flows through its exchange as ONE packed int64
-    # (c1 << 32 | c2) instead of two columns: half the key bytes and
-    # one hash per row on the operator's dominant shuffle — best-of-3
-    # 9.8 -> 9.4 s at sf1 (isolated A/B measured up to 15%),
-    # bit-identical output, no sf0.1 change. Requires keys < 2^31 —
-    # ENFORCED by the assert_true guard on the edge set above (fails
-    # loudly, never collides silently); wider key spaces at deploy
-    # scale drop back to the two-column key (same plan shape, same
-    # count).
+    # (c1 << 32 | c2): half the key bytes and one hash per row on the
+    # operator's dominant shuffle; domain ENFORCED by the guard above
     wedges = (a.join(b, "p")
               .filter(F.col("c1") < F.col("c2"))
-              .select((F.col("c1") * F.lit(4294967296)
-                       + F.col("c2")).alias("k"))
-              .repartition(nparts, "k")
+              .select((F.col("c1").cast("bigint") * F.lit(4294967296)
+                       + F.col("c2").cast("bigint")).alias("k"))
+              .repartition(width, "k")
               .groupBy("k")
               .agg(F.count(F.lit(1)).alias("n_common"))
               .filter(F.col("n_common") >= 3)
               .select(F.expr("k DIV 4294967296").alias("c1"),
                       F.expr("k % 4294967296").alias("c2"),
                       "n_common"))
-    d1 = deg.select(F.col("c").alias("c1"), F.col("d").alias("d1"))
-    d2 = deg.select(F.col("c").alias("c2"), F.col("d").alias("d2"))
+    d1 = deg.select(F.col("c").cast("bigint").alias("c1"),
+                    F.col("d").alias("d1"))
+    d2 = deg.select(F.col("c").cast("bigint").alias("c2"),
+                    F.col("d").alias("d2"))
     out = (wedges.join(d1, "c1").join(d2, "c2")
            .withColumn("jaccard_permille",
                        F.expr("CAST(1000 * n_common DIV (d1 + d2 - n_common)"
