@@ -41,13 +41,17 @@ def shingles_col(tokens: str, dialect: str = "spark") -> str:
 
 
 def normalize_text(text: str = "text", dialect: str = "spark") -> str:
-    """Canonical form for fingerprinting: lowercase, strip non-alnum,
-    collapse runs of spaces, trim."""
+    """Canonical form for fingerprinting: lowercase, every maximal run
+    of non-alphanumerics (spaces included) collapses to one space,
+    trim. ONE regex pass: this is exactly equivalent to the two-pass
+    form (non-alnum-except-space -> ' ' per char, then collapse ' +')
+    because both map each non-alnum run to a single space — but the
+    fused pattern halves the regex work per text byte, the dominant
+    per-row cost of the curation pipeline's scrub stage (sf1 warm p50
+    4.8 -> 3.8 s, interleaved A/B)."""
     if dialect == "spark":
-        inner = f"regexp_replace(lower({text}), '[^a-z0-9 ]', ' ')"
-        return f"trim(regexp_replace({inner}, ' +', ' '))"
-    inner = f"regexp_replace(lower({text}), '[^a-z0-9 ]', ' ', 'g')"
-    return f"trim(regexp_replace({inner}, ' +', ' ', 'g'))"
+        return f"trim(regexp_replace(lower({text}), '[^a-z0-9]+', ' '))"
+    return f"trim(regexp_replace(lower({text}), '[^a-z0-9]+', ' ', 'g'))"
 
 
 def hexchar_parity(hash_expr: str, pos: int) -> str:

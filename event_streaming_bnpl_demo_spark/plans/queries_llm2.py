@@ -225,9 +225,13 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Measured sf1: 5.6 -> 5.0 s replacing the earlier ROW_NUMBER
     window (which shipped full text through its exchange and could
     not combine map-side) — modest at this corpus size because the
-    per-row scrub/tokenize codegen dominates, but the shuffle mass
-    drops from O(text bytes) to O(rows x ~60 B), which is the term
-    that grows with document length at 100 TB.
+    per-row scrub/tokenize codegen dominates; that codegen term then
+    dropped 5.0 -> ~3.8 s warm (r10) when normalize_text fused its
+    two regex passes into one (see functions/text.py) — the scrub
+    stage is ONE collapsed projection (email scrub + token stats +
+    fingerprint share the scan; CollapseProject + codegen
+    subexpression elimination keep the split() and the scrubbed text
+    computed once, verified via the formatted plan).
     """
     d = load_table(spark, sf_dir, "documents")
     scrubbed = d.select(
