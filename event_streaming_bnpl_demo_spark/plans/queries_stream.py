@@ -276,12 +276,13 @@ def build_asof_stream(spark: SparkSession, in_dir: str,
     (test_stream_asof_corrects_out_of_order_arrival and the randomized
     cross-fold test); group_state stays the flagship default because
     it measures faster end-to-end on this workload (4-batch
-    availableNow, sf0.1, warm best-of-2: 3.4 s vs 6.0 s — the tws path
-    pays the mandatory RocksDB provider plus its state-server protocol
-    round-trips per ListState read, while the default-provider
-    GroupState row rides the existing Arrow hop; the gap is state
-    machinery, not the fold, which is identical). Re-evaluate at
-    Spark's applyInPandasWithState retirement."""
+    availableNow, warm: sf0.1 ~3.1 s vs ~4.9 s, sf1 3.8 vs 5.0 — the
+    r10 packed-chunk ListState layout closed the part of the gap that
+    scales, 12.8 -> 5.0 s at sf1; what remains is the tws
+    state-server + RocksDB per-batch lifecycle, profiled with numbers
+    in BucketedAsofProcessor's docstring, not the fold, which is
+    identical). Re-evaluate at Spark's applyInPandasWithState
+    retirement."""
     from ..streaming.asof_state import (ASOF_BUCKETS, ASOF_OUTPUT_SCHEMA,
                                         BUCKETED_STATE_SCHEMA, NO_TIMEOUT,
                                         BucketedAsofProcessor,

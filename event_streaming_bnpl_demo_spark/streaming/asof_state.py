@@ -39,7 +39,8 @@ import pandas as pd
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessor, StatefulProcessorHandle)
-from pyspark.sql.types import (ArrayType, LongType, StructField, StructType)
+from pyspark.sql.types import (ArrayType, BinaryType, LongType, StructField,
+                               StructType)
 
 ASOF_STATE_SCHEMA = StructType([
     StructField("v_ts", ArrayType(LongType())),
@@ -378,7 +379,32 @@ _BUCKET_EVENT_SCHEMA = StructType([
     StructField("event_id", LongType()),
 ])
 
-_MATCH_SCHEMA = StructType([StructField("m_vid", LongType())])
+#: One ListState element = one PACKED micro-batch of bucket events
+#: (np.int64 [u, ts_us, event_id] triplets, C-order .tobytes()). The
+#: tws state-server protocol serializes every state ROW individually
+#: through Row construction + schema.toInternal + pickle on write and
+#: pickle-loads per row on read (list_state_client.py) — at ~e events
+#: per bucket that is O(e) Python-object work per micro-batch just to
+#: re-read the logs. Packing makes the unit of state I/O the CHUNK:
+#: per batch each touched bucket appends ONE element and reads
+#: ~n_batches elements, each a single memcpy-ish pickle of a bytes
+#: blob decoded with np.frombuffer. Measured (4-batch availableNow,
+#: warm best-of-3, both layouts in one session): at sf0.1 a wash
+#: (~4.9 s — the wall is per-batch machinery there, see
+#: BucketedAsofProcessor), at sf1 12.8 -> 5.0 s, identical 287k-row
+#: output — per-row state serialization scales with log size, packed
+#: stays flat (sf0.1 -> sf1 is ~10x the rows for ~flat wall).
+_CHUNK_SCHEMA = StructType([StructField("chunk", BinaryType())])
+
+
+def _load_packed(list_state) -> np.ndarray:
+    """Concatenate a ListState of packed chunks into an (n, 3) int64
+    array in append order (RocksDB ListState preserves it)."""
+    chunks = [np.frombuffer(t[0], dtype=np.int64).reshape(-1, 3)
+              for t in list_state.get()]
+    if not chunks:
+        return np.empty((0, 3), dtype=np.int64)
+    return np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
 
 
 class BucketedAsofProcessor(StatefulProcessor):
@@ -393,59 +419,79 @@ class BucketedAsofProcessor(StatefulProcessor):
     event logs are ListState — per micro-batch each touched bucket
     APPENDS its new rows instead of deserializing and rewriting its
     entire history through one opaque state row. Only the per-purchase
-    last-emitted-match column (``m_vid``, the emit-on-change ledger,
-    aligned with the append-ordered purchase log) and the version
-    counter are rewritten per batch — O(purchases in bucket), not
-    O(all events in bucket). The rematch itself is the same ONE
+    last-emitted-match ledger (the emit-on-change column, aligned with
+    the append-ordered purchase log) and the version counter are
+    rewritten per batch — O(purchases in bucket) bytes in ONE value,
+    not O(all events in bucket). The rematch itself is the same ONE
     grouped ``merge_asof`` per touched bucket (:func:`_bucket_match`).
+
+    State layout is PACKED (see ``_CHUNK_SCHEMA``): the r9 layout kept
+    one typed state row per event, and the r10 profiling pass showed
+    per-row pickle/Row/toInternal work in the state-server protocol
+    client is the term that SCALES (the logs are re-read whole every
+    batch): at sf1 the per-row layout measured 12.8 s vs 5.0 s packed,
+    identical output. One chunk per (batch, kind) caps state
+    round-trips AND serialization at O(n_batches) per bucket;
+    production pairs it with TTL compaction (:func:`asof_update_ttl`
+    documents the horizon contract) so n_batches stays bounded.
+
+    What remains of the gap to the GroupState twin at sf0.1 (~4.9 s vs
+    ~3.1 s warm) is per-batch MACHINERY, profiled on record: user code
+    inside handleInputRows is ~0.13 s/batch (8-way parallel); addBatch
+    runs ~0.68 s/batch, and the RocksDB commit uploads a full snapshot
+    every batch (rocksdbCommitFileSyncLatencyMs ~0.65 s/batch summed
+    over 8 partitions, parallel). Enabling RocksDB changelog
+    checkpointing measured NO change (5.02 vs 5.04 s); the partition
+    sweep (4/8/16/32 -> 5.8/5.8/7.1/10.7 s) shows per-task fixed cost
+    dominating, so 8 state partitions is the knob's floor. The floor
+    is the tws state-server + RocksDB lifecycle itself; the fold is
+    machinery-bound at both SFs (sf0.1 ~4.9 s -> sf1 ~5.0 s on 10x
+    the rows).
     """
 
     def init(self, handle: StatefulProcessorHandle) -> None:
-        self._views = handle.getListState("views", _BUCKET_EVENT_SCHEMA)
-        self._purchases = handle.getListState(
-            "purchases", _BUCKET_EVENT_SCHEMA)
-        self._matches = handle.getListState("m_vid", _MATCH_SCHEMA)
+        self._views = handle.getListState("views", _CHUNK_SCHEMA)
+        self._purchases = handle.getListState("purchases", _CHUNK_SCHEMA)
+        self._matches = handle.getValueState("m_vid", _CHUNK_SCHEMA)
         self._version = handle.getValueState("version", _VERSION_SCHEMA)
 
     def handleInputRows(self, key, rows, timerValues
                         ) -> Iterator[pd.DataFrame]:
-        new_v: list[tuple[int, int, int]] = []
-        new_p: list[tuple[int, int, int]] = []
+        new_v: list[np.ndarray] = []
+        new_p: list[np.ndarray] = []
         for pdf in rows:
             if not len(pdf):
                 continue
             is_v = pdf["event_type"].to_numpy() == "view"
-            uid = pdf["user_id"].to_numpy(np.int64)
-            ts = pdf["ts_us"].to_numpy(np.int64)
-            eid = pdf["event_id"].to_numpy(np.int64)
-            new_v += zip(uid[is_v].tolist(), ts[is_v].tolist(),
-                         eid[is_v].tolist())
-            new_p += zip(uid[~is_v].tolist(), ts[~is_v].tolist(),
-                         eid[~is_v].tolist())
+            arr = np.column_stack([pdf["user_id"].to_numpy(np.int64),
+                                   pdf["ts_us"].to_numpy(np.int64),
+                                   pdf["event_id"].to_numpy(np.int64)])
+            if is_v.any():
+                new_v.append(arr[is_v])
+            if not is_v.all():
+                new_p.append(arr[~is_v])
         if new_v:
-            self._views.appendList(new_v)
+            self._views.appendList(
+                [(np.ascontiguousarray(np.concatenate(new_v)).tobytes(),)])
         if new_p:
-            self._purchases.appendList(new_p)
+            self._purchases.appendList(
+                [(np.ascontiguousarray(np.concatenate(new_p)).tobytes(),)])
         ver = self._version.get()
         version = (ver[0] if ver else 0) + 1
         self._version.update((version,))
 
-        views = [tuple(t) for t in self._views.get()]
-        purchases = [tuple(t) for t in self._purchases.get()]
-        old_m = np.asarray([t[0] for t in self._matches.get()],
-                           dtype=np.int64)
+        views = _load_packed(self._views)
+        purchases = _load_packed(self._purchases)
+        prev = self._matches.get()
+        old_m = (np.frombuffer(prev[0], dtype=np.int64) if prev
+                 else np.empty(0, dtype=np.int64))
         n_old_p = len(old_m)
 
-        u_v = np.asarray([v[0] for v in views], dtype=np.int64)
-        v_ts = np.asarray([v[1] for v in views], dtype=np.int64)
-        v_id = np.asarray([v[2] for v in views], dtype=np.int64)
-        upn = np.asarray([p[0] for p in purchases], dtype=np.int64)
-        ptn = np.asarray([p[1] for p in purchases], dtype=np.int64)
-        pin = np.asarray([p[2] for p in purchases], dtype=np.int64)
+        u_v, v_ts, v_id = views[:, 0], views[:, 1], views[:, 2]
+        upn, ptn, pin = purchases[:, 0], purchases[:, 1], purchases[:, 2]
         mvi, mvt = _bucket_match(u_v, v_ts, v_id, upn, ptn)
 
-        if len(mvi):
-            self._matches.put([(int(v),) for v in mvi])
+        self._matches.update((mvi.tobytes(),))
         emit = np.ones(len(ptn), dtype=bool)
         emit[:n_old_p] = mvi[:n_old_p] != old_m
         if not emit.any():
