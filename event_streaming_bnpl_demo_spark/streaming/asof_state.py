@@ -373,12 +373,6 @@ _EVENT_ROW_SCHEMA = StructType([
 _VERSION_SCHEMA = StructType([StructField("version", LongType())])
 
 
-_BUCKET_EVENT_SCHEMA = StructType([
-    StructField("u", LongType()),
-    StructField("ts_us", LongType()),
-    StructField("event_id", LongType()),
-])
-
 #: One ListState element = one PACKED micro-batch of bucket events
 #: (np.int64 [u, ts_us, event_id] triplets, C-order .tobytes()). The
 #: tws state-server protocol serializes every state ROW individually
