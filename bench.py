@@ -565,12 +565,18 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(cold.values()), 3)
     stream = stream_throughput(spark, sf_dir)
+    # third probe point: the sf1 section runs LAST, under the bench's
+    # own accumulated load — without its own reading, a slow sf1 tier
+    # can't be told apart from sf1-section-specific host weather (the
+    # r10 jaccard read 10.7 s in-bench vs 7.0 s on a quiet session)
+    calib_pre_sf1 = calibration_probe(spark)
     sf1 = scaled_section(spark, catalog, sf_dir,
                          elapsed=time.perf_counter() - t_init0)
     calib_after = calibration_probe(spark)
     load_after = os.getloadavg()
     calibration = {
         "probe_before_sec": calib_before,
+        "probe_pre_sf1_sec": calib_pre_sf1,
         "probe_after_sec": calib_after,
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in load_after],
@@ -623,10 +629,11 @@ def main() -> None:
         "stream_events_per_sec": stream.get("events_per_sec"),
         "sf1_sec": (sf1 or {}).get("value"),
         "sf1_errors": len((sf1 or {}).get("errors", {})) or None,
-        # host-load self-identification: [before, after] of the fixed
-        # probe and of the 1-min loadavg — an inflated headline total
-        # with an inflated probe is host weather, not a regression
-        "calib_sec": [calib_before, calib_after],
+        # host-load self-identification: the fixed probe timed [before
+        # the headline loop, before the sf1 section, after it] and the
+        # 1-min loadavg [start, end] — an inflated section total with
+        # an inflated probe is host weather, not a regression
+        "calib_sec": [calib_before, calib_pre_sf1, calib_after],
         "loadavg_1m": [round(load_before[0], 2),
                        round(load_after[0], 2)],
         "native_extension": NATIVE_EXTENSION,

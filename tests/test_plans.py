@@ -1002,6 +1002,18 @@ def test_ext7_stats_pack_plan_shapes(spark):
     assert "lineitem.parquet" not in plan, \
         "edge set re-derived from base tables"
     assert "ExistingRDD" in plan, "edge localCheckpoint lost"
+    # r10 shape pins: members ride as INT until the packed-key build
+    # (attr c1 prints WITHOUT the bigint L suffix, then casts), and
+    # the pair exchange is the explicit 4x-width repartition on the
+    # single packed int64 key — the two measured levers (sf1 8.1 ->
+    # 6.8 s); losing either is a silent 15-20% regression at scale
+    import re as _re
+    assert _re.search(r"cast\(c1#\d+ as bigint\) \* 4294967296", plan), \
+        "int member narrowing lost (pair packs from bigint members)"
+    assert _re.search(
+        r"hashpartitioning\(k#\d+L, 128\), REPARTITION_BY_NUM", plan), \
+        "packed-key pair exchange lost its 4x scan-scaled width " \
+        "(expected 4 x lo=32 at the smoke SF)"
 
     # bigram lift: vocab rides its checkpoint (two lift attachments +
     # grand total), leaving exactly one lazy documents scan; top-20 is
