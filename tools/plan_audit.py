@@ -92,6 +92,23 @@ BCAST_ALLOWLIST: dict[str, str] = {
     "maybe_broadcast; un-hinted at scale (queries_ext2.py)",
 }
 
+#: Queries whose physical plan may contain BatchEvalPython (the
+#: row-at-a-time Python eval operator — the documented 10-100x slow
+#: path). Everything else must stay on built-in expressions or
+#: Arrow-batched pandas UDFs (ArrowEvalPython), which the audit does
+#: not flag. Reviewed per entry.
+PYEVAL_ALLOWLIST: dict[str, str] = {
+    "udf_scalar_cost_ladder": "the cost-ladder exhibit: deliberately "
+    "times row-at-a-time udf() against its pandas/Arrow/native "
+    "equivalents (plans/queries_udf.py)",
+    "udf_python_scalar": "the UDF-surface exhibit for row-at-a-time "
+    "udf() itself — registered to prove the surface, documented as "
+    "the slow path, kept out of every benchmark set",
+    "udf_python_udtf": "Python UDTFs evaluate via BatchEvalPythonUDTF "
+    "by construction (no Arrow variant exists for UDTFs in this "
+    "Spark); surface-coverage query, not a hot path",
+}
+
 #: Fact tables: a raw (un-aggregated) scan of one of these below an
 #: explicit broadcast hint cannot be scale-safe. optimizedPlan()
 #: .toString() prints a leaf as 'Relation [cols...] parquet' with NO
@@ -242,6 +259,11 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - audit, keep going
             errors.append((name, str(e)[:120]))
             continue
+        if "BatchEvalPython" in plan and name not in PYEVAL_ALLOWLIST:
+            print(f"PYEVAL {name}: row-at-a-time Python UDF in the "
+                  f"physical plan (BatchEvalPython — the 10-100x-slow "
+                  f"path; vectorize via pandas_udf/Arrow or move into "
+                  f"built-in expressions)")
         counts = {t: len(re.findall(rf"{t}\.parquet", plan))
                   for t in TABLES}
         hot = {t: c for t, c in counts.items() if c >= args.threshold}
