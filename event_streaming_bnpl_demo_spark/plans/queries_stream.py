@@ -270,8 +270,11 @@ def build_asof_stream(spark: SparkSession, in_dir: str,
     ``api`` picks the state API carrying the SAME fold:
     ``group_state`` = applyInPandasWithState (asof_update_bucketed),
     ``tws`` = Spark 4 transformWithStateInPandas
-    (BucketedAsofProcessor, ListState event logs — needs the RocksDB
-    state store: wrap the run in streaming.state.rocksdb_state_store).
+    (BucketedAsofProcessor, packed-chunk ListState event logs — needs
+    the RocksDB state store: wrap the run in
+    streaming.state.rocksdb_state_store), ``tws_ttl`` = the
+    bounded-state production variant (BucketedAsofProcessorTTL,
+    event-time timers + watermark; within-horizon-equal by law).
     Cross-API equivalence is law-pinned
     (test_stream_asof_corrects_out_of_order_arrival and the randomized
     cross-fold test); group_state stays the flagship default because
@@ -286,6 +289,7 @@ def build_asof_stream(spark: SparkSession, in_dir: str,
     from ..streaming.asof_state import (ASOF_BUCKETS, ASOF_OUTPUT_SCHEMA,
                                         BUCKETED_STATE_SCHEMA, NO_TIMEOUT,
                                         BucketedAsofProcessor,
+                                        BucketedAsofProcessorTTL,
                                         asof_update_bucketed)
 
     stream = (spark.readStream
@@ -293,6 +297,21 @@ def build_asof_stream(spark: SparkSession, in_dir: str,
                       "ts_us long")
               .option("maxFilesPerTrigger", "1")
               .parquet(in_dir))
+    if api == "tws_ttl":
+        # bounded-state production path: event-time timers need a
+        # watermarked column; ttl defaults wide so availableNow runs
+        # over the test data stay exact (within-horizon law)
+        return (stream
+                .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+                .withWatermark("ts", "1 hour")
+                .withColumn("bucket", F.pmod(F.col("user_id"),
+                                             F.lit(ASOF_BUCKETS)))
+                .groupBy("bucket")
+                .transformWithStateInPandas(
+                    BucketedAsofProcessorTTL(ttl_s=24 * 3600),
+                    outputStructType=ASOF_OUTPUT_SCHEMA,
+                    outputMode="update",
+                    timeMode="eventTime"))
     bucketed = (stream
                 .withColumn("bucket", F.pmod(F.col("user_id"),
                                              F.lit(ASOF_BUCKETS)))

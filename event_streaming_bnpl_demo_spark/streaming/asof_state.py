@@ -507,6 +507,89 @@ class BucketedAsofProcessor(StatefulProcessor):
         pass
 
 
+class BucketedAsofProcessorTTL(BucketedAsofProcessor):
+    """Event-time-TTL twin of :class:`BucketedAsofProcessor` — the
+    bounded-state production path on the transformWithState API,
+    completing the TTL matrix (:func:`asof_update_ttl` is the
+    GroupState member; the within-horizon law pins both to the
+    unbounded fixpoint). Contract mirrored at BUCKET granularity:
+    every batch re-arms one event-time timer at (bucket's freshest
+    event ts + ttl); when the WATERMARK passes it, the expired-timer
+    callback drops the bucket's buffers. Rows behind the watermark are
+    dropped by the processor (tws delivers them unfiltered, same as
+    flatMapGroupsWithState), and a bucket whose freshest event is
+    already beyond the horizon is born expired — state cleared
+    immediately rather than arming an un-armable timer. Requires
+    ``timeMode="eventTime"`` and a ``withWatermark``'d ``ts`` column
+    on the input (see queries_stream.build_asof_stream api="tws_ttl").
+
+    The trade is the same as the GroupState twin's and is the law
+    tested in test_stream_asof_ttl_bounds_correction: retroactive
+    correction depth bounded by the TTL, in exchange for bounded
+    state — here it is the TTL that bounds ``n_batches`` in the
+    packed-chunk layout's O(n_batches) read cost.
+    """
+
+    def __init__(self, ttl_s: int) -> None:
+        self._ttl_ms = ttl_s * 1000
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        super().init(handle)
+        self._h = handle
+        self._timer = handle.getValueState("timer_ms", _VERSION_SCHEMA)
+
+    def _clear_all(self) -> None:
+        self._views.clear()
+        self._purchases.clear()
+        self._matches.clear()
+        self._version.clear()
+        self._timer.clear()
+
+    def handleInputRows(self, key, rows, timerValues
+                        ) -> Iterator[pd.DataFrame]:
+        wm_ms = timerValues.getCurrentWatermarkInMs()
+
+        def live(pdfs):
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                keep = (pdf["ts_us"].to_numpy(np.int64) // 1000) >= wm_ms
+                if keep.all():
+                    yield pdf
+                elif keep.any():
+                    yield pdf[keep]
+
+        out = list(super().handleInputRows(key, live(rows), timerValues))
+
+        views = _load_packed(self._views)
+        purchases = _load_packed(self._purchases)
+        if not (len(views) or len(purchases)):
+            self._clear_all()
+            return
+        latest_us = max(
+            int(views[:, 1].max()) if len(views) else 0,
+            int(purchases[:, 1].max()) if len(purchases) else 0)
+        expiry_ms = latest_us // 1000 + self._ttl_ms
+        if expiry_ms <= wm_ms:
+            self._clear_all()       # born expired (mirror GroupState)
+            return
+        prev = self._timer.get()
+        if prev is not None and prev[0] != expiry_ms:
+            self._h.deleteTimer(prev[0])
+        if prev is None or prev[0] != expiry_ms:
+            self._h.registerTimer(expiry_ms)
+            self._timer.update((expiry_ms,))
+        yield from out
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo
+                           ) -> Iterator[pd.DataFrame]:
+        # horizon passed with no fresher arrival: the whole bucket's
+        # correction window is closed — drop the buffers (bounded
+        # state), emit nothing (matches already emitted on change)
+        self._clear_all()
+        yield pd.DataFrame([], columns=_OUT_COLS)
+
+
 class AsofProcessor(StatefulProcessor):
     """The same streaming as-of fold on the Spark 4
     ``transformWithStateInPandas`` API — and a better fit than the

@@ -823,6 +823,73 @@ def test_stream_asof_ttl_bounds_correction(spark, tmp_path):
     assert final[100]["view_id"] is None
 
 
+@_TWS_SKIP
+def test_stream_asof_tws_ttl_bounds_correction(spark, tmp_path):
+    """The same bounded-state trade on the transformWithState twin
+    (BucketedAsofProcessorTTL): watermark-driven event-time timers
+    evict the bucket's buffers, and a view arriving behind the
+    watermark is dropped by the processor — so the stale (null) match
+    survives exactly as in the GroupState member. Exercises BOTH
+    eviction paths: handleExpiredTimer (timer fired when other
+    traffic pushed the watermark past the horizon) and the
+    late-row drop."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from event_streaming_bnpl_demo_spark.streaming.asof_state import (
+        ASOF_BUCKETS, ASOF_OUTPUT_SCHEMA, BucketedAsofProcessorTTL)
+    from event_streaming_bnpl_demo_spark.streaming.state import \
+        rocksdb_state_store
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    os.makedirs(in_dir)
+    cols = ["user_id", "event_id", "event_type", "ts_us"]
+    hour_us = 3_600_000_000
+    b1 = [(1, 100, "purchase", 1 * hour_us)]
+    b2 = [(2, 200, "view", 48 * hour_us)]       # other-bucket traffic
+    b3 = [(1, 10, "view", hour_us // 2)]        # late, would upgrade
+    for i, rows in enumerate([b1, b2, b3], 1):
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(
+            f"{in_dir}/f{i}")
+    now = time.time()
+    for i in (1, 2, 3):
+        d = f"{in_dir}/f{i}"
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (now - 60 + i, now - 60 + i))
+
+    stream = (spark.readStream
+              .schema("user_id long, event_id long, event_type string, "
+                      "ts_us long")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(in_dir + "/f*")
+              .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+              .withWatermark("ts", "1 hour")
+              .withColumn("bucket", F.pmod(F.col("user_id"),
+                                           F.lit(ASOF_BUCKETS))))
+    with rocksdb_state_store(spark):
+        q = (stream.groupBy("bucket")
+             .transformWithStateInPandas(
+                 BucketedAsofProcessorTTL(ttl_s=3600),
+                 outputStructType=ASOF_OUTPUT_SCHEMA,
+                 outputMode="update", timeMode="eventTime")
+             .writeStream.format("memory").queryName("sasof_tws_ttl")
+             .outputMode("update").option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    emitted = spark.table("sasof_tws_ttl")
+    w = Window.partitionBy("purchase_id").orderBy(F.desc("version"))
+    final = {r["purchase_id"]: r for r in
+             (emitted.filter(F.col("purchase_id").isNotNull())
+              .withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1).collect())}
+    assert 100 in final
+    assert final[100]["view_id"] is None
+
+
 def test_stream_asof_ttl_equals_unbounded_within_horizon(spark, tmp_path):
     """The other half of the TTL law: while every arrival stays INSIDE
     the retention horizon (no state evicted, nothing behind the
@@ -863,11 +930,19 @@ def test_stream_asof_ttl_equals_unbounded_within_horizon(spark, tmp_path):
             os.utime(os.path.join(sub, f), (now - 60 + i, now - 60 + i))
 
     def fixpoint(mode: str) -> dict:
+        import contextlib
+
+        from event_streaming_bnpl_demo_spark.streaming.asof_state import (
+            ASOF_BUCKETS, BucketedAsofProcessorTTL)
+        from event_streaming_bnpl_demo_spark.streaming.state import \
+            rocksdb_state_store
+
         stream = (spark.readStream
                   .schema("user_id long, event_id long, "
                           "event_type string, ts_us long")
                   .option("maxFilesPerTrigger", "1")
                   .parquet(in_dir + "/f*"))
+        provider = contextlib.nullcontext()
         if mode == "ttl":
             matched = (stream
                        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
@@ -879,16 +954,30 @@ def test_stream_asof_ttl_equals_unbounded_within_horizon(spark, tmp_path):
                            stateStructType=ASOF_STATE_SCHEMA,
                            outputMode="update",
                            timeoutConf=EVENT_TIME_TIMEOUT))
+        elif mode == "tws_ttl":
+            matched = (stream
+                       .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+                       .withWatermark("ts", "1 hour")
+                       .withColumn("bucket", F.pmod(F.col("user_id"),
+                                                    F.lit(ASOF_BUCKETS)))
+                       .groupBy("bucket")
+                       .transformWithStateInPandas(
+                           BucketedAsofProcessorTTL(ttl_s=24 * 3600),
+                           outputStructType=ASOF_OUTPUT_SCHEMA,
+                           outputMode="update",
+                           timeMode="eventTime"))
+            provider = rocksdb_state_store(spark)
         else:
             matched = stream.groupBy("user_id").applyInPandasWithState(
                 asof_update, outputStructType=ASOF_OUTPUT_SCHEMA,
                 stateStructType=ASOF_STATE_SCHEMA, outputMode="update",
                 timeoutConf=NO_TIMEOUT)
         name = f"sasof_hz_{mode}"
-        q = (matched.writeStream.format("memory").queryName(name)
-             .outputMode("update")
-             .option("checkpointLocation", str(tmp_path / f"ck_{mode}"))
-             .trigger(availableNow=True).start())
+        with provider:
+            q = (matched.writeStream.format("memory").queryName(name)
+                 .outputMode("update")
+                 .option("checkpointLocation", str(tmp_path / f"ck_{mode}"))
+                 .trigger(availableNow=True).start())
         q.awaitTermination()
         w = Window.partitionBy("purchase_id").orderBy(F.desc("version"))
         return {r["purchase_id"]: (r["user_id"], r["view_id"],
@@ -902,6 +991,13 @@ def test_stream_asof_ttl_equals_unbounded_within_horizon(spark, tmp_path):
     n_purchases = sum(1 for r in rows if r[2] == "purchase")
     assert len(fu) == n_purchases
     assert ft == fu
+    # the tws event-time-TTL twin (BucketedAsofProcessorTTL) must land
+    # on the same fixpoint — the bounded production path on the
+    # non-deprecated API, exact while every arrival is inside the
+    # horizon
+    from tests.test_bnpl_pipeline import _has_protobuf
+    if _has_protobuf():
+        assert fixpoint("tws_ttl") == fu
 
 
 def test_mv_stream_refresh_resumes_exactly_once(spark, tmp_path):
