@@ -503,3 +503,69 @@ def test_asof_nearest_matches_bruteforce(spark, left, right):
             rv = f[1]
         want.append((lk, lv, rv))
     assert got == sorted(want, key=key)
+
+
+@given(st.lists(st.text(
+    alphabet=st.characters(
+        codec="utf-8", categories=("Ll", "Lu", "Nd", "Po", "Zs", "Sm")),
+    max_size=60), min_size=1, max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_normalize_text_fusion_equivalence(texts):
+    """The r10 normalize_text rewrite rests on one claim: mapping every
+    char outside [a-z0-9 ] to ' ' and then collapsing ' +' runs is
+    EXACTLY collapsing every maximal run of non-[a-z0-9] to one space.
+    Both forms map each maximal non-alnum run (spaces included) to a
+    single space, so they agree on every string — locked here as a
+    property over arbitrary text (punctuation, unicode, digits, case,
+    leading/trailing/multiple spaces), in pure `re` for the logic and
+    below in both engines for the emitted SQL."""
+    import re
+
+    for t in texts:
+        low = t.lower()
+        two_pass = re.sub(" +", " ", re.sub("[^a-z0-9 ]", " ", low)).strip()
+        fused = re.sub("[^a-z0-9]+", " ", low).strip()
+        assert two_pass == fused, repr(t)
+
+
+def test_normalize_text_fusion_equivalence_in_engines(spark):
+    """The same equivalence checked on the EMITTED SQL in each engine
+    (Spark's java.util.regex and DuckDB's RE2 could each diverge from
+    Python `re` independently): the fused expression the catalog now
+    ships must equal the r9 two-pass form per engine over a corpus of
+    the hard shapes plus real document rows."""
+    import duckdb
+
+    from event_streaming_bnpl_demo_spark.functions.text import \
+        normalize_text
+    from tests.conftest import SF_SMOKE
+
+    hard = ["", " ", "  ", "a", "A.b--c", "x  y", ".lead", "trail.",
+            "a.b c", "1,234.56", "MIXED Case 42", "dots...dots",
+            "tab\tand\nnewline", "unicode é ü ß", "a-b_c+d=e"]
+    # Spark: fused (the shipped helper) vs the r9 two-pass literal
+    two_pass_spark = ("trim(regexp_replace(regexp_replace(lower(t), "
+                      "'[^a-z0-9 ]', ' '), ' +', ' '))")
+    df = spark.createDataFrame([(t,) for t in hard], "t string")
+    rows = df.selectExpr(
+        normalize_text("t", "spark") + " AS fused",
+        two_pass_spark + " AS two_pass").collect()
+    for t, r in zip(hard, rows):
+        assert r["fused"] == r["two_pass"], repr(t)
+    # ...and over real document text at the smoke SF
+    from event_streaming_bnpl_demo_spark.sources import load_table
+    docs = load_table(spark, SF_SMOKE, "documents")
+    mism = docs.selectExpr(
+        normalize_text("text", "spark") + " AS fused",
+        two_pass_spark.replace("lower(t)", "lower(text)") + " AS two_pass"
+    ).filter("fused <> two_pass").count()
+    assert mism == 0
+    # DuckDB: same pair on the same corpus
+    con = duckdb.connect()
+    two_pass_duck = ("trim(regexp_replace(regexp_replace(lower(t), "
+                     "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))")
+    for t in hard:
+        fused, two_pass = con.execute(
+            f"SELECT {normalize_text('t', 'duckdb')}, {two_pass_duck} "
+            f"FROM (SELECT ? AS t)", [t]).fetchone()
+        assert fused == two_pass, repr(t)
