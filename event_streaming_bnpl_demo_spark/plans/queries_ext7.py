@@ -54,6 +54,24 @@ def _scan_scaled_partitions(sf_dir: str, table: str,
         return lo
     return max(lo, min(hi, size // (2 * 1024 * 1024)))
 
+def _guarded_int_key(col: str, op_name: str):
+    """Narrow a bigint key column to int with a LIVE domain guard:
+    the int64 pair packing / int member layout downstream needs
+    0 <= key < 2^31. assert_true keeps the check inside the live
+    expression (column pruning can't drop it), so a too-wide key
+    space fails the job loudly at execution instead of silently
+    truncating; deployments with wider keys keep bigint members and
+    the two-column pair key (same plan shape, 2x the bytes). The
+    loud-failure path is pinned by
+    test_guarded_int_key_fails_loudly_outside_domain."""
+    return F.when(F.assert_true(
+        (F.col(col) >= 0) & (F.col(col) < F.lit(2 ** 31)),
+        F.lit(f"{op_name}: key {col} outside [0, 2^31) — int member "
+              "narrowing would truncate; keep bigint members and the "
+              "two-column pair key instead")).isNull(),
+        F.col(col).cast("int"))
+
+
 _CENTS = "CAST(FLOOR({col} * 100 + 0.5) AS BIGINT)"
 
 
@@ -481,22 +499,11 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     # clamp keeps sf0.01's driver gate from over-tasking
     nparts = _scan_scaled_partitions(sf_dir, "lineitem")
     width = min(512, nparts * 4)
-    # Guard the packed-key domain ONCE per edge row (O(edges), far
-    # below the wedge pair mass): the int narrowing + int64 pair
-    # packing below need 0 <= c < 2^31. assert_true keeps the check
-    # inside the live expression (column pruning can't drop it), so a
-    # too-wide key space fails loudly at execution instead of silently
-    # truncating; deployments with wider keys keep bigint members and
-    # the two-column pair key (same plan shape, 2x the bytes).
-    c_guarded = F.when(F.assert_true(
-        (F.col("o_custkey") >= 0) & (F.col("o_custkey") < F.lit(2 ** 31)),
-        F.lit("graph_jaccard_links: customer key outside [0, 2^31) — "
-              "int member narrowing would truncate; keep bigint members "
-              "and the two-column pair key instead")).isNull(),
-        F.col("o_custkey").cast("int")).alias("c")
     sets = (li.join(maybe_broadcast(o, sf_dir, "orders"),
                     li.l_orderkey == o.o_orderkey)
-            .select(c_guarded, F.col("l_partkey").alias("p"))
+            .select(_guarded_int_key("o_custkey", "graph_jaccard_links")
+                    .alias("c"),
+                    F.col("l_partkey").alias("p"))
             .groupBy("p").agg(F.collect_set("c").alias("cs"))
             .filter(F.size("cs") <= 64)
             .localCheckpoint(eager=True))

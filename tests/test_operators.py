@@ -598,3 +598,31 @@ def test_cdc_emit_apply_roundtrip(spark):
     got = sorted((r["k"], r["st"]) for r in applied.collect())
     want = sorted((r["k"], r["st"]) for r in new.collect())
     assert got == want
+
+
+def test_guarded_int_key_fails_loudly_outside_domain(spark):
+    """The jaccard int-narrowing guard's whole contract is LOUD
+    failure: a key outside [0, 2^31) must raise at execution (the
+    assert_true lives inside the projected expression, so pruning
+    cannot drop it) — never silently truncate into a colliding packed
+    pair key. In-domain keys pass through narrowed and exact,
+    including both boundary values."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from event_streaming_bnpl_demo_spark.plans.queries_ext7 import \
+        _guarded_int_key
+
+    ok = spark.createDataFrame(
+        [(0,), (1,), (2 ** 31 - 1,)], "o_custkey long")
+    got = sorted(r["c"] for r in ok.select(
+        _guarded_int_key("o_custkey", "t").alias("c")).collect())
+    assert got == [0, 1, 2 ** 31 - 1]
+    assert ok.select(_guarded_int_key("o_custkey", "t").alias("c")) \
+             .schema["c"].dataType.simpleString() == "int"
+
+    for bad_key in (-1, 2 ** 31):
+        bad = spark.createDataFrame([(bad_key,)], "o_custkey long")
+        with pytest.raises(Exception, match="outside \\[0, 2\\^31\\)"):
+            bad.select(_guarded_int_key("o_custkey", "t").alias("c")) \
+               .collect()
