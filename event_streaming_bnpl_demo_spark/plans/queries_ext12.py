@@ -230,16 +230,25 @@ def geo_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the blocked/pruned scale path is geo_grid_blocked_join's cell
     blocking, exactly as LSH/IVF are the ANN scale path to the brute
     cosine baseline.
+
+    The point side is explicitly repartitioned to the measured-scan
+    width before scoring (r10, same finding as
+    geo_grid_blocked_join): supplier is ONE file split at sf1, so the
+    |points|x|probes| scoring stage (~20M rows) otherwise runs on one
+    core. sf1 warm 5.1 -> ~1 s for one cheap |points|-row exchange.
     """
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
+    from .queries_ext7 import _scan_scaled_partitions
+    nparts = _scan_scaled_partitions(sf_dir, "lineitem")
     probes = (cust.filter(F.col("c_custkey") < _KNN_PROBES)
               .selectExpr("c_custkey",
                           f"{_lat_m('c_custkey', 'spark')} AS clat",
                           f"{_lon_m('c_custkey', 'spark')} AS clon"))
-    pts = supp.selectExpr("s_suppkey",
-                          f"{_lat_m('s_suppkey', 'spark')} AS slat",
-                          f"{_lon_m('s_suppkey', 'spark')} AS slon")
+    pts = (supp.selectExpr("s_suppkey",
+                           f"{_lat_m('s_suppkey', 'spark')} AS slat",
+                           f"{_lon_m('s_suppkey', 'spark')} AS slon")
+           .repartition(nparts))
     scored = (pts.crossJoin(F.broadcast(probes))
               .withColumn("dist2",
                           (F.col("clat") - F.col("slat"))
@@ -295,14 +304,27 @@ def geo_grid_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01 is fine with 1.5M pairs); at 100 TB only the blocked plan
     survives. Skewed cells (dense cities) would salt exactly like
     join_salted_skew.
+
+    The probe side is explicitly repartitioned to the measured-scan
+    width BEFORE the broadcast hash join (r10): customer is a small
+    FILE (one ~15 MB split at sf1 -> ONE scan task) but the probe
+    evaluates the full candidate mass (~83M cell-pair rows at sf1) —
+    without the spread the whole refine stage ran on one core. The
+    cheap 1-exchange of |customers| rows buys a 32-way probe: sf1
+    warm 8.0 -> 1.6 s, identical 27M-row output. On a cluster-scale
+    input with many splits the repartition is a near-no-op of the
+    same width as the scan.
     """
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
+    from .queries_ext7 import _scan_scaled_partitions
+    nparts = _scan_scaled_partitions(sf_dir, "lineitem")
     c = (cust.selectExpr("c_custkey",
                          f"{_lat_m('c_custkey', 'spark')} AS clat",
                          f"{_lon_m('c_custkey', 'spark')} AS clon")
          .withColumn("cx", F.expr(f"CAST(FLOOR(clat / {_GRID_R}) AS BIGINT)"))
-         .withColumn("cy", F.expr(f"CAST(FLOOR(clon / {_GRID_R}) AS BIGINT)")))
+         .withColumn("cy", F.expr(f"CAST(FLOOR(clon / {_GRID_R}) AS BIGINT)"))
+         .repartition(nparts))
     s = (supp.selectExpr("s_suppkey",
                          f"{_lat_m('s_suppkey', 'spark')} AS slat",
                          f"{_lon_m('s_suppkey', 'spark')} AS slon")
