@@ -441,6 +441,32 @@ class BucketedAsofProcessor(StatefulProcessor):
     is the tws state-server + RocksDB lifecycle itself; the fold is
     machinery-bound at both SFs (sf0.1 ~4.9 s -> sf1 ~5.0 s on 10x
     the rows).
+
+    CHECKPOINT COMPATIBILITY: the packed layout (one ``_CHUNK_SCHEMA``
+    binary element per batch, plus ``m_vid`` moving from ListState to
+    a single packed ValueState) CHANGES the tws state-store schema vs
+    the r9 per-row layout. A streaming checkpoint written by the old
+    layout cannot be resumed — state schema validation fails on
+    restart. Operators upgrading across the layout change must start
+    from a fresh checkpoint directory (replay the source; the fold is
+    deterministic, so the fixpoint is identical).
+
+    DEFAULT-API DECISION RULE (not a vibe): the GroupState twin
+    (:func:`asof_update_bucketed` via applyInPandasWithState) stays
+    the catalog default while BOTH hold: (1) its warm wall is lower at
+    the bench SFs (sf0.1 ~3.1 s vs ~4.9 s; sf1 ~4.95 vs ~5.0 s — the
+    gap is the tws per-batch machinery floor, ~0.68 s/batch addBatch +
+    per-batch RocksDB snapshot upload, profiled above), and (2) Spark
+    still ships applyInPandasWithState non-deprecated. Flip the
+    default to this class when EITHER per-batch tws machinery drops
+    below ~0.2 s/batch at 8 state partitions (parity at 4-batch
+    bench runs), or applyInPandasWithState is deprecated/removed, or
+    the deployment needs tws-only features (event-time timers/TTL on
+    the supported API, state schema evolution). At sf10 the two are
+    already at parity (12.2 vs 11.8 s) because the machinery floor
+    amortizes — on a real cluster with large micro-batches the tws
+    path is the right one; the law tests pin the twins equal either
+    way.
     """
 
     def init(self, handle: StatefulProcessorHandle) -> None:
@@ -539,6 +565,18 @@ class BucketedAsofProcessorTTL(BucketedAsofProcessor):
         self._timer = handle.getValueState("timer_ms", _VERSION_SCHEMA)
 
     def _clear_all(self) -> None:
+        """Drop the bucket's buffers AND any armed event-time timer.
+
+        Deleting the registered timer (not just the tracking
+        ValueState) closes the orphaned-timer hole: an eviction that
+        left the timer armed could fire in a LATER batch after fresh
+        within-horizon events repopulated the bucket (timer-vs-input
+        processing order is batch dependent) and drop the new buffers
+        early, breaking the within-horizon equivalence law.
+        """
+        prev = self._timer.get()
+        if prev is not None:
+            self._h.deleteTimer(prev[0])
         self._views.clear()
         self._purchases.clear()
         self._matches.clear()
@@ -564,6 +602,10 @@ class BucketedAsofProcessorTTL(BucketedAsofProcessor):
         views = _load_packed(self._views)
         purchases = _load_packed(self._purchases)
         if not (len(views) or len(purchases)):
+            # no live rows ever reached the fold: with no purchases the
+            # emit mask in super() is empty — make the "out is empty
+            # here" invariant explicit instead of silently dropping it
+            assert not out, "empty-buffer eviction with pending output"
             self._clear_all()
             return
         latest_us = max(
@@ -571,7 +613,10 @@ class BucketedAsofProcessorTTL(BucketedAsofProcessor):
             int(purchases[:, 1].max()) if len(purchases) else 0)
         expiry_ms = latest_us // 1000 + self._ttl_ms
         if expiry_ms <= wm_ms:
-            self._clear_all()       # born expired (mirror GroupState)
+            # born expired (mirror the GroupState twin asof_update_ttl,
+            # which also emits before removing just-expired state)
+            yield from out
+            self._clear_all()
             return
         prev = self._timer.get()
         if prev is not None and prev[0] != expiry_ms:
@@ -585,8 +630,15 @@ class BucketedAsofProcessorTTL(BucketedAsofProcessor):
                            ) -> Iterator[pd.DataFrame]:
         # horizon passed with no fresher arrival: the whole bucket's
         # correction window is closed — drop the buffers (bounded
-        # state), emit nothing (matches already emitted on change)
-        self._clear_all()
+        # state), emit nothing (matches already emitted on change).
+        # Guard: only act when the fired timer IS the tracked one —
+        # a stale timer (deleted tracking state, or superseded by a
+        # later re-arm) must not evict buffers that fresher events
+        # have since repopulated.
+        tracked = self._timer.get()
+        if (tracked is not None
+                and expiredTimerInfo.getExpiryTimeInMs() == tracked[0]):
+            self._clear_all()
         yield pd.DataFrame([], columns=_OUT_COLS)
 
 

@@ -1010,10 +1010,16 @@ def test_ext7_stats_pack_plan_shapes(spark):
     import re as _re
     assert _re.search(r"cast\(c1#\d+ as bigint\) \* 4294967296", plan), \
         "int member narrowing lost (pair packs from bigint members)"
+    # expected width mirrors the query's own formula (4x the measured
+    # scan width, clamped) so the pin survives smoke-dataset growth
+    from event_streaming_bnpl_demo_spark.plans.queries_ext7 import (
+        _scan_scaled_partitions)
+    _width = min(512, _scan_scaled_partitions(SF_SMOKE, "lineitem") * 4)
     assert _re.search(
-        r"hashpartitioning\(k#\d+L, 128\), REPARTITION_BY_NUM", plan), \
+        rf"hashpartitioning\(k#\d+L, {_width}\), REPARTITION_BY_NUM",
+        plan), \
         "packed-key pair exchange lost its 4x scan-scaled width " \
-        "(expected 4 x lo=32 at the smoke SF)"
+        f"(expected {_width} = 4 x scan width at the smoke SF)"
 
     # bigram lift: vocab rides its checkpoint (two lift attachments +
     # grand total), leaving exactly one lazy documents scan; top-20 is
