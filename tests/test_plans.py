@@ -1368,3 +1368,72 @@ def test_broadcast_sanity_flags_unbounded_hinted_sides(spark):
     from tools.plan_audit import BCAST_ALLOWLIST
     assert broadcast_sanity(next(iter(BCAST_ALLOWLIST)),
                             logical(bad)) == []
+
+
+def test_split_starvation_audit_flags_one_split_multipliers(spark):
+    """The r10 geo_grid finding, mechanized (tools/plan_audit
+    split_starvation): a multiplying physical operator — cross join,
+    nested-loop probe, hash-join probe against an exploded build —
+    whose streamed side inherits a one-split scan's parallelism must
+    flag; a measured-width repartition on the streamed path (the geo
+    fix) clears it. Exercised on real plans against the real smoke
+    tables so the tree parsing tracks Spark's toString format."""
+    import os
+    import sys
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.plan_audit import make_splits_of, split_starvation
+
+    from event_streaming_bnpl_demo_spark.sources.tables import load_table
+
+    # ground split estimates at the smoke SF itself: every table is one
+    # split there, which is exactly the starved regime the audit models
+    splits_of = make_splits_of(spark, SF_SMOKE)
+    assert splits_of("supplier") == 1
+
+    supp = load_table(spark, SF_SMOKE, "supplier").selectExpr(
+        "s_suppkey", "s_suppkey * 2 AS slat")
+    probes = load_table(spark, SF_SMOKE, "customer").filter(
+        F.col("c_custkey") < 200).selectExpr(
+        "c_custkey", "c_custkey * 2 AS clat")
+
+    # the pre-fix geo_grid_knn shape: cross join streamed over a
+    # one-split scan — the whole |points| x |probes| stage on one core
+    bad_bnlj = supp.crossJoin(F.broadcast(probes))
+    assert any("nested-loop probe" in p for p in split_starvation(
+        "q", bad_bnlj, spark, splits_of, 32))
+
+    # the pre-fix geo_grid_blocked_join shape: hash-join probe against
+    # a replicated (exploded) build, probe side un-exchanged
+    s_cells = (supp
+               .withColumn("dx", F.explode(F.array(
+                   F.lit(-1), F.lit(0), F.lit(1))))
+               .withColumn("cx", (F.col("slat") / 10).cast("long")
+                           + F.col("dx")))
+    c_cells = probes.withColumn("cx", (F.col("clat") / 10).cast("long"))
+    bad_bhj = c_cells.join(s_cells, ["cx"])
+    assert any("replicated (exploded) build" in p for p in
+               split_starvation("q", bad_bhj, spark, splits_of, 32))
+
+    # the fix: one measured-width repartition on the streamed side
+    fixed = supp.repartition(32).crossJoin(F.broadcast(probes))
+    assert split_starvation("q", fixed, spark, splits_of, 32) == []
+    fixed_bhj = c_cells.repartition(32).join(s_cells, ["cx"])
+    assert split_starvation("q", fixed_bhj, spark, splits_of, 32) == []
+
+    # a plain broadcast hash join with an UN-replicated build does not
+    # flag: output ~= input, work scales with the scan's byte mass
+    dim = probes.select("c_custkey")
+    plain = supp.join(F.broadcast(dim),
+                      supp.s_suppkey == dim.c_custkey)
+    assert split_starvation("q", plain, spark, splits_of, 32) == []
+
+    # the SHIPPED geo queries are the regression fixture: their fixed
+    # shapes must stay clean under the audit that flags their pre-fix
+    # twins above
+    for name in ("geo_grid_knn", "geo_grid_blocked_join"):
+        df = QUERIES[name].fn(spark, SF_SMOKE)
+        assert split_starvation(name, df, spark, splits_of, 32) == [], \
+            f"{name} regressed to the one-split-starvation shape"

@@ -92,6 +92,28 @@ BCAST_ALLOWLIST: dict[str, str] = {
     "maybe_broadcast; un-hinted at scale (queries_ext2.py)",
 }
 
+#: Triaged split-starvation flags: multiplying operators whose
+#: streamed side is a low-split scan BY MEASUREMENT (the r10 catalog
+#: sweep: "all others <= 1.5 s at sf1 — the multiplier or the
+#: downstream work is small"). Reviewed per entry; a new flag means a
+#: new regression (or a new entry with a measured reason).
+STARVE_ALLOWLIST: dict[str, str] = {
+    "join_cross_small": "both sides provably tiny (5 regions x "
+    "|order statuses|) — the 15-row dimension grid IS the operator",
+    "join_salted_skew": "multiplier is exactly 1 by construction: each "
+    "fact row joins its own salt replica of the dim (the explode "
+    "rides the broadcast side precisely so the fact never reshuffles)",
+    "join_range_banded": "constant <=3-band expansion of a day-rollup "
+    "build; probe mass 3x|orders| rides splits that grow with the "
+    "fact — r10 sf1 sweep measured <=1.5 s",
+    "agg_ecdf_points": "constant x12 threshold-spine cross feeding a "
+    "map-side-combinable agg: per-split work is 12x the scan share at "
+    "every SF, splits grow with the fact — r10 sf1 sweep <=1.5 s",
+    "er_blocking_quality": "cross-pair mass constant by construction "
+    "(bounded 500-part probe, ~125k pairs at any SF) — the exhaustive "
+    "ground-truth half of the eval is deliberately not scaled",
+}
+
 #: Queries whose physical plan may contain BatchEvalPython (the
 #: row-at-a-time Python eval operator — the documented 10-100x slow
 #: path). Everything else must stay on built-in expressions or
@@ -230,12 +252,233 @@ def broadcast_sanity(name: str, logical: str) -> list[str]:
     return problems
 
 
+# ---------------------------------------------------------------------------
+# One-split-scan starvation audit (the r10 geo_grid finding, mechanized)
+# ---------------------------------------------------------------------------
+#
+# A stage whose row count is MULTIPLIED above a scan (cross join,
+# broadcast nested-loop probe, hash-join probe against a replicated
+# build) inherits the SCAN's parallelism unless an exchange intervenes
+# — and a dimension-sized parquet file is often ONE split even at the
+# biggest bench SF, so the multiplied mass runs on one core while the
+# plan shape looks scale-safe (geo_grid_blocked_join read as
+# "intrinsic quadratic output mass" for two rounds; a measured-width
+# repartition took it 8.0 -> 1.7 s at sf1 with identical output).
+# The audit walks the STREAMED chain of every multiplying physical
+# node: if it reaches a base-table parquet scan with no shuffle
+# exchange on the path, the scan's split count is estimated with
+# Spark's own split formula AT THE REFERENCE SCALE DIR (default: the
+# sf1 replica when present — split counts at the audit's smoke SF
+# would flag everything) and compared to the session's default
+# parallelism.
+#
+# Plain Generate-over-scan is deliberately NOT audited: a row-local
+# explode's work scales with the scan's byte mass, which is exactly
+# what determines the split count — splits grow with the work, so the
+# stage cannot starve. The starvation class needs work that grows
+# FASTER than the streamed scan (x |build| per row), i.e. a join-shaped
+# multiplier.
+
+#: Any shuffle exchange (or a reuse of one) ends scan-inherited
+#: parallelism — the audit's thesis is specifically about stages whose
+#: width comes FROM a scan. "Exchange" must follow a tree marker or
+#: space so BroadcastExchange (a build-side node the streamed walk
+#: never crosses anyway) does not match.
+_SHUFFLE_SAFE = re.compile(
+    r"(?:^|[\s+:-])(?:Reused)?Exchange[ (]"
+    r"|AQEShuffleRead|ShuffleQueryStage")
+
+#: A global aggregate (no grouping keys) collapses the build side to
+#: one row: the join's multiplier is <= 1 and the flag would be the
+#: scalar-subquery pattern (q22's avg(c_acctbal) threshold, moment
+#: vectors, global counts) — ubiquitous and benign by construction.
+_ONEROW_AGG = re.compile(
+    r"(?:Hash|Sort|ObjectHash)Aggregate\((?:keys|key)=\[\]")
+_LEAF_SAFE = ("Scan ExistingRDD", "LocalTableScan", "InMemoryTableScan",
+              "TableCacheQueryStage", "Scan OneRowRelation", "Range (")
+_SCAN_TABLE = re.compile(r"([A-Za-z0-9_]+)\.parquet")
+
+
+def make_splits_of(spark, scale_dir: str):
+    """Split-count estimator for a base table's parquet at scale_dir,
+    using Spark's own file-split formula (maxSplitBytes = min(
+    maxPartitionBytes, max(openCostInBytes, totalBytes/parallelism)))
+    so the estimate tracks what FileSourceScanExec would actually do."""
+    from event_streaming_bnpl_demo_spark.sources.tables import table_path
+    try:
+        sconf = spark._jsparkSession.sessionState().conf()
+        max_pb = int(sconf.filesMaxPartitionBytes())
+        open_cost = int(sconf.filesOpenCostInBytes())
+    except Exception:
+        max_pb, open_cost = 128 * 1024 * 1024, 4 * 1024 * 1024
+    par = max(spark.sparkContext.defaultParallelism, 1)
+    cache: dict[str, int | None] = {}
+
+    def splits_of(table: str) -> int | None:
+        if table in cache:
+            return cache[table]
+        try:
+            path = table_path(scale_dir, table)
+            sizes = ([e.stat().st_size for e in os.scandir(path)
+                      if e.is_file() and not e.name.startswith(("_", "."))]
+                     if os.path.isdir(path) else [os.path.getsize(path)])
+        except OSError:
+            cache[table] = None
+            return None
+        if not sizes:
+            cache[table] = None
+            return None
+        total = sum(s + open_cost for s in sizes)
+        max_split = min(max_pb, max(open_cost, total // par))
+        cache[table] = sum(-(-s // max_split) for s in sizes)
+        return cache[table]
+
+    return splits_of
+
+
+def _phys_children(lines: list[str], depths: list[int], i: int) -> list[int]:
+    """Indices of node i's DIRECT children in a physical-plan tree."""
+    d = depths[i]
+    out = []
+    for j in range(i + 1, len(lines)):
+        if depths[j] <= d:
+            break
+        if depths[j] == d + 3:
+            out.append(j)
+    return out
+
+
+def _streamed_splits(lines, depths, i, splits_of):
+    """Walk the streamed chain downward from node i and return the
+    estimated split count of the scan that DRIVES the stage's
+    parallelism — or None when the path is safe/indeterminate (a
+    shuffle exchange re-establishes width; cached/RDD/local leaves
+    carry their own partitioning; shuffle-input joins imply exchanges
+    below)."""
+    while True:
+        ln = lines[i]
+        if _SHUFFLE_SAFE.search(ln):
+            return None
+        if any(tok in ln for tok in _LEAF_SAFE):
+            return None
+        if "FileScan" in ln or "Scan parquet" in ln:
+            m = _SCAN_TABLE.search(ln)
+            if m and m.group(1) in TABLES:
+                return splits_of(m.group(1))
+            return None  # scratch/staged scan: written at session width
+        kids = _phys_children(lines, depths, i)
+        if not kids:
+            return None
+        if "BroadcastHashJoin" in ln or "BroadcastNestedLoopJoin" in ln:
+            if len(kids) < 2:
+                return None
+            i = kids[1] if "BuildLeft" in ln else kids[0]
+        elif "CartesianProduct" in ln:
+            if len(kids) < 2:
+                return None
+            lt = _streamed_splits(lines, depths, kids[0], splits_of)
+            rt = _streamed_splits(lines, depths, kids[1], splits_of)
+            return None if lt is None or rt is None else lt * rt
+        elif ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln
+              or "Union" in ln):
+            return None  # shuffled inputs / width is a sum
+        else:
+            i = kids[0]  # unary: Project/Filter/Window/Sort/...
+
+
+def _build_is_scalar(lines, depths, i) -> bool:
+    """True iff the build subtree rooted at lines[i] provably yields at
+    most one row: a global (keys=[]) aggregate reached through unary
+    non-expanding nodes. A Generate/Expand/join/scan hit first means
+    the build's cardinality is data- or expansion-driven."""
+    while True:
+        ln = lines[i]
+        if _ONEROW_AGG.search(ln):
+            return True
+        if re.search(r"Generate |Expand|Join|CartesianProduct"
+                     r"|Scan|Range \(|LocalTableScan", ln):
+            return False
+        kids = _phys_children(lines, depths, i)
+        if len(kids) != 1:
+            return False
+        i = kids[0]
+
+
+def starvation_from_tree(phys: str, splits_of, min_splits: int
+                         ) -> list[str]:
+    """Flag every multiplying node in an executedPlan().toString() tree
+    whose streamed input inherits a sub-``min_splits`` scan width."""
+    lines = phys.splitlines()
+    depths = [_marker(ln) for ln in lines]
+    problems = []
+
+    def check(idx, why):
+        n = _streamed_splits(lines, depths, idx, splits_of)
+        if n is not None and n < min_splits:
+            problems.append(
+                f"{why} inherits a {n}-split scan width "
+                f"(< {min_splits} session default) — the multiplied "
+                f"stage starves; spread the streamed side with a "
+                f"measured-width repartition (see "
+                f"queries_ext7._scan_scaled_partitions)")
+
+    for i, ln in enumerate(lines):
+        kids = _phys_children(lines, depths, i)
+        if "BroadcastNestedLoopJoin" in ln and len(kids) == 2:
+            build = kids[0] if "BuildLeft" in ln else kids[1]
+            if _build_is_scalar(lines, depths, build):
+                continue  # scalar-subquery pattern: multiplier <= 1
+            check(kids[1] if build == kids[0] else kids[0],
+                  "nested-loop probe side")
+        elif "CartesianProduct" in ln and len(kids) == 2:
+            if (_build_is_scalar(lines, depths, kids[0])
+                    or _build_is_scalar(lines, depths, kids[1])):
+                continue  # x1 multiplier: identity cross
+            lt = _streamed_splits(lines, depths, kids[0], splits_of)
+            rt = _streamed_splits(lines, depths, kids[1], splits_of)
+            if (lt is not None and rt is not None
+                    and lt * rt < min_splits):
+                problems.append(
+                    f"cartesian product runs {lt}x{rt} tasks "
+                    f"(< {min_splits} session default) — spread a side "
+                    f"with a measured-width repartition")
+        elif "BroadcastHashJoin" in ln and len(kids) == 2:
+            build = kids[0] if "BuildLeft" in ln else kids[1]
+            end = next((j for j in range(build + 1, len(lines))
+                        if depths[j] <= depths[build]), len(lines))
+            btxt = "\n".join(lines[build:end])
+            if "Generate " in btxt or re.search(r"\bExpand\b", btxt):
+                check(kids[1] if build == kids[0] else kids[0],
+                      "hash-join probe against a replicated "
+                      "(exploded) build")
+    return problems
+
+
+def split_starvation(name: str, df, spark, splits_of,
+                     min_splits: int) -> list[str]:
+    """The catalog-facing wrapper: allowlist, then tree audit."""
+    if name in STARVE_ALLOWLIST:
+        return []
+    try:
+        phys = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return []
+    return starvation_from_tree(phys, splits_of, min_splits)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("--threshold", type=int, default=3)
     ap.add_argument("--names", nargs="*", default=None)
     ap.add_argument("--cpus", default="8")
+    ap.add_argument("--scale-dir", default=None,
+                    help="dir whose table sizes ground the starvation "
+                    "audit's split estimates (default: the sf1 replica "
+                    "when present, else --sf)")
+    ap.add_argument("--min-splits", type=int, default=None,
+                    help="flag multiplied stages below this width "
+                    "(default: the session's defaultParallelism)")
     args = ap.parse_args()
 
     from bench import build_session
@@ -243,6 +486,11 @@ def main() -> None:
 
     spark = build_session(args.cpus)
     catalog = all_queries()
+    scale_dir = args.scale_dir or (
+        "/tmp/sfscale/sf1" if os.path.isdir("/tmp/sfscale/sf1")
+        else args.sf)
+    min_splits = args.min_splits or spark.sparkContext.defaultParallelism
+    splits_of = make_splits_of(spark, scale_dir)
     names = args.names or [n for n, q in catalog.items()
                            if "stream" not in q.tags]
     flagged, errors = [], []
@@ -276,6 +524,9 @@ def main() -> None:
             tree = ""
         for prob in broadcast_sanity(name, tree):
             print(f"BCAST {name}: {prob}")
+        for prob in split_starvation(name, df, spark, splits_of,
+                                     min_splits):
+            print(f"STARVE {name}: {prob}")
     justified = [(n, h, r) for n, h, r in flagged if n in ALLOWLIST]
     unexplained = [(n, h, r) for n, h, r in flagged if n not in ALLOWLIST]
     for name, hot, rdd in unexplained:
