@@ -435,13 +435,14 @@ def agg_contingency_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_jaccard_links",
     oracle="""
-    WITH e0 AS (
+    WITH e0 AS MATERIALIZED (
       SELECT DISTINCT o_custkey AS c, l_partkey AS p
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     ), keep AS (
       SELECT p FROM e0 GROUP BY p HAVING COUNT(*) <= 64
-    ), e AS (SELECT c, p FROM e0 JOIN keep USING (p)),
-       deg AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY c),
+    ), e AS MATERIALIZED (SELECT c, p FROM e0 JOIN keep USING (p)),
+       deg AS MATERIALIZED (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY c),
        wedge AS (
       SELECT a.c AS c1, b.c AS c2, CAST(COUNT(*) AS BIGINT) AS n_common
       FROM e a JOIN e b ON a.p = b.p AND a.c < b.c
