@@ -360,6 +360,12 @@ def stream_throughput(spark: SparkSession, sf_dir: str) -> dict:
                 "events_per_sec": round(n / wall),
                 "n_runs": len(walls),
                 "first_run_sec": round(walls[0], 2),
+                # the throughput number's own exoneration: one probe
+                # reading taken right after the three runs, plus all
+                # three walls — a low rate next to an inflated probe
+                # (or a spread of walls) is host weather on record
+                "walls_sec": [round(w, 2) for w in walls],
+                "probe_after_sec": calibration_probe(spark),
                 "projection_mode": "incremental"}
     finally:
         shutil.rmtree(work, ignore_errors=True)
