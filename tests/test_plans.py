@@ -1437,3 +1437,18 @@ def test_split_starvation_audit_flags_one_split_multipliers(spark):
         df = QUERIES[name].fn(spark, SF_SMOKE)
         assert split_starvation(name, df, spark, splits_of, 32) == [], \
             f"{name} regressed to the one-split-starvation shape"
+
+    # the walk must FOLLOW the streamed chain through an intermediate
+    # broadcast join (the probe's width passes through it unchanged)
+    # and still find the driving scan at the bottom...
+    nested_bad = (supp.join(F.broadcast(probes.select("c_custkey")),
+                            supp.s_suppkey == F.col("c_custkey"), "left")
+                  .crossJoin(F.broadcast(probes.select(
+                      F.col("clat").alias("q")))))
+    assert any("nested-loop probe" in p for p in split_starvation(
+        "q", nested_bad, spark, splits_of, 32))
+    # ...and a scalar-subquery build (global aggregate, one row) is
+    # multiplier <= 1 and must never flag — the q22 pattern
+    scalar = probes.agg(F.avg("clat").alias("m"))
+    q22_like = supp.join(F.broadcast(scalar), supp.slat > F.col("m"))
+    assert split_starvation("q", q22_like, spark, splits_of, 32) == []
