@@ -250,6 +250,23 @@ class OverdueBillProcessor(StatefulProcessor):
                         self._h.registerTimer(due_ms)
                 elif r.event_type == "PaymentCompletedEvent":
                     status = "paid"
+        if due_ms is None and status == "paid":
+            # payment with no armed deadline: either it preceded its
+            # create in arrival order (the create will arm the real
+            # timer, whose fire GCs the paid row silently) or it
+            # arrived AFTER the lifecycle timer already fired and
+            # dropped the row. Arm a GC timer either way — without
+            # one, the resurrected row has no expiry path and the
+            # store grows with every late payment forever. Paid rows
+            # emit nothing on fire, so emissions are unchanged for any
+            # create<->payment disorder within one grace period of
+            # watermark time; a create arriving LATER than that re-arms
+            # on a GC'd key and can re-emit — the same bounded-state
+            # trade the as-of TTL twins document (correction depth for
+            # bounded state), with grace as the horizon.
+            due_ms = int(timerValues.getCurrentWatermarkInMs()
+                         + self._grace_ms)
+            self._h.registerTimer(due_ms)
         self._state.update((status, due_ms))
         yield pd.DataFrame(
             [(key[0], "state", status)],

@@ -1139,6 +1139,34 @@ def test_overdue_timer_fires_on_watermark_not_arrival(spark, tmp_path):
                if r["kind"] == "OVERDUE"}
     assert overdue == {"b1": "unpaid"}, overdue
 
+    # run 3: a LATE payment for b1 — its lifecycle timer already fired
+    # and GC'd the row, so this resurrects state for a closed bill.
+    # The resurrected paid row must arm a GC timer (without one it
+    # lives forever: the r11 leak), and must not emit a new OVERDUE.
+    with open(os.path.join(in_dir, "b3.jsonl"), "w") as f:
+        f.write(json.dumps(pay("b1", "2026-01-01T09:40:00.000Z")) + "\n")
+    run_once()
+    # run 4: advance the watermark past (run-3 watermark + grace) so
+    # the GC timer fires; paid rows fire silently.
+    with open(os.path.join(in_dir, "b4.jsonl"), "w") as f:
+        f.write(json.dumps(bill("b4", "2026-01-01T14:00:00.000Z")) + "\n")
+    run_once()
+    # b3 (issued 11:00, never paid) legitimately fires here; the
+    # resurrected b1 must NOT re-emit
+    overdue2 = sorted(r["bill_id"]
+                      for r in spark.read.parquet(out_dir).collect()
+                      if r["kind"] == "OVERDUE")
+    assert overdue2 == ["b1", "b3"], \
+        f"late payment resurrected a closed bill into OVERDUE: {overdue2}"
+    # the resurrected row is GONE from the store (state data source
+    # reader over the same checkpoint): only the live b4 row remains
+    state = (spark.read.format("statestore")
+             .option("stateVarName", "bill")
+             .load(ckpt))
+    keys = sorted(r["key"]["bill_id"] for r in state.collect())
+    assert keys == ["b4"], \
+        f"resurrected paid row leaked in the state store: {keys}"
+
 
 def test_list_and_map_state_bound_per_user_profiles(spark, tmp_path):
     """ListState + MapState (the remaining transformWithState
