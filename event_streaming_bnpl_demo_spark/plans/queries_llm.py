@@ -81,6 +81,24 @@ _MINHASH_BANDS = [(0, 1), (2, 3), (4, 5)]
 # signature stage's cost at corpus scale, so this is the hot-loop knob.
 _MINHASH_SLICES = [(1 + 5 * i, 5) for i in range(_MINHASH_K)]
 
+#: Oversized-bucket guard (the r11 fourth-decade finding): a minhash
+#: MINIMUM concentrates on the globally-smallest-hashed COMMON
+#: shingles, so past a few hundred thousand docs the hottest band
+#: buckets grow WITH the corpus (measured on the 10x/100x doc
+#: replicas, permuted so replicas share no shingles: max bucket
+#: 655 -> 6,241 and in-bucket pair mass 3.0M -> 293M for one 10x
+#: step — quadratic, and an OOM at 5M docs before this guard).
+#: A bucket this hot is a common-shingle artifact, not a similarity
+#: signal (its members share ONE stop-shingle minimum, nothing else),
+#: so the standard production mitigation is to drop buckets above a
+#: cap. 512 binds NOWHERE the correctness gates run (driver sf0.01
+#: max bucket ~5, sf1 replica ~65, 500k-doc permuted replica 655 only
+#: at the very top) but bounds per-bucket pair generation at corpus
+#: scale. The DuckDB oracle applies the IDENTICAL cap, so the strict
+#: value-hash gate stays exact at every SF; recall vs the exact
+#: oracle at eval scale is unchanged (no bucket there is hot).
+_LSH_BUCKET_CAP = 512
+
 
 def _minhash_oracle() -> str:
     toks, shingles = _minhash_sig_sql("duckdb")
@@ -96,9 +114,18 @@ def _minhash_oracle() -> str:
       FROM documents
     ), sig AS (
       SELECT doc_id, {mins} FROM sh GROUP BY doc_id
-    ), bands AS ({bands})
+    ), bands AS ({bands}),
+    kept AS (
+      -- same oversized-bucket cap as minhash_pairs (_LSH_BUCKET_CAP):
+      -- buckets hotter than the cap are common-shingle artifacts
+      SELECT band_idx, band_val FROM bands
+      GROUP BY band_idx, band_val
+      HAVING COUNT(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
+    ), fb AS (
+      SELECT bands.* FROM bands JOIN kept USING (band_idx, band_val)
+    )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
+    FROM fb a JOIN fb b
       ON a.band_idx = b.band_idx AND a.band_val = b.band_val
      AND a.doc_id < b.doc_id
     """
@@ -133,7 +160,12 @@ def minhash_pairs(sh: DataFrame) -> DataFrame:
     return (
         bands.groupBy("band_idx", "band_val")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") > 1)
+        # upper bound = the oversized-bucket guard (_LSH_BUCKET_CAP):
+        # past ~1M docs the hottest buckets are common-shingle
+        # artifacts whose size grows WITH the corpus — dropping them
+        # bounds per-bucket pair generation (and the collect_list
+        # array) at any scale; the oracle caps identically
+        .filter((F.size("ds") > 1) & (F.size("ds") <= _LSH_BUCKET_CAP))
         .select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()

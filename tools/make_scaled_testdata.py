@@ -38,6 +38,33 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default="/tmp/sfscale/sf1")
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--tables", nargs="*", default=None,
+                    help="subset of tables to build (default: all)")
+    ap.add_argument("--doc-style",
+                    choices=("suffix", "interleave", "permute"),
+                    default="suffix",
+                    help="document replica construction. 'suffix' "
+                    "(default, the historical scheme) appends one "
+                    "' repN' token — each replica is a NEAR-DUP of its "
+                    "base AND of every sibling replica (one-token "
+                    "shingle delta), so near-dup cluster size grows "
+                    "with k and in-cluster pair mass with k^2: fine "
+                    "at k<=100, OOMs pair-expanding operators at "
+                    "k=1000 (the failure the module docstring warns "
+                    "exact copies would cause). 'interleave' inserts "
+                    "the replica token after every 8th word — better, "
+                    "but sibling replicas still share insertion "
+                    "positions (pairwise J~0.35, inside an r=2 LSH "
+                    "band's fat tail), measured still ~quadratic at "
+                    "k=1000. 'permute' applies one pseudo-random "
+                    "POSITIONAL word permutation per replica slice "
+                    "(same reordering for every doc in slice r): "
+                    "3-gram shingles across slices share ~nothing "
+                    "(J~0), while ORGANIC near-dup pairs inside each "
+                    "slice keep their similarity because both members "
+                    "reorder identically — k times the corpus with "
+                    "the organic near-dup rate, which is what "
+                    "measuring a near-dup operator at large k needs.")
     args = ap.parse_args()
     os.makedirs(args.dst, exist_ok=True)
 
@@ -59,6 +86,8 @@ def main() -> None:
     rep = f"(SELECT UNNEST(range({args.k})) AS r)"
 
     def write(t: str, select: str) -> None:
+        if args.tables and t not in args.tables:
+            return
         con.execute(f"COPY ({select}) TO '{args.dst}/{t}.parquet' "
                     f"(FORMAT PARQUET)")
         n = con.execute(f"SELECT COUNT(*) FROM "
@@ -101,14 +130,29 @@ def main() -> None:
                user_id + r * {off['cust']} AS user_id,
                event_type, value, props
         FROM events CROSS JOIN {rep}""")
+    if args.doc_style == "permute":
+        doc_text = """CASE WHEN r = 0 THEN text ELSE array_to_string(
+            list_transform(
+                list_sort(list_transform(string_split(text, ' '),
+                    (w, i) -> struct_pack(
+                        k := hash(CAST(i AS VARCHAR) || 'x'
+                                  || CAST(r AS VARCHAR)),
+                        w := w))),
+                x -> x.w), ' ') END"""
+    elif args.doc_style == "interleave":
+        doc_text = """CASE WHEN r = 0 THEN text ELSE array_to_string(
+            list_transform(string_split(text, ' '),
+                (w, i) -> CASE WHEN i % 8 = 1
+                          THEN w || ' rep' || CAST(r AS VARCHAR)
+                          ELSE w END), ' ') END"""
+    else:
+        doc_text = ("CASE WHEN r = 0 THEN text "
+                    "ELSE text || ' rep' || CAST(r AS VARCHAR) END")
     write("documents", f"""
         SELECT doc_id + r * {off['doc']} AS doc_id,
-               CASE WHEN r = 0 THEN text
-                    ELSE text || ' rep' || CAST(r AS VARCHAR) END AS text,
+               {doc_text} AS text,
                lang, source,
-               CAST(length(CASE WHEN r = 0 THEN text
-                    ELSE text || ' rep' || CAST(r AS VARCHAR) END)
-                    AS BIGINT) AS n_chars
+               CAST(length({doc_text}) AS BIGINT) AS n_chars
         FROM documents CROSS JOIN {rep}""")
     write("embeddings", f"""
         SELECT vec_id + r * {off['vec']} AS vec_id,
