@@ -88,15 +88,25 @@ _MINHASH_SLICES = [(1 + 5 * i, 5) for i in range(_MINHASH_K)]
 #: replicas, permuted so replicas share no shingles: max bucket
 #: 655 -> 6,241 and in-bucket pair mass 3.0M -> 293M for one 10x
 #: step — quadratic, and an OOM at 5M docs before this guard).
-#: A bucket this hot is a common-shingle artifact, not a similarity
-#: signal (its members share ONE stop-shingle minimum, nothing else),
-#: so the standard production mitigation is to drop buckets above a
-#: cap. 512 binds NOWHERE the correctness gates run (driver sf0.01
+#: r11 DROPPED over-cap buckets wholesale, which bounded the work but
+#: lost recall on genuine over-cap duplicate clusters (boilerplate
+#: replicated thousands of times exceeds the cap in EVERY band, emits
+#: zero pairs, and every copy survives dedup — the r11 advice finding).
+#: r12 instead emits STAR pairs (bucket-min representative, other) for
+#: over-cap buckets: O(n) per bucket instead of O(n²), and because a
+#: star and a clique have IDENTICAL connected components, the
+#: downstream llm_dedup_components / llm_dedup_apply labeling is
+#: exactly what the uncapped clique graph would produce — a true-dup
+#: cluster of any size still collapses to one survivor
+#: (test_minhash_overcap_cluster_collapses proves it at 3x the cap).
+#: Only the RAW pair list differs above the cap (star subset of the
+#: clique), which is the right trade: those extra pairs carry no
+#: component information and their count is what went quadratic.
+#: 512 binds NOWHERE the correctness gates run (driver sf0.01
 #: max bucket ~5, sf1 replica ~65, 500k-doc permuted replica 655 only
-#: at the very top) but bounds per-bucket pair generation at corpus
-#: scale. The DuckDB oracle applies the IDENTICAL cap, so the strict
-#: value-hash gate stays exact at every SF; recall vs the exact
-#: oracle at eval scale is unchanged (no bucket there is hot).
+#: at the very top). The DuckDB oracle applies the IDENTICAL
+#: star-over-cap rule, so the strict value-hash gate stays exact at
+#: every SF.
 _LSH_BUCKET_CAP = 512
 
 
@@ -115,19 +125,24 @@ def _minhash_oracle() -> str:
     ), sig AS (
       SELECT doc_id, {mins} FROM sh GROUP BY doc_id
     ), bands AS ({bands}),
-    kept AS (
-      -- same oversized-bucket cap as minhash_pairs (_LSH_BUCKET_CAP):
-      -- buckets hotter than the cap are common-shingle artifacts
-      SELECT band_idx, band_val FROM bands
-      GROUP BY band_idx, band_val
-      HAVING COUNT(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
-    ), fb AS (
-      SELECT bands.* FROM bands JOIN kept USING (band_idx, band_val)
+    fb AS (
+      -- same oversized-bucket rule as minhash_pairs (_LSH_BUCKET_CAP):
+      -- full pairs up to the cap, star-to-bucket-min pairs above it
+      SELECT doc_id, band_idx, band_val,
+             COUNT(*) OVER (PARTITION BY band_idx, band_val) AS n,
+             MIN(doc_id) OVER (PARTITION BY band_idx, band_val) AS bmin
+      FROM bands
     )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM fb a JOIN fb b
-      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-     AND a.doc_id < b.doc_id
+    SELECT DISTINCT doc_a, doc_b FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM fb a JOIN fb b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+      WHERE a.n <= {_LSH_BUCKET_CAP}
+      UNION ALL
+      SELECT bmin AS doc_a, doc_id AS doc_b
+      FROM fb WHERE n > {_LSH_BUCKET_CAP} AND doc_id <> bmin
+    ) t
     """
 
 
@@ -151,25 +166,44 @@ def minhash_pairs(sh: DataFrame) -> DataFrame:
         sig.select("doc_id", F.explode(band_structs).alias("bd"))
         .select("doc_id", "bd.band_idx", "bd.band_val")
     )
+    # Bucket stats ride a window over the band key (count + min share
+    # one WindowExec; its partitioning IS the groupBy key below, so
+    # the small path adds no exchange, and the two branches share the
+    # band exchange via ReusedExchange — the shingle/signature subtree
+    # is computed once).
+    w = Window.partitionBy("band_idx", "band_val")
+    fb = (bands
+          .withColumn("n", F.count(F.lit(1)).over(w))
+          .withColumn("bmin", F.min("doc_id").over(w)))
     # pairs within each bucket: sorted doc list -> (ds[j], ds[i]) j<i
     pair_expr = (
         "flatten(transform(sequence(1, size(ds) - 1), "
         "i -> transform(sequence(0, i - 1), "
         "j -> struct(ds[j] AS doc_a, ds[i] AS doc_b))))"
     )
-    return (
-        bands.groupBy("band_idx", "band_val")
+    # the oversized-bucket guard (_LSH_BUCKET_CAP): past ~1M docs the
+    # hottest buckets are common-shingle artifacts whose size grows
+    # WITH the corpus. Buckets at or under the cap emit the full
+    # clique (collect_list arrays bounded by the cap — the filter runs
+    # BEFORE the aggregate, so no over-cap array is ever materialized);
+    # buckets above it emit a STAR to the bucket-min representative —
+    # O(n) rows, same connected components as the clique, so dedup
+    # recall on genuine over-cap duplicate clusters is preserved
+    # (see the _LSH_BUCKET_CAP note). The oracle applies the same rule.
+    small = (
+        fb.filter(F.col("n") <= _LSH_BUCKET_CAP)
+        .groupBy("band_idx", "band_val")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        # upper bound = the oversized-bucket guard (_LSH_BUCKET_CAP):
-        # past ~1M docs the hottest buckets are common-shingle
-        # artifacts whose size grows WITH the corpus — dropping them
-        # bounds per-bucket pair generation (and the collect_list
-        # array) at any scale; the oracle caps identically
-        .filter((F.size("ds") > 1) & (F.size("ds") <= _LSH_BUCKET_CAP))
+        .filter(F.size("ds") > 1)
         .select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.doc_a", "p.doc_b")
-        .distinct()
     )
+    big = (
+        fb.filter((F.col("n") > _LSH_BUCKET_CAP)
+                  & (F.col("doc_id") != F.col("bmin")))
+        .select(F.col("bmin").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return small.unionByName(big).distinct()
 
 
 @register("llm_dedup_minhash", oracle=_minhash_oracle(), tags=("llm", "dedup", "lsh"))
