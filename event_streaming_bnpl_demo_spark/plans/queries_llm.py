@@ -578,20 +578,56 @@ def _signbucket(col: str, dialect: str, nbits: int = 4) -> str:
     return "CONCAT(" + ", ".join(bits) + ")"
 
 
-_DEDUP_BAND_BITS = 2  # 4 bands/label: keeps 4/5 observed 0.4+ pairs in-band
+#: Corpus-scaled banding (the r12 close of the r11 "weak" finding):
+#: a FIXED band-bit count leaves block size = n_label / 2^bits, which
+#: grows linearly with the corpus at a fixed label vocabulary — so
+#: in-block pair mass grows quadratically, the same fourth-decade
+#: class the minhash cap fixed. The bit count now scales with the
+#: hottest label: nbits = clamp(2, 16, ceil(log2(max_label_n / 64))),
+#: i.e. blocks target ~64 vectors whatever the corpus size — 2 bits
+#: at every driver/bench SF (identical results to the historical
+#: fixed-2-bit shape there), 6 bits at the 20k-vector sf1 replica,
+#: 14 bits at 5M vectors. The bucket is a PREFIX of one fixed 16-bit
+#: sign string, so engine and oracle share a single expression and
+#: the oracle derives the same nbits from the same scalar aggregate
+#: (a DuckDB subquery; the engine runs a one-row Spark agg). The
+#: 16-bit ceiling is the DIM=64 demo's knob — a deployment with a
+#: larger corpus raises it (or adds non-axis-aligned hyperplanes)
+#: up to the embedding dimensionality.
+_DEDUP_BAND_TARGET = 64   # target block size (vectors per block)
+_DEDUP_BAND_MAXBITS = 16  # prefix ceiling (<= DIM axis-aligned planes)
+
+
+def _dedup_band_bits(max_label_n: int) -> int:
+    import math
+    if max_label_n <= 0:
+        return 2
+    return max(2, min(_DEDUP_BAND_MAXBITS,
+                      math.ceil(math.log2(max_label_n
+                                          / float(_DEDUP_BAND_TARGET)))))
+
+
+_DEDUP_NBITS_SQL = f"""(
+    SELECT LEAST({_DEDUP_BAND_MAXBITS}, GREATEST(2,
+           CAST(CEIL(LOG2(MAX(c) / {_DEDUP_BAND_TARGET}.0)) AS INT)))
+    FROM (SELECT COUNT(*) AS c FROM embeddings GROUP BY label) lc
+)"""
 
 
 @register(
     "llm_dedup_embedding",
     oracle=f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-           {_signbucket('a.embedding', 'duckdb', _DEDUP_BAND_BITS)} AS bucket,
+           substr({_signbucket('a.embedding', 'duckdb', _DEDUP_BAND_MAXBITS)},
+                  1, {_DEDUP_NBITS_SQL}) AS bucket,
            ROUND({duckdb_cosine('a.embedding', 'b.embedding', DIM)}, 4) AS cos_sim
     FROM embeddings a
     JOIN embeddings b
       ON a.label = b.label
-     AND {_signbucket('a.embedding', 'duckdb', _DEDUP_BAND_BITS)}
-       = {_signbucket('b.embedding', 'duckdb', _DEDUP_BAND_BITS)}
+     AND substr({_signbucket('a.embedding', 'duckdb', _DEDUP_BAND_MAXBITS)},
+                1, {_DEDUP_NBITS_SQL})
+       = substr({_signbucket('b.embedding', 'duckdb', _DEDUP_BAND_MAXBITS)},
+                1, {_DEDUP_NBITS_SQL})
      AND a.vec_id < b.vec_id
     WHERE {duckdb_cosine('a.embedding', 'b.embedding', DIM)} >= 0.4
     """,
@@ -599,21 +635,31 @@ _DEDUP_BAND_BITS = 2  # 4 bands/label: keeps 4/5 observed 0.4+ pairs in-band
 )
 def llm_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs with composite blocking: (label,
-    2-bit sign-bucket) — the PRIMARY registered shape (the label-only
-    exact twin is llm_dedup_embedding_exact, verify tier only).
+    corpus-scaled sign-bucket) — the PRIMARY registered shape (the
+    label-only exact twin is llm_dedup_embedding_exact, verify tier
+    only).
 
-    Scale: label alone leaves each block O(block²); adding the
-    random-hyperplane sign-bucket splits every label into ≤16 bands,
-    so no single hot label degenerates — worst-case pairwise work
-    drops 16× (k hyperplanes → 2^k×, k is a knob). High-cosine pairs
-    agree on hyperplane signs with high probability, so near-dup
-    recall is concentrated in-band; multi-probe (flip one bit) is the
-    documented recall extension, same as the simhash path.
+    Scale: label alone leaves each block O(block²); the
+    random-hyperplane sign-bucket splits every label into 2^nbits
+    bands with nbits scaled to the hottest label (see
+    _dedup_band_bits), so block size targets a CONSTANT ~64 vectors
+    at any corpus size and total pair work stays ~linear — measured
+    at the 50k/500k/5M-vector permuted-replica decades. High-cosine
+    pairs agree on hyperplane signs with high probability, so
+    near-dup recall is concentrated in-band; multi-probe (flip one
+    bit) is the documented recall extension, same as the simhash
+    path. The nbits scalar costs one tiny pre-pass aggregate (label
+    column only), the same in-engine-statistics pattern the IVF
+    centroid trainer uses.
     """
-    en = (spread(load_table(spark, sf_dir, "embeddings"), "label")
+    raw = load_table(spark, sf_dir, "embeddings")
+    mx = (raw.groupBy("label").agg(F.count(F.lit(1)).alias("c"))
+          .agg(F.max("c")).first()[0])
+    nbits = _dedup_band_bits(mx or 0)
+    en = (spread(raw, "label")
           .withColumn("nrm", F.expr(norm_expr("embedding", DIM)))
           .withColumn("bucket", F.expr(
-              _signbucket("embedding", "spark", _DEDUP_BAND_BITS))))
+              _signbucket("embedding", "spark", nbits))))
     a = en.select(F.col("vec_id").alias("vec_a"), F.col("label"),
                   F.col("bucket"),
                   F.col("embedding").alias("ea"), F.col("nrm").alias("na"))

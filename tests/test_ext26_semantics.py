@@ -91,3 +91,58 @@ def test_minhash_overcap_cluster_collapses(spark, tmp_path):
         q = all_queries()[name]
         problems = compare(q.fn(spark, sf_dir), con, q.oracle)
         assert not problems, (name, problems)
+
+
+def test_embedding_band_bits_scale_with_corpus(spark, tmp_path):
+    """The r12 corpus-scaled banding for llm_dedup_embedding: nbits
+    follows the hottest label (clamp(2, 16, ceil(log2(max/64)))), so
+    block size targets a constant ~64 vectors at any corpus size —
+    the fixed-2-bit shape left blocks growing linearly with the corpus
+    and in-block pair mass quadratically (the minhash fourth-decade
+    class). Pins the formula at the gate SFs (2 bits — identical
+    results to the historical shape there) and through the decades,
+    then strict-compares engine vs oracle on a corpus HOT enough that
+    the dynamic region actually binds (nbits=4), which the driver's
+    sf0.01 gate never exercises.
+    """
+    import math
+    import duckdb
+
+    from event_streaming_bnpl_demo_spark.plans.catalog import all_queries
+    from event_streaming_bnpl_demo_spark.plans.queries_llm import (
+        DIM, _dedup_band_bits)
+    from .oracle_harness import compare
+
+    # the formula at the standing gate scales and through the decades
+    assert _dedup_band_bits(59) == 2      # sf0.01: unchanged behavior
+    assert _dedup_band_bits(218) == 2     # sf0.1 (bench): unchanged
+    assert _dedup_band_bits(2180) == 6    # 20k-vector sf1 replica
+    assert _dedup_band_bits(545_000) == 14
+    assert _dedup_band_bits(10**9) == 16  # the DIM-bounded ceiling
+    assert _dedup_band_bits(0) == 2
+
+    # hot-label corpus: 600 vectors in one label -> nbits = 4
+    n_hot = 600
+    assert _dedup_band_bits(n_hot) == 4
+
+    def vec(seed: int) -> list[float]:
+        # deterministic pseudo-random unit-ish vector, sign-diverse
+        return [math.sin(0.7 * seed + 1.3 * j) for j in range(DIM)]
+
+    rows = [(i, vec(i), "hot") for i in range(n_hot)]
+    rows += [(1_000 + i, vec(7_000 + i), f"bg{i % 3}") for i in range(30)]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, f"vec_id long, embedding array<float>, label string"
+    ).coalesce(1).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    q = all_queries()["llm_dedup_embedding"]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/embeddings.parquet/*.parquet')")
+    df = q.fn(spark, sf_dir)
+    # the dynamic region actually bound: buckets are 4-bit strings
+    buckets = {r["bucket"] for r in df.select("bucket").distinct().collect()}
+    assert buckets and all(len(b) == 4 for b in buckets), buckets
+    problems = compare(df, con, q.oracle)
+    assert not problems, problems

@@ -65,6 +65,23 @@ def main() -> None:
                     "reorder identically — k times the corpus with "
                     "the organic near-dup rate, which is what "
                     "measuring a near-dup operator at large k needs.")
+    ap.add_argument("--emb-style", choices=("epsilon", "permute"),
+                    default="epsilon",
+                    help="embedding replica construction. 'epsilon' "
+                    "(default, the historical scheme) adds 0.0001*r to "
+                    "every component — replicas of one base vector stay "
+                    "cos~1.0 near-dups of each other, so near-dup "
+                    "cluster size grows with k and in-block pair mass "
+                    "with k^2 (the same degenerate growth doc-style "
+                    "'suffix' has). 'permute' applies one pseudo-random "
+                    "SIGNED PERMUTATION of the components per replica "
+                    "slice (same reordering + sign flips for every "
+                    "vector in slice r): a signed permutation is "
+                    "orthogonal, so ORGANIC pairs inside each slice "
+                    "keep their cosine EXACTLY, while cross-slice "
+                    "pairs decorrelate — k times the corpus at the "
+                    "organic near-dup rate, which is what measuring "
+                    "embedding dedup at large k needs.")
     args = ap.parse_args()
     os.makedirs(args.dst, exist_ok=True)
 
@@ -154,11 +171,23 @@ def main() -> None:
                lang, source,
                CAST(length({doc_text}) AS BIGINT) AS n_chars
         FROM documents CROSS JOIN {rep}""")
+    if args.emb_style == "permute":
+        emb = """CASE WHEN r = 0 THEN embedding ELSE list_transform(
+            list_sort(list_transform(embedding,
+                (x, i) -> struct_pack(
+                    k := hash(CAST(i AS VARCHAR) || 'p'
+                              || CAST(r AS VARCHAR)),
+                    v := CASE WHEN hash(CAST(i AS VARCHAR) || 's'
+                                       || CAST(r AS VARCHAR)) % 2 = 0
+                         THEN x ELSE -x END))),
+            s -> CAST(s.v AS FLOAT)) END"""
+    else:
+        emb = """CASE WHEN r = 0 THEN embedding
+                 ELSE list_transform(embedding, x ->
+                     CAST(x + 0.0001 * r AS FLOAT)) END"""
     write("embeddings", f"""
         SELECT vec_id + r * {off['vec']} AS vec_id,
-               CASE WHEN r = 0 THEN embedding
-                    ELSE list_transform(embedding, x ->
-                        CAST(x + 0.0001 * r AS FLOAT)) END AS embedding,
+               {emb} AS embedding,
                label
         FROM embeddings CROSS JOIN {rep}""")
 
