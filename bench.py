@@ -303,7 +303,8 @@ def calibration_probe(spark: SparkSession) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
-def stream_throughput(spark: SparkSession, sf_dir: str) -> dict:
+def stream_throughput(spark: SparkSession, sf_dir: str,
+                      calib_before: float | None = None) -> dict:
     """End-to-end BNPL pipeline ingest rate: the sf events table mapped
     to purchase envelopes (inputs grounded in the driver testdata),
     streamed file-source -> parse -> archive -> cascade -> projections
@@ -355,17 +356,42 @@ def stream_throughput(spark: SparkSession, sf_dir: str) -> dict:
                              projection_mode="incremental").run_stream(
                     available_now=True)
                 walls.append(time.perf_counter() - t0)
+        # the throughput number's own exoneration: one probe reading
+        # taken right after the three runs, plus all three walls — a
+        # low rate next to an inflated probe (or a spread of walls) is
+        # host weather on record. When the probe says the host is HOT
+        # (>1.5x the bench's opening probe), the headline has ranged
+        # 45-71k ev/s across rounds on host weather alone, so grant
+        # ONE extra run — same selection rule as the query tiers —
+        # and record the pre-extra minimum so the artifact shows when
+        # the extra run determined the headline (the one-directional
+        # bias the r11 advice flagged).
+        probe = calibration_probe(spark)
+        extra: dict = {}
+        if calib_before and probe > 1.5 * calib_before:
+            extra["min_without_extra_sec"] = round(min(walls), 2)
+            out_dir = os.path.join(work, "out_extra")
+            with scoped_shuffle_partitions(spark, 8):
+                t0 = time.perf_counter()
+                BnplPipeline(spark, in_dir, out_dir,
+                             projection_mode="incremental").run_stream(
+                    available_now=True)
+                walls.append(time.perf_counter() - t0)
+            extra["extra_run_sec"] = round(walls[-1], 2)
         wall = min(walls)
+        # median over WARM runs (run 1 pays one-off pipeline codegen —
+        # the same reason the tier budgets warm runs only); upper
+        # median for even n, the conservative draw
+        warm = walls[1:] if len(walls) > 1 else walls
+        med = sorted(warm)[len(warm) // 2]
         return {"events": n, "wall_sec": round(wall, 2),
                 "events_per_sec": round(n / wall),
+                "events_per_sec_median": round(n / med),
                 "n_runs": len(walls),
                 "first_run_sec": round(walls[0], 2),
-                # the throughput number's own exoneration: one probe
-                # reading taken right after the three runs, plus all
-                # three walls — a low rate next to an inflated probe
-                # (or a spread of walls) is host weather on record
                 "walls_sec": [round(w, 2) for w in walls],
-                "probe_after_sec": calibration_probe(spark),
+                "probe_after_sec": probe,
+                **extra,
                 "projection_mode": "incremental"}
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -598,7 +624,12 @@ def main() -> None:
                                           2)}
             if probe > 1.5 * calib_before:
                 # host is hot at this exact point: the wall is suspect —
-                # grant one extra run so the minimum gets a fairer draw
+                # grant one extra run so the minimum gets a fairer draw.
+                # Record the pre-extra minimum too: appending can only
+                # LOWER min(runs), so without it the artifact can't show
+                # when the extra run determined the headline number
+                # (the one-directional bias the r11 advice flagged).
+                entry["min_without_extra"] = round(min(runs), 3)
                 t0 = time.perf_counter()
                 try:
                     q.fn(spark, sf_dir).count()
@@ -614,7 +645,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(cold.values()), 3)
-    stream = stream_throughput(spark, sf_dir)
+    stream = stream_throughput(spark, sf_dir, calib_before=calib_before)
     # third probe point: the sf1 section runs LAST, under the bench's
     # own accumulated load — without its own reading, a slow sf1 tier
     # can't be told apart from sf1-section-specific host weather (the
