@@ -604,8 +604,16 @@ class BucketedAsofProcessorTTL(BucketedAsofProcessor):
         if not (len(views) or len(purchases)):
             # no live rows ever reached the fold: with no purchases the
             # emit mask in super() is empty — make the "out is empty
-            # here" invariant explicit instead of silently dropping it
-            assert not out, "empty-buffer eviction with pending output"
+            # here" invariant explicit instead of silently dropping it.
+            # A real raise, not assert: assert strips under python -O,
+            # and if this ever fires the failure must be the deliberate,
+            # named invariant — not a bare AssertionError from a code
+            # path the operator thought it had disabled.
+            if out:
+                raise RuntimeError(
+                    "BucketedAsofProcessor invariant violated: "
+                    "empty-buffer eviction with pending output "
+                    f"(key={key!r}, {len(out)} pending frames)")
             self._clear_all()
             return
         latest_us = max(

@@ -230,8 +230,19 @@ class OverdueBillProcessor(StatefulProcessor):
     same way the windowed aggregates get it.
     """
 
-    def __init__(self, grace_ms: int) -> None:
+    def __init__(self, grace_ms: int, gc_grace_ms: int | None = None) -> None:
         self._grace_ms = grace_ms
+        # The payment-before-create correction horizon, SEPARATE from
+        # the business deadline (r11-advice ask: don't reuse grace_ms
+        # for both). A payment on an empty key parks as a paid row
+        # until watermark + gc_grace; a create arriving within that
+        # horizon sees 'paid' and stays silent, one arriving after it
+        # can still emit a spurious OVERDUE — the documented
+        # bounded-state trade, but the window is now 4x wider by
+        # default and independently tunable without loosening the
+        # overdue deadline itself.
+        self._gc_grace_ms = gc_grace_ms if gc_grace_ms is not None \
+            else 4 * grace_ms
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._h = handle
@@ -259,13 +270,15 @@ class OverdueBillProcessor(StatefulProcessor):
             # one, the resurrected row has no expiry path and the
             # store grows with every late payment forever. Paid rows
             # emit nothing on fire, so emissions are unchanged for any
-            # create<->payment disorder within one grace period of
+            # create<->payment disorder within one GC-grace horizon of
             # watermark time; a create arriving LATER than that re-arms
             # on a GC'd key and can re-emit — the same bounded-state
             # trade the as-of TTL twins document (correction depth for
-            # bounded state), with grace as the horizon.
+            # bounded state). The horizon is gc_grace_ms (default 4x
+            # grace), its OWN knob: widening the correction window no
+            # longer loosens the business deadline.
             due_ms = int(timerValues.getCurrentWatermarkInMs()
-                         + self._grace_ms)
+                         + self._gc_grace_ms)
             self._h.registerTimer(due_ms)
         self._state.update((status, due_ms))
         yield pd.DataFrame(
@@ -291,7 +304,8 @@ class OverdueBillProcessor(StatefulProcessor):
         pass
 
 
-def overdue_bill_stream(events: DataFrame, grace_seconds: int) -> DataFrame:
+def overdue_bill_stream(events: DataFrame, grace_seconds: int,
+                        gc_grace_seconds: int | None = None) -> DataFrame:
     """Overdue-bill detection as an event-time-timer stream: bills
     with no payment within ``grace_seconds`` of issue emit an OVERDUE
     row when the watermark passes the deadline. Start under
@@ -306,7 +320,10 @@ def overdue_bill_stream(events: DataFrame, grace_seconds: int) -> DataFrame:
     return (
         bills.groupBy("bill_id")
         .transformWithStateInPandas(
-            OverdueBillProcessor(grace_ms=grace_seconds * 1000),
+            OverdueBillProcessor(
+                grace_ms=grace_seconds * 1000,
+                gc_grace_ms=None if gc_grace_seconds is None
+                else gc_grace_seconds * 1000),
             outputStructType=OVERDUE_OUTPUT_SCHEMA,
             outputMode="update",
             timeMode="eventTime",

@@ -1167,6 +1167,43 @@ def test_overdue_timer_fires_on_watermark_not_arrival(spark, tmp_path):
     assert keys == ["b4"], \
         f"resurrected paid row leaked in the state store: {keys}"
 
+    # runs 5-8: the r12 GC-horizon knob (r11 advice on state.py) —
+    # the payment-before-create correction window is gc_grace_ms
+    # (default 4x grace), SEPARATE from the business deadline. A
+    # payment-first key (c1 paid at 14:30) parks as a paid row for
+    # 4 h of watermark time; its create arriving ~3 h later in
+    # watermark terms (run 7, after wm passed 17:00) — which under
+    # the old grace-wide horizon would hit an already-GC'd key and
+    # re-emit a SPURIOUS OVERDUE — still sees 'paid' and stays
+    # silent. run 8 pushes the watermark past the GC deadline
+    # (18:00) and past b5's real deadline: the paid c1 GCs silently,
+    # b5 fires for real.
+    with open(os.path.join(in_dir, "b5.jsonl"), "w") as f:
+        f.write(json.dumps(pay("c1", "2026-01-01T14:30:00.000Z")) + "\n")
+    run_once()
+    with open(os.path.join(in_dir, "b6.jsonl"), "w") as f:
+        f.write(json.dumps(bill("b5", "2026-01-01T17:00:00.000Z")) + "\n")
+    run_once()
+    with open(os.path.join(in_dir, "b7.jsonl"), "w") as f:
+        f.write(json.dumps(bill("c1", "2026-01-01T17:30:00.000Z")) + "\n")
+    run_once()
+    with open(os.path.join(in_dir, "b8.jsonl"), "w") as f:
+        f.write(json.dumps(bill("b6", "2026-01-01T21:00:00.000Z")) + "\n")
+    run_once()
+    final = spark.read.parquet(out_dir).collect()
+    plain = sorted(set(r["bill_id"] for r in final
+                       if r["kind"] == "OVERDUE"))
+    assert "c1" not in plain, \
+        f"paid-then-late-create re-emitted a spurious OVERDUE: {plain}"
+    assert plain == ["b1", "b3", "b4", "b5"], plain
+    # paid c1 GC'd at wm+4h; only the live b6 row remains
+    state2 = (spark.read.format("statestore")
+              .option("stateVarName", "bill")
+              .load(ckpt))
+    keys2 = sorted(r["key"]["bill_id"] for r in state2.collect())
+    assert keys2 == ["b6"], \
+        f"GC-horizon row leaked or over-collected: {keys2}"
+
 
 def test_list_and_map_state_bound_per_user_profiles(spark, tmp_path):
     """ListState + MapState (the remaining transformWithState
