@@ -230,7 +230,10 @@ def llm_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _components_oracle() -> str:
     return f"""
-    WITH RECURSIVE pairs AS (
+    WITH RECURSIVE pairs AS MATERIALIZED (
+      -- the whole minhash-LSH pipeline; referenced twice by edges —
+      -- plain-CTE inlining re-ran it per reference (133.4 s at the
+      -- sf1 replica; 15.3 s materialized, identical rows)
       SELECT * FROM ({_minhash_oracle()}) t
     ), edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -411,7 +414,10 @@ def _jaccard_oracle(df_cap: int | None = None) -> str:
     return f"""
     WITH sh0 AS (
       SELECT doc_id, UNNEST(list_distinct({shingles})) AS s FROM documents
-    ), sh AS (
+    ), sh AS MATERIALIZED (
+      -- referenced 3x (n + both sides of inter); plain-CTE inlining
+      -- re-exploded the shingles per reference (exact tier at the sf1
+      -- replica: 143.2 -> 123.9 s materialized, identical rows)
       SELECT doc_id, s FROM sh0{cap_filter}
     ), n AS (
       SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id
