@@ -27,7 +27,8 @@ DAMP_NUM, DAMP_DEN = 850, 1000
 
 def pagerank_fixedpoint(edges: DataFrame, n_iter: int = 5,
                         checkpoint_every: int = 1,
-                        broadcast_max_nodes: int = 1_000_000) -> DataFrame:
+                        broadcast_max_nodes: int = 1_000_000,
+                        npart: int | None = None) -> DataFrame:
     """Rank every node of a directed edge list ``(src, dst)``.
 
     Nodes are the distinct ``src`` values (pass a symmetrized edge
@@ -70,7 +71,13 @@ def pagerank_fixedpoint(edges: DataFrame, n_iter: int = 5,
     cuts execute as one DAG.
     """
     spark = edges.sparkSession
-    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if npart is None:
+        # default: the session's shuffle width. Callers that can see the
+        # input's measured size pass a size-derived width instead (r12:
+        # at small inputs a 32-partition cached layout spends more wall
+        # on 5 rounds x 32 task dispatches than on the probe work — see
+        # plans/queries_graph._edge_layout_partitions).
+        npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # cache, NOT localCheckpoint: the InMemoryRelation preserves the
     # repartition's outputPartitioning (a checkpoint's LogicalRDD drops
     # it), which is what lets every round's groupBy(dst) skip its

@@ -100,7 +100,11 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey")
-    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # size-derived cached-layout width (r12, guide §2: derive from the
+    # driving scan's measured size, not the session constant — see
+    # queries_graph._edge_layout_partitions for the interleaved A/B)
+    from .queries_graph import _edge_layout_partitions
+    npart = _edge_layout_partitions(spark, sf_dir)
     base = (li.join(maybe_broadcast(o, sf_dir, "orders"),
                     li.l_orderkey == o.o_orderkey)
             .select(F.col("o_custkey").alias("src"),

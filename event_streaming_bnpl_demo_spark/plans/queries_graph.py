@@ -32,6 +32,38 @@ from .catalog import register
 
 _N_ITER = 5
 
+
+def _edge_layout_partitions(spark: SparkSession, sf_dir: str,
+                            lo: int = 8) -> int:
+    """Width of the cached dst/src-partitioned edge layout the
+    iterative tier (pagerank/khop/sssp/HITS) builds once and scans
+    every round: 1 partition per ~4 MB of the driving lineitem scan's
+    measured on-disk size, clamped to [lo, spark.sql.shuffle.partitions].
+
+    Size-derived instead of the session constant (guide §2: derive
+    partitioning from input size, not a constant tuned for one mode):
+    at small inputs the per-round cost is task DISPATCH, not probe
+    work — measured interleaved at sf0.1 (1.17M sym edges), a width-8
+    layout runs pagerank ~15-20% faster than width-32 (3.04/2.84 s vs
+    3.52/3.71 s adjacent pairs) while width-2 loses parallelism and
+    regresses; at the sf1 replica (11.7M edges) width-8 vs width-32 is
+    a wash (6.2-7.9 s overlapping bands), and past ~128 MB of scan the
+    clamp returns the session conf unchanged, so cluster deployments
+    (where the conf is sized to the cluster, not 32) are unaffected.
+    """
+    import os
+
+    from ..sources.tables import table_path
+    conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        path = table_path(sf_dir, "lineitem")
+        size = (sum(e.stat().st_size for e in os.scandir(path)
+                    if e.is_file())
+                if os.path.isdir(path) else os.path.getsize(path))
+    except OSError:
+        return conf
+    return max(lo, min(conf, int(size // (4 * 1024 * 1024))))
+
 _EDGE_SQL = """
     SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
                     's' || CAST(l_suppkey AS VARCHAR) AS dst
@@ -172,7 +204,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew-join split handles them at scale.
     """
     ranks = pagerank_fixedpoint(_copurchase_edges_int(spark, sf_dir),
-                                n_iter=_N_ITER)
+                                n_iter=_N_ITER,
+                                npart=_edge_layout_partitions(spark, sf_dir))
     # convert int node ids to the public naming BEFORE the top-k: the
     # (rank DESC, node) tie-break is defined on the STRING ids
     named = ranks.select(_int_node_name("node").alias("node"), "rank")
@@ -323,7 +356,7 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     count where broadcast-side reuse cannot.
     """
     c = load_table(spark, sf_dir, "customer")
-    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    npart = _edge_layout_partitions(spark, sf_dir)
     # int node ids end-to-end: the output is per-hop COUNTS, so no
     # boundary conversion is needed at all (see _copurchase_edges_int)
     edges = (_copurchase_edges_int(spark, sf_dir)
@@ -458,8 +491,9 @@ def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dst-partitioned cached edges (the pagerank shape): each round's
     # relaxation aggregate groups by dst, so with the dist side
     # broadcast the static edge list never re-shuffles and the
-    # per-round groupBy fuses with NO exchange
-    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # per-round groupBy fuses with NO exchange; width is size-derived
+    # (see _edge_layout_partitions)
+    npart = _edge_layout_partitions(spark, sf_dir)
     edges = (fwd.unionAll(fwd.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst"), "len"))
              .repartition(npart, "dst")
