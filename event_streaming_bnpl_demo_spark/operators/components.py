@@ -39,6 +39,17 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     ``max_rounds`` — by then the graph's diameter exceeds what this
     formulation should be used for (see module docstring).
     """
+    # Node count first: it gates the broadcast AND sizes the cached
+    # edge layout below (r12: width was the session shuffle constant,
+    # which at small graphs spends more per-round wall on task
+    # dispatch than on join work — the pagerank/_edge_layout_partitions
+    # finding applied here; near-dup candidate graphs are sparse, so
+    # |nodes| is the honest size proxy available before the edge
+    # pipeline runs).
+    spark = edges.sparkSession
+    n_nodes = nodes.count()
+    conf_w = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    npart = max(2, min(conf_w, n_nodes // 250_000 + 1))
     # cache the dst-partitioned edge list, NOT localCheckpoint: the
     # InMemoryRelation preserves the repartition's outputPartitioning
     # (a checkpoint's LogicalRDD drops it), so every round's
@@ -46,8 +57,6 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     # fuses partial+final aggregation with NO exchange — the edge list
     # never re-shuffles after the one-time fill (same shape as
     # operators.pagerank)
-    spark = edges.sparkSession
-    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sym = (edges.select("src", "dst")
            .union(edges.select(F.col("dst").alias("src"),
                                F.col("src").alias("dst")))
@@ -62,7 +71,6 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     # 1M-row default proxies a byte budget: two int64 columns resident
     # as a broadcast hash relation ~= tens of MB, safe in a
     # default-sized JVM; raise only with a bigger heap.
-    n_nodes = nodes.count()
     bcast = n_nodes <= broadcast_max_nodes
     labels = nodes.select("id", F.col("id").alias("component"))
     for _ in range(max_rounds):

@@ -581,9 +581,12 @@ def llm_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     component id, and the rollup is a join on doc_id plus a 2-row
     aggregate — no new shuffle shape beyond the labeling itself.
     """
-    from .queries_llm import llm_dedup_components
+    # labels-only variant: the split never reads n_members, so the
+    # labeling's per-component count window (exchange + sort over the
+    # full corpus) is skipped (r12; see queries_llm._component_labels)
+    from .queries_llm import _component_labels
 
-    comp = llm_dedup_components(spark, sf_dir)
+    comp = _component_labels(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents")
     bucket = F.conv(F.substring(
         F.md5(F.col("component").cast("string")), 1, 2), 16, 10).cast("int") % 10

