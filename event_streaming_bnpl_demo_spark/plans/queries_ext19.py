@@ -393,14 +393,21 @@ def llm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("doc_id", "b.x", "b.y"))
     c2 = (bigrams.groupBy("x", "y").agg(F.count(F.lit(1)).alias("cxy"))
           .localCheckpoint(eager=True))
-    c1 = c2.groupBy("x").agg(F.sum("cxy").alias("cx"))
+    # left-context count rides c2 as a window SUM over the checkpointed
+    # LM rows (r12) instead of a separate c1 aggregate + second join:
+    # the old shape pushed the FULL bigram stream through two probe
+    # passes (c2 on (x,y), then c1 on (x)); the window costs one pass
+    # over the distinct-bigram table (per-x partitions bounded by
+    # vocabulary fan-out) and the scoring join probes once. Per-row
+    # (cxy, cx) values are identical, so the per-occurrence average —
+    # and the oracle hash — are untouched.
+    c2 = c2.withColumn("cx", F.sum("cxy").over(Window.partitionBy("x")))
     vocab = (c2.select(F.col("x").alias("tok"))
              .union(c2.select(F.col("y").alias("tok")))
              .agg(F.countDistinct("tok").alias("v")))
     neg_ln = -F.log((F.col("cxy") + 1.0) / (F.col("cx") + F.col("v")))
     return (bigrams
             .join(c2, ["x", "y"])
-            .join(c1, ["x"])
             .crossJoin(F.broadcast(vocab))
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_bigrams"),

@@ -216,12 +216,22 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (spark.readStream
               .schema("event_id long, ts timestamp, event_type string")
               .parquet(in_dir))
-    from ..session import scoped_shuffle_partitions
+    from ..session import scoped_conf, scoped_shuffle_partitions
 
     # fresh-checkpoint stateful query: size the state store for the
     # keyspace, not the batch default (2.6 s -> 1.5 s warm at sf0.1;
-    # see session.scoped_shuffle_partitions)
-    with scoped_shuffle_partitions(spark, 8):
+    # see session.scoped_shuffle_partitions). The trailing no-data
+    # micro-batch is skipped (r12): append-mode dedup emits every
+    # first-seen row in its ARRIVAL batch — the watermark-advance
+    # batch only evicts state, so the emitted rows are identical
+    # (asserted per run by the oracle) and availableNow runs 1 batch
+    # instead of 2 — measured interleaved 2.6-3.2 -> 1.1-1.5 s warm
+    # at sf0.1. A shape whose output depends on watermark CLOSE
+    # (append-mode windows, outer stream-stream joins) must never do
+    # this; see session.scoped_conf.
+    with scoped_conf(spark, {
+            "spark.sql.streaming.noDataMicroBatches.enabled": "false"}), \
+         scoped_shuffle_partitions(spark, 8):
         deduped = (stream.withWatermark("ts", "1 hour")
                    .dropDuplicatesWithinWatermark(["event_id"]))
         q = (deduped.writeStream.format("memory").queryName(name)

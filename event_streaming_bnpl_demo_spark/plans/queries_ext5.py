@@ -131,16 +131,27 @@ def llm_unigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     already serves); the per-doc rollup reuses the doc_id clustering
     — tf-idf's shape minus the idf join.
     """
-    from ..sources import maybe_broadcast
-
-    d = spread(load_table(spark, sf_dir, "documents"))
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = d.select("doc_id",
                     F.explode(F.split(F.lower("text"), " ")).alias("tok"))
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
-    per_doc = (toks.join(maybe_broadcast(freq, sf_dir, "documents"), "tok")
-               .groupBy("doc_id")
-               .agg(F.count(F.lit(1)).alias("n_tokens"),
-                    F.sum("tf").alias("tf_sum")))
+    # ONE tokenize pass (r12): the freq-build + join-back shape ran the
+    # explode twice (build and probe are separate subtrees; Catalyst
+    # does not reuse an exchange across an aggregate/probe split — the
+    # tfidf finding) and its vocabulary join only broadcast under a
+    # gate. Instead collapse to per-(doc, token) counts first — the
+    # exchange is partial-aggregated and its keys are skew-free (pair
+    # cardinality is bounded by document size) — then marginalize the
+    # corpus frequency as a window SUM over the collapsed rows (hot
+    # tokens cost at most |docs| rows in a window partition, the same
+    # bound tfidf's df window accepts) and roll up per document:
+    # tf_sum = sum(c * tf) over the pair rows, exactly the join-back
+    # sum. Measured interleaved: 1.0-1.7 -> 0.8-1.1 s at sf0.1,
+    # 1.9-3.7 -> 1.7-2.6 s at the sf1 replica, identical rows.
+    dt = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    wtf = dt.withColumn("tf", F.sum("c").over(Window.partitionBy("tok")))
+    per_doc = (wtf.groupBy("doc_id")
+               .agg(F.sum("c").alias("n_tokens"),
+                    F.sum(F.col("c") * F.col("tf")).alias("tf_sum")))
     return (per_doc
             .select("doc_id", "n_tokens", "tf_sum",
                     (F.col("tf_sum").cast("double")
@@ -280,13 +291,22 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .parquet(os.path.join(base, "version=*")))
     frames = []
     for as_of in (0, 1, 2):
-        w = Window.partitionBy("k").orderBy(F.desc("version"))
+        snap = versioned.filter(F.col("version") <= as_of)
+        # latest-version row per key as max_by, not a row_number
+        # window (r12): the window shape paid exchange + SORT + window
+        # + filter per branch with every row crossing the exchange;
+        # max_by is a hash aggregate whose map-side partial collapses
+        # each key before the shuffle and needs no sort. Versions are
+        # distinct per key within a branch, so max_by is deterministic
+        # and row-for-row identical to rn=1. The base branch (as_of=0)
+        # skips the per-key step entirely — a snapshot holds each key
+        # exactly once, so its "latest row per key" is the scan itself.
+        latest = (snap.select("s") if as_of == 0 else
+                  snap.groupBy("k")
+                  .agg(F.max_by("s", "version").alias("s")))
         frames.append(
-            versioned.filter(F.col("version") <= as_of)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .groupBy(F.lit(as_of).cast("bigint").alias("as_of"),
-                     F.col("s").alias("status"))
+            latest.groupBy(F.lit(as_of).cast("bigint").alias("as_of"),
+                           F.col("s").alias("status"))
             .agg(F.count(F.lit(1)).alias("n_orders")))
     out = frames[0]
     for f in frames[1:]:

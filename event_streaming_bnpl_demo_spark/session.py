@@ -65,6 +65,31 @@ def get_spark(app_name: str = "event_streaming_bnpl_demo_spark",
 
 
 @contextmanager
+def scoped_conf(spark: SparkSession, confs: dict[str, str]):
+    """Temporarily set runtime confs for one query's execution scope —
+    the generic sibling of :func:`scoped_shuffle_partitions` for
+    per-query knobs that must not leak into the rest of the session
+    (r12: ``spark.sql.streaming.noDataMicroBatches.enabled`` for
+    streaming shapes whose emitted rows never depend on the trailing
+    watermark-advance batch)."""
+    old: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+@contextmanager
 def scoped_shuffle_partitions(spark: SparkSession, n: int):
     """Temporarily set ``spark.sql.shuffle.partitions`` — for STATEFUL
     streaming queries with a FRESH checkpoint, whose state-store

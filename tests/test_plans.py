@@ -699,11 +699,16 @@ def test_ext5_pack_plan_shapes(spark):
     assert "TakeOrderedAndProject" in plan
     assert "partial" in plan.lower()  # map-side combine before the exchange
 
+    # r12 shape: join-free — ONE tokenize pass collapses to (doc, tok)
+    # counts, the corpus frequency is a window SUM marginalized over
+    # the collapsed rows (no freq build + join-back, whose probe
+    # subtree re-ran the explode), and ranking stays TakeOrdered
     plan = (QUERIES["llm_unigram_commonness"].fn(spark, SF_SMOKE)._jdf
             .queryExecution().executedPlan().toString())
-    assert "BroadcastHashJoin" in plan
+    assert plan.count("Scan parquet") == 1, "tokenize pass re-planned"
+    assert "Join" not in plan, "frequency join-back reappeared"
+    assert "Window" in plan
     assert "TakeOrderedAndProject" in plan
-    assert "CartesianProduct" not in plan
 
     plan = (QUERIES["llm_simsearch_quantized"].fn(spark, SF_SMOKE)._jdf
             .queryExecution().executedPlan().toString())
