@@ -360,6 +360,17 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     all; the signature *is* the blocking key. Hamming-adjacent probing
     (flip-1-bit buckets) is the documented recall extension.
     """
+    sig = _simhash_sig(spark, sf_dir)
+    return sig.withColumn(
+        "bucket_size", F.count(F.lit(1)).over(Window.partitionBy("simhash")))
+
+
+def _simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-doc signature WITHOUT the bucket_size window — for
+    consumers that aggregate by simhash themselves and would otherwise
+    pay the window's exchange + sort twice (r12:
+    llm_cluster_quality_pick folds bucket_size into its own survivor
+    aggregate)."""
     d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     tok = d.select("doc_id", F.explode(F.expr(tokens_col("text"))).alias("tok"))
     sums = tok.groupBy("doc_id").agg(*[
@@ -368,9 +379,7 @@ def llm_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     bits = [F.when(F.col(f"s{b}") >= 0, "1").otherwise("0")
             for b in range(_SIMHASH_BITS)]
-    sig = sums.select("doc_id", F.concat(*bits).alias("simhash"))
-    return sig.withColumn(
-        "bucket_size", F.count(F.lit(1)).over(Window.partitionBy("simhash")))
+    return sums.select("doc_id", F.concat(*bits).alias("simhash"))
 
 
 def jaccard_pairs(sh: DataFrame, threshold: float = 0.5,

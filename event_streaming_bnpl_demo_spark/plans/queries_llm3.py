@@ -23,7 +23,7 @@ from pyspark.sql.window import Window
 from ..functions.text import tokens_col
 from ..sources import load_table
 from .catalog import register
-from .queries_llm import _simhash_oracle, llm_dedup_simhash
+from .queries_llm import _simhash_oracle
 
 #: Per-source document cap (llm_source_caps).
 _SOURCE_CAP = 40
@@ -195,20 +195,34 @@ def llm_cluster_quality_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     of llm_dedup_apply, where the survivor is chosen by a quality
     signal rather than by key order.
 
-    Scale: the signature relation is one explode+aggregate
-    (llm_dedup_simhash, no pairwise work); the pick is a row_number
-    window on the signature-clustered exchange. Swapping n_chars for
-    a model-scored quality column changes nothing structurally.
+    Scale: the signature relation is one explode+aggregate (the
+    simhash signature, no pairwise work); the pick AND the bucket
+    size are marginals of one partial-aggregated groupBy(simhash) —
+    min_by on the (-n_chars, doc_id) struct is exactly the rn=1
+    survivor under (n_chars DESC, doc_id), with no sort. Swapping
+    n_chars for a model-scored quality column changes nothing
+    structurally.
     """
-    sig = llm_dedup_simhash(spark, sf_dir)
+    # one simhash-keyed exchange total (r12): the windowed-signature
+    # form paid exchange + sort + window TWICE (bucket_size inside
+    # llm_dedup_simhash, then the rn=1 pick after the join re-keyed by
+    # simhash). The signature join is 1:1 on doc_id, so the survivor
+    # (min_by on the (-n_chars, doc_id) struct == rn=1 under
+    # (n_chars DESC, doc_id)) and bucket_size are both marginals of
+    # ONE partial-aggregated groupBy(simhash) — no sort anywhere.
+    from .queries_llm import _simhash_sig
+
+    sig = _simhash_sig(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents")
     j = d.select("doc_id", "n_chars").join(sig, "doc_id")
-    w = Window.partitionBy("simhash").orderBy(
-        F.desc("n_chars"), F.asc("doc_id"))
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "simhash", "n_chars", "bucket_size")
+        j.groupBy("simhash")
+        .agg(F.min_by(F.struct("doc_id", "n_chars"),
+                      F.struct((-F.col("n_chars")).alias("neg_chars"),
+                               F.col("doc_id"))).alias("pick"),
+             F.count(F.lit(1)).alias("bucket_size"))
+        .select(F.col("pick.doc_id").alias("doc_id"), "simhash",
+                F.col("pick.n_chars").alias("n_chars"), "bucket_size")
     )
 
 
