@@ -45,11 +45,20 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     # dispatch than on join work — the pagerank/_edge_layout_partitions
     # finding applied here; near-dup candidate graphs are sparse, so
     # |nodes| is the honest size proxy available before the edge
-    # pipeline runs).
+    # pipeline runs). r13: floor raised 2 -> 8 to match
+    # _edge_layout_partitions — the r12 floor of 2 serialized every
+    # labeling round for any graph under 500k nodes (the sf1 verdict's
+    # prime code suspect), and the r12 pagerank A/B already showed
+    # width 2 loses parallelism while 8 wins at both bench tiers. The
+    # conf stays the hard ceiling (ADVICE r12: a session narrower
+    # than the floor must never be widened by the derivation).
     spark = edges.sparkSession
     n_nodes = nodes.count()
-    conf_w = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    npart = max(2, min(conf_w, n_nodes // 250_000 + 1))
+    try:
+        conf_w = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        conf_w = int(spark.sparkContext.defaultParallelism)
+    npart = min(conf_w, max(8, n_nodes // 250_000 + 1))
     # cache the dst-partitioned edge list, NOT localCheckpoint: the
     # InMemoryRelation preserves the repartition's outputPartitioning
     # (a checkpoint's LogicalRDD drops it), so every round's

@@ -280,6 +280,16 @@ def source_fingerprint(sf_dir: str) -> str:
     return h.hexdigest()[:16]
 
 
+#: Keys :func:`stage_once` actually MATERIALIZED (cold path, not a
+#: reuse) in this process, in order. The bench reads (and lengths) this
+#: to detect timed first runs that paid one-off content-keyed staging
+#: WRITES inside their measured region — the r12 sf1 section read 3x
+#: its quiet number partly because a fresh /tmp made every staged
+#: streaming/lake input a write inside the timed first pass (guide
+#: §1.4: time the computation, not one-off input staging).
+STAGED_KEYS: list[str] = []
+
+
 def stage_once(key: str, write_fn) -> str:
     """Publish a content-keyed scratch dir exactly once and reuse it on
     every later call with the same key — the single implementation of
@@ -302,6 +312,7 @@ def stage_once(key: str, write_fn) -> str:
 
     path = _scratch(key)
     if not os.path.isdir(path):
+        STAGED_KEYS.append(key)
         tmp = f"{path}.tmp-{os.getpid()}"
         write_fn(tmp)
         try:

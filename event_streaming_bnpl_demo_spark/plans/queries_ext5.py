@@ -358,21 +358,43 @@ def llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulates anywhere.
 
     Scale: quotas come from a per-source count (tiny, broadcast
-    back); selection is one rank window over a source-clustered
-    exchange — identical shape to llm_source_caps with data-derived
-    caps instead of a constant.
+    back). Selection is size-gated (r13): the plain per-source rank
+    window — one clustered exchange, the right plan while every
+    source's sort fits one task (measured interleaved: the two-phase
+    form is a flat ~+0.4 s at both sub-6 MB bench tiers) — switches
+    past operators/rank.TWO_PHASE_MIN_BYTES to the two-phase bucketed
+    rank: the md5 key's first two hex chars (a prefix of the order
+    key) split every source's sort 256 ways with bit-identical ranks
+    (law-tested at sf0.01 and the sf1 replica in
+    tests/test_rank_twophase.py), and the per-(source, bucket) counts
+    feeding the rank offsets roll up into the per-source totals the
+    quotas need, so both consumers share one exchange.
     """
+    from ..operators.rank import TWO_PHASE_MIN_BYTES, bucketed_rank
     from ..operators.robust import temperature_quotas
+    from ..sources.tables import table_disk_bytes
 
     d = spread(load_table(spark, sf_dir, "documents"))
-    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
-    caps = temperature_quotas(s, _MIX_BUDGET)
-    ranked = d.select(
-        "source", "n_chars",
-        F.row_number().over(
-            Window.partitionBy("source")
-            .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-        ).alias("rn"))
+    size = table_disk_bytes(sf_dir, "documents")
+    if size is not None and size < TWO_PHASE_MIN_BYTES:
+        s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+        caps = temperature_quotas(s, _MIX_BUDGET)
+        ranked = d.select(
+            "source", "n_chars",
+            F.row_number().over(
+                Window.partitionBy("source")
+                .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+            ).alias("rn"))
+    else:
+        base = (d.select("source", "n_chars", "doc_id")
+                .withColumn("h", F.md5(F.col("doc_id").cast("string")))
+                .withColumn("b", F.substring("h", 1, 2)))
+        bc = base.groupBy("source", "b").agg(
+            F.count(F.lit(1)).alias("_bn"))
+        s = bc.groupBy("source").agg(F.sum("_bn").alias("n_total"))
+        caps = temperature_quotas(s, _MIX_BUDGET)
+        ranked = bucketed_rank(base, ["source"], "b",
+                               [F.col("h"), F.col("doc_id")], counts=bc)
     return (ranked.join(F.broadcast(caps), "source")
             .groupBy("source", "n_total", "n_keep")
             .agg(F.sum(F.when(F.col("rn") <= F.col("n_keep"),

@@ -38,7 +38,9 @@ def _edge_layout_partitions(spark: SparkSession, sf_dir: str,
     """Width of the cached dst/src-partitioned edge layout the
     iterative tier (pagerank/khop/sssp/HITS) builds once and scans
     every round: 1 partition per ~4 MB of the driving lineitem scan's
-    measured on-disk size, clamped to [lo, spark.sql.shuffle.partitions].
+    measured on-disk size, clamped to [lo, spark.sql.shuffle.partitions]
+    (the conf is the hard ceiling: a session narrower than ``lo`` is
+    never widened by the derivation).
 
     Size-derived instead of the session constant (guide §2: derive
     partitioning from input size, not a constant tuned for one mode):
@@ -54,15 +56,24 @@ def _edge_layout_partitions(spark: SparkSession, sf_dir: str,
     import os
 
     from ..sources.tables import table_path
-    conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        # non-numeric conf (e.g. "auto" on some platforms): the
+        # scheduler's planned width is the honest stand-in ceiling
+        conf = int(spark.sparkContext.defaultParallelism)
     try:
         path = table_path(sf_dir, "lineitem")
         size = (sum(e.stat().st_size for e in os.scandir(path)
                     if e.is_file())
                 if os.path.isdir(path) else os.path.getsize(path))
     except OSError:
+        # non-local path (object store): derivation no-ops to the conf
         return conf
-    return max(lo, min(conf, int(size // (4 * 1024 * 1024))))
+    # conf is the CEILING even when it is under lo: a session that
+    # explicitly narrowed its shuffle width must never be widened by a
+    # derivation whose floor exists only to keep small scans parallel
+    return min(conf, max(lo, int(size // (4 * 1024 * 1024))))
 
 _EDGE_SQL = """
     SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,

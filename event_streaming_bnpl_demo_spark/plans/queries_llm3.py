@@ -21,7 +21,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import tokens_col
+from ..operators.rank import TWO_PHASE_MIN_BYTES, bucketed_rank
 from ..sources import load_table
+from ..sources.tables import table_disk_bytes
 from .catalog import register
 from .queries_llm import _simhash_oracle
 
@@ -161,20 +163,37 @@ def llm_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster size.
 
     Scale: the md5 key is uniform, so all 16 shards are balanced by
-    construction; position assignment is a per-shard window sort —
-    16 independent sorts instead of one global one. This is the
-    shuffle-shard pattern training loaders expect (shards ≪
-    partitions is fine: each shard's sort still distributes across
-    the cluster's range-partitioned sort machinery).
+    construction. Position assignment is size-gated (r13): a rank
+    window hash-partitions by its PARTITION BY key, so the plain form
+    sorts each of the 16 shards in ONE task no matter the cluster
+    size — the right plan while the corpus is small (measured
+    interleaved: the two-phase form costs a flat ~+0.4 s at both
+    bench tiers, sub-6 MB corpora), and a scaling wall past
+    operators/rank.TWO_PHASE_MIN_BYTES. Above the gate the two-phase
+    bucketed rank (operators/rank.bucketed_rank) buckets by the md5's
+    next two hex chars — a prefix of the order key — fanning every
+    shard's sort out 256x with bit-identical positions: local rank +
+    the broadcast bucket offset (equality law-tested at sf0.01 and
+    the sf1 replica in tests/test_rank_twophase.py).
     """
     d = load_table(spark, sf_dir, "documents")
     h = F.expr(_doc_hash("spark"))
-    shard = (F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1)
-    w = Window.partitionBy(shard).orderBy(h, F.col("doc_id"))
-    return d.select(
-        "doc_id",
-        shard.cast("bigint").alias("shard"),
-        F.row_number().over(w).alias("pos"))
+    size = table_disk_bytes(sf_dir, "documents")
+    if size is not None and size < TWO_PHASE_MIN_BYTES:
+        shard = (F.instr(F.lit("0123456789abcdef"),
+                         F.substring(h, 1, 1)) - 1)
+        w = Window.partitionBy(shard).orderBy(h, F.col("doc_id"))
+        return d.select("doc_id", shard.cast("bigint").alias("shard"),
+                        F.row_number().over(w).cast("bigint").alias("pos"))
+    base = (d.select("doc_id", h.alias("h"))
+            .select("doc_id", "h",
+                    (F.instr(F.lit("0123456789abcdef"),
+                             F.substring("h", 1, 1)) - 1)
+                    .cast("bigint").alias("shard"),
+                    F.substring("h", 2, 2).alias("b")))
+    return (bucketed_rank(base, ["shard"], "b",
+                          [F.col("h"), F.col("doc_id")], out="pos")
+            .select("doc_id", "shard", "pos"))
 
 
 @register(

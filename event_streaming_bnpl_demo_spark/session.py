@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from contextlib import contextmanager
 
+from py4j.protocol import Py4JError
 from pyspark.sql import SparkSession
 
 #: Runtime-settable confs applied to any session we are handed.
@@ -74,9 +75,13 @@ def scoped_conf(spark: SparkSession, confs: dict[str, str]):
     watermark-advance batch)."""
     old: dict[str, str | None] = {}
     for k, v in confs.items():
+        # get(k, None) returns None ONLY when the key is truly unset
+        # (the no-default get would substitute the conf's built-in
+        # default, making restore pin that default as an explicit set —
+        # wrong is-set state if the default ever changes mid-session)
         try:
-            old[k] = spark.conf.get(k)
-        except Exception:
+            old[k] = spark.conf.get(k, None)
+        except Py4JError:
             old[k] = None
         spark.conf.set(k, v)
     try:

@@ -70,6 +70,21 @@ def spread(df: DataFrame, *keys: str, parts: int | None = None) -> DataFrame:
 BROADCAST_DISK_BYTES = 32 * 1024 * 1024
 
 
+def table_disk_bytes(sf_dir: str, name: str) -> int | None:
+    """Measured on-disk bytes of a backing table, or None when the
+    path cannot be statted locally (object store) — callers fall back
+    to their scale-safe branch. The one size probe every stats-gated
+    decision in the package shares (broadcast hints, layout widths,
+    two-phase rank)."""
+    try:
+        path = table_path(sf_dir, name)
+        return (sum(e.stat().st_size for e in os.scandir(path)
+                    if e.is_file())
+                if os.path.isdir(path) else os.path.getsize(path))
+    except OSError:
+        return None
+
+
 def maybe_broadcast(df: DataFrame, sf_dir: str, name: str,
                     threshold: int = BROADCAST_DISK_BYTES) -> DataFrame:
     """Stats-based broadcast hint: hint ``df`` broadcast-able only when
@@ -83,12 +98,8 @@ def maybe_broadcast(df: DataFrame, sf_dir: str, name: str,
     join falls back to the shuffled path, so plans stay scale-correct
     with no code change.
     """
-    try:
-        path = table_path(sf_dir, name)
-        size = (sum(e.stat().st_size for e in os.scandir(path)
-                    if e.is_file())
-                if os.path.isdir(path) else os.path.getsize(path))
-    except OSError:
+    size = table_disk_bytes(sf_dir, name)
+    if size is None:
         return df
     return F.broadcast(df) if size < threshold else df
 

@@ -86,7 +86,7 @@ def main() -> None:
             continue
         s = shape(plan)
         rows.append((name, s))
-        if args.out:
+        if args.out and not args.summary:
             os.makedirs(args.out, exist_ok=True)
             with open(os.path.join(args.out, f"{name}{args.suffix}.txt"),
                       "w") as fh:
