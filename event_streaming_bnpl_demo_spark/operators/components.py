@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 
 def connected_components(nodes: DataFrame, edges: DataFrame,
                          max_rounds: int = 25,
-                         broadcast_max_nodes: int = 1_000_000) -> DataFrame:
+                         broadcast_max_nodes: int = 1_000_000,
+                         npart: int | None = None) -> DataFrame:
     """Label every node with the minimum node id reachable from it.
 
     ``nodes``: one column ``id`` (every vertex, including isolated
@@ -52,13 +53,17 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     # width 2 loses parallelism while 8 wins at both bench tiers. The
     # conf stays the hard ceiling (ADVICE r12: a session narrower
     # than the floor must never be widened by the derivation).
+    # Callers with a better size proxy (edge counts, byte stats) pass
+    # ``npart`` directly (ADVICE r12); the default derivation below is
+    # for the sparse near-dup graphs this operator was built for.
     spark = edges.sparkSession
     n_nodes = nodes.count()
-    try:
-        conf_w = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except ValueError:
-        conf_w = int(spark.sparkContext.defaultParallelism)
-    npart = min(conf_w, max(8, n_nodes // 250_000 + 1))
+    if npart is None:
+        try:
+            conf_w = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except ValueError:
+            conf_w = int(spark.sparkContext.defaultParallelism)
+        npart = min(conf_w, max(8, n_nodes // 250_000 + 1))
     # cache the dst-partitioned edge list, NOT localCheckpoint: the
     # InMemoryRelation preserves the repartition's outputPartitioning
     # (a checkpoint's LogicalRDD drops it), so every round's
