@@ -357,8 +357,6 @@ def stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import uuid as _uuid
 
-    from pyspark.sql.window import Window
-
     from .queries_ext import _scratch, staged_parquet
 
     ev = load_table(spark, sf_dir, "events").filter(
@@ -392,10 +390,21 @@ def stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              .trigger(availableNow=True).start())
         q.awaitTermination()
     emitted = spark.table(name)
-    w = Window.partitionBy("purchase_id").orderBy(F.desc("version"))
-    return (
-        emitted.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & F.col("view_id").isNotNull())
-        .select("purchase_id", "user_id", "view_id", "seconds_since_view")
-    )
+    # fixpoint read: each purchase's HIGHEST-version emission. (purchase,
+    # version) is unique — a purchase lives in exactly one bucket and a
+    # bucket emits it at most once per micro-batch at that batch's
+    # version — so max_by is deterministic and picks the same row the
+    # old row_number()-over-(version DESC) window did; the hash
+    # aggregate's map-side partial collapses superseded emissions
+    # BEFORE the exchange and drops the window's sort (r12
+    # snapshot_time_travel precedent, guide §2.3/§2.4).
+    latest = (emitted.groupBy("purchase_id")
+              .agg(F.max_by(F.struct("user_id", "view_id",
+                                     "seconds_since_view"),
+                            F.col("version")).alias("m")))
+    return (latest.filter(F.col("m.view_id").isNotNull())
+            .select("purchase_id", F.col("m.user_id").alias("user_id"),
+                    F.col("m.view_id").alias("view_id"),
+                    F.col("m.seconds_since_view")
+                    .alias("seconds_since_view")))
 

@@ -141,16 +141,31 @@ class BnplPipeline:
             # directories and share no ordering, so they run as
             # CONCURRENT Spark jobs: per-batch latency is the max of
             # the three job chains instead of their sum (the scheduler
-            # interleaves their stages across the same executors)
+            # interleaves their stages across the same executors).
+            # Persist the shared inputs for the fan-out (r13, the
+            # stream_fanout_cascade doctrine / guide §2.3): unpersisted,
+            # each of the three jobs re-ran the source read + JSON
+            # parse + cascade derivation, and both folds re-ran the
+            # content-hash dedup — 3x the per-batch CPU for identical
+            # rows. One cache fill serves all three; on an idle host
+            # the overlap hid the waste (measured wash), under
+            # concurrent load the single fill won the interleaved A/B
+            # — and at 100 TB executor-hours are the budget, not idle
+            # cores. Both handles unpersist before the batch returns.
             from concurrent.futures import ThreadPoolExecutor
 
-            batch = events.dropDuplicates(["event_data"])
-            with ThreadPoolExecutor(max_workers=3) as ex:
-                futs = [ex.submit(self._archive, events),
-                        ex.submit(self._fold_promises, batch),
-                        ex.submit(self._fold_bills_state, batch)]
-                for f in futs:
-                    f.result()
+            events = events.persist()
+            batch = events.dropDuplicates(["event_data"]).persist()
+            try:
+                with ThreadPoolExecutor(max_workers=3) as ex:
+                    futs = [ex.submit(self._archive, events),
+                            ex.submit(self._fold_promises, batch),
+                            ex.submit(self._fold_bills_state, batch)]
+                    for f in futs:
+                        f.result()
+            finally:
+                batch.unpersist()
+                events.unpersist()
             return
         # recompute mode reads the log AFTER archiving — ordered
         self._archive(events)

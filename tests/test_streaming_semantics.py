@@ -1372,3 +1372,51 @@ def test_kafka_source_contract_no_broker(spark, tmp_path):
     frow = via_file.select("event_type", "order_id", "user_id",
                            "amount").first()
     assert krow == frow
+
+
+def test_asof_maxby_readback_equals_window_readback(spark):
+    """r13: stream_asof_join's fixpoint read switched from a
+    row_number()-over-(version DESC) window to a max_by hash aggregate
+    (guide §2.3 — the partial aggregate collapses superseded emissions
+    before the exchange instead of sorting them). Equivalence rests on
+    (purchase_id, version) being unique in the emitted table — a
+    purchase lives in one bucket and a bucket emits it at most once
+    per micro-batch — which the operator guarantees. This pins the two
+    readbacks equal on an adversarial emitted table: superseded
+    matches, a match that degrades to null, a null that upgrades to a
+    match, never-emitted-again rows, and a null-match fixpoint."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rows = [
+        # (user_id, purchase_id, view_id, seconds_since_view, version)
+        (1, 100, 10, 50, 1),      # superseded at v3
+        (1, 100, 20, 5, 3),       # fixpoint: view 20
+        (2, 200, None, None, 1),  # null -> upgraded at v2
+        (2, 200, 30, 7, 2),
+        (3, 300, 40, 9, 2),       # match -> still the fixpoint
+        (4, 400, None, None, 5),  # null fixpoint: must be DROPPED
+        (5, 500, 50, 1, 1),       # emitted once, never revised
+    ]
+    emitted = spark.createDataFrame(
+        rows, "user_id long, purchase_id long, view_id long, "
+              "seconds_since_view long, version long")
+
+    w = Window.partitionBy("purchase_id").orderBy(F.desc("version"))
+    old = (emitted.withColumn("rn", F.row_number().over(w))
+           .filter((F.col("rn") == 1) & F.col("view_id").isNotNull())
+           .select("purchase_id", "user_id", "view_id",
+                   "seconds_since_view"))
+    latest = (emitted.groupBy("purchase_id")
+              .agg(F.max_by(F.struct("user_id", "view_id",
+                                     "seconds_since_view"),
+                            F.col("version")).alias("m")))
+    new = (latest.filter(F.col("m.view_id").isNotNull())
+           .select("purchase_id", F.col("m.user_id").alias("user_id"),
+                   F.col("m.view_id").alias("view_id"),
+                   F.col("m.seconds_since_view")
+                   .alias("seconds_since_view")))
+    assert sorted(map(tuple, old.collect())) == \
+        sorted(map(tuple, new.collect()))
+    got = {r["purchase_id"]: r["view_id"] for r in new.collect()}
+    assert got == {100: 20, 200: 30, 300: 40, 500: 50}
