@@ -455,13 +455,20 @@ def scaled_section(spark: SparkSession, catalog, src: str,
     the expensive queries faking them. Disable with SPARK_GRAFT_SF1=0.
 
     Skips itself when the run has already consumed the overall bench
-    time budget (SPARK_GRAFT_BENCH_BUDGET seconds, default 420): the
+    time budget (SPARK_GRAFT_BENCH_BUDGET seconds, default 600): the
     ONE-json-line contract must land even under a harness timeout, and
     the sf0.1 headline numbers are the part that must never be lost.
+    (Default raised 420 -> 600 in r13: a warm-host headline+stream
+    section alone can exceed 420 s — an r13 measured run skipped the
+    whole sf1 section on a host whose probes later read QUIET, losing
+    exactly the reading the r12 verdict asked this round to produce.
+    The r12 driver run proves the harness tolerates 15+-minute
+    benches; 600 keeps the skip guard while making an sf1 reading the
+    common case. Timing policy unchanged; skip still recorded.)
     """
     if os.environ.get("SPARK_GRAFT_SF1", "1") == "0":
         return None
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "600"))
     if elapsed > budget:
         return {"skipped": f"time budget ({elapsed:.0f}s > {budget:.0f}s "
                            f"before sf1 section)"}

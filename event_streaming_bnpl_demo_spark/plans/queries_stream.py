@@ -394,10 +394,15 @@ def stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # version) is unique — a purchase lives in exactly one bucket and a
     # bucket emits it at most once per micro-batch at that batch's
     # version — so max_by is deterministic and picks the same row the
-    # old row_number()-over-(version DESC) window did; the hash
-    # aggregate's map-side partial collapses superseded emissions
-    # BEFORE the exchange and drops the window's sort (r12
-    # snapshot_time_travel precedent, guide §2.3/§2.4).
+    # old row_number()-over-(version DESC) window did. Honest plan
+    # accounting (r13): max_by over a struct plans as a SortAggregate
+    # pair, and the old window shape ALREADY reduced map-side via
+    # WindowGroupLimit, so both shapes are local-sort + partial-reduce
+    # + exchange + final; measured a wash at sf0.1 and sf1. Kept as
+    # hygiene — one aggregate instead of Window+WindowGroupLimit
+    # machinery (plans/r13/stream_asof_join_{before,after}.txt), with
+    # the (purchase, version) uniqueness law now pinned by test —
+    # NOT counted as a performance win.
     latest = (emitted.groupBy("purchase_id")
               .agg(F.max_by(F.struct("user_id", "view_id",
                                      "seconds_since_view"),
